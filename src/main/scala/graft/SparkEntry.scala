@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{EtlParity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "etl_enrich_sessions" -> (EtlParity.enrichSessions _),
+    "etl_events_json_extract" -> (EtlParity.eventsJsonExtract _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.q1PricingSummarySql
+    "q1_pricing_summary" -> Relational.q1PricingSummarySql,
+    "etl_enrich_sessions" -> EtlParity.enrichSessionsSql,
+    "etl_events_json_extract" -> EtlParity.eventsJsonExtractSql
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
 
 /** Loaders for the harness testdata tables (TESTDATA.md).
   *
@@ -25,7 +26,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
+    * timestamp — sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * and this loader converts to microsecond TimestampType (truncating,
+    * which matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast in oracles).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

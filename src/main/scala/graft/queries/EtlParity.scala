@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.Tables
+import graft.etl.{Enrich, Route}
+
+/** Gate coverage for the reference ETL operators (SURVEY.md §2.2, §2.5) over
+  * the batch testdata: the driver's DuckDB oracle can't run the streaming
+  * pipeline, so these queries apply the SAME `Enrich`/`Route` column
+  * functions to browse-history-shaped arrays built from `lineitem`, where a
+  * plain-SQL oracle exists. P1 (processing_timestamp) is nondeterministic and
+  * stays unit-test-only (injected clock).
+  */
+object EtlParity {
+
+  /** P2+P3+P4+P5 in one shot: per-order "sessions" (collect_list of structs
+    * ≙ browse_history), the three array-derived attributes via the exact
+    * production [[Enrich]] expressions, and the routing predicate on the
+    * order status. Shuffle count: one (groupBy l_orderkey); the orders join
+    * is broadcast at these sizes and co-keyed at scale.
+    */
+  def enrichSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val sessions = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderstatus"))
+      .agg(collect_list(struct(
+        col("l_quantity").as("quantity"),
+        (col("l_returnflag") === lit("R")).as("in_shopping_cart")))
+        .as("browse_history"))
+    sessions.select(
+      col("l_orderkey"),
+      Enrich.overallProductQuantity(col("browse_history"))
+        .as("overall_product_quantity"),
+      Enrich.overallInShoppingCart(col("browse_history"))
+        .as("overall_in_shopping_cart"),
+      Enrich.totalDifferentProducts(col("browse_history"))
+        .as("total_different_products"),
+      Route.route(when(col("o_orderstatus") === "F", lit("USA"))
+        .otherwise(col("o_orderstatus"))).as("route"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Oracle: per-item int-truncation then sum, matching Python `int(...)`
+    * semantics (double→long cast truncates toward zero; quantities are
+    * positive so floor ≡ trunc).
+    */
+  val enrichSessionsSql: String =
+    """SELECT l_orderkey,
+      |  sum(CAST(floor(l_quantity) AS BIGINT)) AS overall_product_quantity,
+      |  coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity) AS BIGINT) END), 0) AS overall_in_shopping_cart,
+      |  count(*) AS total_different_products,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'usa' ELSE 'international' END AS route
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey, o_orderstatus
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** S4 (schema-on-read JSON decode) over `events.props`: parse, extract,
+    * filter, aggregate. The from_json → getField chain is what the streaming
+    * decode path runs; pushdown note: only (props, event_type) are read.
+    */
+  def eventsJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, sfDir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .filter(col("k").isNotNull && col("k") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_even"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n_even, sum(k) AS sum_k
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |WHERE k IS NOT NULL AND k % 2 = 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+}
