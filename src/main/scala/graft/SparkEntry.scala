@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, Relational}
+import graft.queries.{EtlParity, EventQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,23 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "etl_enrich_sessions" -> (EtlParity.enrichSessions _),
-    "etl_events_json_extract" -> (EtlParity.eventsJsonExtract _)
+    "etl_events_json_extract" -> (EtlParity.eventsJsonExtract _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_region_revenue" -> (Relational.q5RegionRevenue _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    "join_outer_counts" -> (Relational.joinOuterCounts _),
+    "window_topn_per_customer" -> (Relational.windowTopNPerCustomer _),
+    "window_running_sum" -> (Relational.windowRunningSum _),
+    "sort_topk" -> (Relational.sortTopK _),
+    "set_ops" -> (Relational.setOps _),
+    "agg_distinct" -> (Relational.aggDistinct _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "above_type_avg_parts" -> (Relational.aboveTypeAvgParts _),
+    "events_hourly_rollup" -> (EventQueries.hourlyRollup _),
+    "events_pivot_per_user" -> (EventQueries.pivotPerUser _),
+    "events_asof_last_purchase" -> (EventQueries.asofLastPurchase _),
+    "events_sessionize" -> (EventQueries.sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,6 +44,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
     "etl_enrich_sessions" -> EtlParity.enrichSessionsSql,
-    "etl_events_json_extract" -> EtlParity.eventsJsonExtractSql
+    "etl_events_json_extract" -> EtlParity.eventsJsonExtractSql,
+    "q3_shipping_priority" -> Relational.q3ShippingPrioritySql,
+    "q5_region_revenue" -> Relational.q5RegionRevenueSql,
+    "join_semi" -> Relational.joinSemiSql,
+    "join_anti" -> Relational.joinAntiSql,
+    "join_outer_counts" -> Relational.joinOuterCountsSql,
+    "window_topn_per_customer" -> Relational.windowTopNPerCustomerSql,
+    "window_running_sum" -> Relational.windowRunningSumSql,
+    "sort_topk" -> Relational.sortTopKSql,
+    "set_ops" -> Relational.setOpsSql,
+    "agg_distinct" -> Relational.aggDistinctSql,
+    "agg_rollup" -> Relational.aggRollupSql,
+    "above_type_avg_parts" -> Relational.aboveTypeAvgPartsSql,
+    "events_hourly_rollup" -> EventQueries.hourlyRollupSql,
+    "events_pivot_per_user" -> EventQueries.pivotPerUserSql,
+    "events_asof_last_purchase" -> EventQueries.asofLastPurchaseSql,
+    "events_sessionize" -> EventQueries.sessionizeSql
   )
 }

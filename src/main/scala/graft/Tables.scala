@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the harness testdata tables (TESTDATA.md).
   *
@@ -33,8 +33,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
+    // Integer division, NOT `/` — epoch-nanos (~1.7e18) exceeds double's
+    // 53-bit integer range, so a double divide is off by ±1 µs.
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

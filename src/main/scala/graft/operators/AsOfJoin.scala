@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward, inclusive) join — the time-series operator Spark lacks
+  * natively (SURVEY.md §7 custom-operator surface; same semantics as
+  * DuckDB's `ASOF JOIN` / pandas `merge_asof`): for every left row, attach
+  * the most recent right row with `right.ts <= left.ts` for the same key.
+  *
+  * Implementation is the union+window technique rather than a range join:
+  * tag both inputs, union them, and carry the last-seen right payload
+  * forward with `last(_, ignoreNulls)` over a (key, ts)-sorted window.
+  *
+  * Scale rationale: exactly ONE shuffle (hash by key for the window), no
+  * row explosion — a naive `left.ts >= right.ts` theta-join is O(|L|·|R|)
+  * per key before aggregation, which detonates on 100 TB; this stays
+  * O(|L|+|R|) with per-partition sorted scans, and skewed keys can be
+  * salted upstream without changing the algorithm. The right payload is
+  * packed into ONE struct so all its fields come atomically from the same
+  * right row (per-column `last(ignoreNulls)` would mix rows when payload
+  * fields are null).
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (payload columns are `rightCols`)
+    * @param key        equi-join key column name (same name both sides)
+    * @param ts         event-time column name (same name both sides)
+    * @param rightCols  right payload columns to attach, emitted with `prefix`
+    * @param tiebreak   optional extra right-side ordering columns; when two
+    *                   right rows share (key, ts) the one sorting LAST wins
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], prefix: String = "matched_",
+      tiebreak: Seq[String] = Nil): DataFrame = {
+
+    val payload = struct(
+      (rightCols.map(c => col(c).as(c)) ++ tiebreak.map(c => col(c).as(s"__tb_$c"))): _*)
+    val payloadType = right.select(payload.as("__payload")).schema("__payload").dataType
+
+    val lPrepared = left
+      .withColumn("__ts", col(ts))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    // The right side carries only the union schema: left columns (key kept,
+    // rest nulled) + the window helpers.
+    val rPrepared = right.select((left.columns.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+      col(ts).as("__ts") :+ lit(1).as("__side") :+ payload.as("__payload")): _*)
+
+    // Right rows sort before left rows at equal ts (side desc) so the match
+    // is inclusive; among right ties the tiebreak columns order them and the
+    // last one wins.
+    val order: Seq[Column] =
+      (col("__ts").asc +: col("__side").desc +:
+        tiebreak.map(c => col("__payload").getField(s"__tb_$c").asc))
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lPrepared.unionByName(rPrepared)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col("__match").getField(c).as(s"$prefix$c"))): _*)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Queries over the `events` table — the batch face of the streaming
+  * surface: event-time bucketing (≙ tumbling windows), pivot, as-of join,
+  * and gap-based sessionization (≙ what mapGroupsWithState computes in the
+  * streaming path). All DuckDB-oracled.
+  */
+object EventQueries {
+
+  private def decv = col("value").cast("decimal(18,2)")
+
+  /** Tumbling 1-hour event-time windows (batch equivalent of
+    * `groupBy(window($"ts","1 hour"))`). One shuffle on the bucket.
+    */
+  def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(decv).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val hourlyRollupSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Pivot: per-user value totals by event type (explicit value list keeps
+    * the output schema static and the plan a single shuffle).
+    */
+  def pivotPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(decv))
+      .orderBy(col("user_id"))
+
+  val pivotPerUserSql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
+      |  sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** As-of join: each click/view event picks up the most recent prior (or
+    * simultaneous) purchase by the same user. Exercises
+    * [[graft.operators.AsOfJoin]]; oracled by DuckDB's native ASOF JOIN.
+    */
+  def asofLastPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val probes = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    AsOfJoin.backward(probes, purchases, key = "user_id", ts = "ts",
+      rightCols = Seq("purchase_id", "purchase_value"),
+      tiebreak = Seq("purchase_id"))
+      .select(col("event_id"), col("user_id"),
+        col("matched_purchase_id"),
+        col("matched_purchase_value").cast("decimal(18,2)").as("matched_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofLastPurchaseSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  p.purchase_id AS matched_purchase_id,
+      |  CAST(p.purchase_value AS DECIMAL(18,2)) AS matched_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type IN ('click','view')) e
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): the batch
+    * equivalent of the streaming state machine. Two window passes over one
+    * user_id shuffle, then the session aggregate.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L)).cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(decv).as("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(CAST(ts AS TIMESTAMP)) AS session_start,
+      |  max(CAST(ts AS TIMESTAMP)) AS session_end,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+      |FROM numbered
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+}
