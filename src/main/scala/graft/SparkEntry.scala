@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, Relational}
+import graft.queries.{EtlParity, EventQueries, Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +36,12 @@ object SparkEntry {
     "events_hourly_rollup" -> (EventQueries.hourlyRollup _),
     "events_pivot_per_user" -> (EventQueries.pivotPerUser _),
     "events_asof_last_purchase" -> (EventQueries.asofLastPurchase _),
-    "events_sessionize" -> (EventQueries.sessionize _)
+    "events_sessionize" -> (EventQueries.sessionize _),
+    "text_stats" -> (TextQueries.textStats _),
+    "dedup_exact_groups" -> (TextQueries.dedupExact _),
+    "dedup_minhash_lsh" -> (TextQueries.dedupMinhashLsh _),
+    "dedup_simhash" -> (TextQueries.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,6 +65,11 @@ object SparkEntry {
     "events_hourly_rollup" -> EventQueries.hourlyRollupSql,
     "events_pivot_per_user" -> EventQueries.pivotPerUserSql,
     "events_asof_last_purchase" -> EventQueries.asofLastPurchaseSql,
-    "events_sessionize" -> EventQueries.sessionizeSql
+    "events_sessionize" -> EventQueries.sessionizeSql,
+    "text_stats" -> TextQueries.textStatsSql,
+    "dedup_exact_groups" -> TextQueries.dedupExactSql,
+    "dedup_minhash_lsh" -> TextQueries.dedupMinhashLshSql,
+    "dedup_simhash" -> TextQueries.dedupSimhashSql,
+    "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql
   )
 }

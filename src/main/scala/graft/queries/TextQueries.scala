@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{Dedup, TextFunctions}
+
+/** Gated text-analysis + dedup queries over `documents` (driver-mandated
+  * extension surface). Each replays in DuckDB via md5-based hashing and
+  * list comprehensions, so the whole dedup pipeline is oracle-checked end
+  * to end, not just row-counted.
+  */
+object TextQueries {
+
+  /** Per-document text statistics: token count, language guess, quality
+    * score, fingerprints.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.langId(col("text")).as("lang_guess"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"),
+      TextFunctions.minShingleFingerprint(col("text"), 3).as("min_shingle"))
+      .orderBy(col("doc_id"))
+
+  val textStatsSql: String = {
+    val en = TextFunctions.langMarkers("en").map(s => s"'$s'").mkString(", ")
+    val es = TextFunctions.langMarkers("es").map(s => s"'$s'").mkString(", ")
+    val de = TextFunctions.langMarkers("de").map(s => s"'$s'").mkString(", ")
+    val fr = TextFunctions.langMarkers("fr").map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, text, t,
+       |    len(t) AS n_tokens,
+       |    len(list_filter(t, x -> list_contains([$en], x))) AS hit_en,
+       |    len(list_filter(t, x -> list_contains([$es], x))) AS hit_es,
+       |    len(list_filter(t, x -> list_contains([$de], x))) AS hit_de,
+       |    len(list_filter(t, x -> list_contains([$fr], x))) AS hit_fr
+       |  FROM toks)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN greatest(hit_en, hit_es, hit_de, hit_fr) = 0 THEN 'und'
+       |       WHEN hit_en = greatest(hit_en, hit_es, hit_de, hit_fr) THEN 'en'
+       |       WHEN hit_es = greatest(hit_en, hit_es, hit_de, hit_fr) THEN 'es'
+       |       WHEN hit_de = greatest(hit_en, hit_es, hit_de, hit_fr) THEN 'de'
+       |       ELSE 'fr' END AS lang_guess,
+       |  round(0.5 * least(n_tokens / 50.0, 1.0)
+       |      + 0.3 * (hit_en / CAST(n_tokens AS DOUBLE))
+       |      + 0.2 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+       |               / CAST(length(text) AS DOUBLE)), 4) AS quality,
+       |  md5(lower(trim(text))) AS fingerprint,
+       |  list_min([md5(array_to_string(t[i:i+2], ' '))
+       |            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS min_shingle
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup: normalized-fingerprint groups with canonical id. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, sfDir))
+      .orderBy(col("fingerprint"))
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(text))) AS fingerprint,
+      |  min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fingerprint""".stripMargin
+
+  /** MinHash(k=16) + LSH(2 bands × 8 rows) candidate pairs. */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(spark, sfDir), k = 16, bands = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupMinhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), sigs AS (
+      |  SELECT id, [list_min([md5(s::VARCHAR || ':' || x) for x in t])
+      |              for s in range(0, 16)] AS sig
+      |  FROM toks
+      |), bands AS (
+      |  SELECT id, sig, b, md5(array_to_string(sig[b*8+1:b*8+8], '|')) AS bucket
+      |  FROM sigs, range(0, 2) r(b)
+      |)
+      |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |  len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard
+      |FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash 60-bit signatures per document. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val dedupSimhashSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT
+      |     for x in regexp_split_to_array(trim(lower(text)), '\s+')] AS hs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+      |                                         THEN 1 ELSE -1 END
+      |                                    for h in hs]) > 0
+      |                      THEN (1::BIGINT << b) ELSE 0 END
+      |                 for b in range(0, 60)]) AS BIGINT) AS simhash
+      |FROM hashed
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact 3-gram Jaccard near-dup pairs, blocked by lang. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+      blockCols = Seq("lang"), n = 3, threshold = 0.2)
+      .orderBy(col("lang"), col("id_a"), col("id_b"))
+
+  val dedupNgramJaccardSql: String =
+    """WITH grams AS (
+      |  SELECT lang, doc_id AS id,
+      |    list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS g
+      |  FROM (SELECT lang, doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |        FROM documents))
+      |SELECT a.lang AS lang, a.id AS id_a, b.id AS id_b,
+      |  round(len(list_intersect(a.g, b.g))
+      |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4)
+      |    AS jaccard_sim
+      |FROM grams a JOIN grams b ON a.lang = b.lang AND a.id < b.id
+      |WHERE round(len(list_intersect(a.g, b.g))
+      |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4) > 0.2
+      |ORDER BY a.lang, id_a, id_b""".stripMargin
+}
