@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, Relational, TextQueries}
+import graft.queries.{EtlParity, EventQueries, Relational, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,7 +41,10 @@ object SparkEntry {
     "dedup_exact_groups" -> (TextQueries.dedupExact _),
     "dedup_minhash_lsh" -> (TextQueries.dedupMinhashLsh _),
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
-    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _)
+    "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "sim_topk_bruteforce" -> (SimQueries.simTopKBruteForce _),
+    "sim_neardup_cosine" -> (SimQueries.simNearDupCosine _),
+    "sim_lsh_buckets" -> (SimQueries.simLshBuckets _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,6 +73,9 @@ object SparkEntry {
     "dedup_exact_groups" -> TextQueries.dedupExactSql,
     "dedup_minhash_lsh" -> TextQueries.dedupMinhashLshSql,
     "dedup_simhash" -> TextQueries.dedupSimhashSql,
-    "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql
+    "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "sim_topk_bruteforce" -> SimQueries.simTopKBruteForceSql,
+    "sim_neardup_cosine" -> SimQueries.simNearDupCosineSql,
+    "sim_lsh_buckets" -> SimQueries.simLshBucketsSql
   )
 }

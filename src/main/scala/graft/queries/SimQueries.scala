@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.Similarity
+
+/** Gated similarity-search queries over `embeddings` (vec_id, embedding
+  * float[64], label). Cosine math is sequential-double in both engines
+  * (verified: DuckDB `list_dot_product` ≡ Spark left-fold), similarities
+  * are rounded to 6 decimals before any rank/filter so cross-engine
+  * ordering is stable.
+  */
+object SimQueries {
+
+  private val Dim = 64
+  private val LshBits = 8
+
+  /** Exact brute-force top-5 neighbors for the first 20 vectors. */
+  def simTopKBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 20), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simTopKBruteForceSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_dot_product(q.e, c.e)
+      |          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+      |  FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, rank, corpus_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, corpus_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-dup pairs, blocked by label. */
+  def simNearDupCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark; Similarity.registerCosine(spark2)
+    val v = Tables.embeddings(spark, sfDir).select(
+      col("label"), col("vec_id"),
+      Similarity.toDoubleVec(col("embedding")).as("e"))
+    val a = v.toDF("label", "id_a", "e_a")
+    val b = v.toDF("label", "id_b", "e_b")
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") > 0.3)
+      .select(col("label"), col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  val simNearDupCosineSql: String =
+    """WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.e, b.e)
+      |        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.e, b.e)
+      |        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) > 0.3
+      |ORDER BY label, id_a, id_b""".stripMargin
+
+  /** LSH bucket histogram (8-bit random-hyperplane signatures): the
+    * map-only bucketing step of the ANN scale path, fully oracle-checked.
+    */
+  def simLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")),
+          LshBits, Dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+
+  /** Oracle generated with the SAME Scala-computed hyperplane weights
+    * embedded as literal DOUBLE[] arrays.
+    */
+  val simLshBucketsSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bucketed AS (SELECT vec_id, label, CAST($bitTerms AS BIGINT) AS bucket FROM v)
+       |SELECT bucket, count(*) AS n_vectors,
+       |  count(DISTINCT label) AS n_labels, min(vec_id) AS min_vec_id
+       |FROM bucketed
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+}
