@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, Relational, SimQueries, TextQueries}
+import graft.queries.{EtlParity, EventQueries, Relational, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,7 +44,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "sim_topk_bruteforce" -> (SimQueries.simTopKBruteForce _),
     "sim_neardup_cosine" -> (SimQueries.simNearDupCosine _),
-    "sim_lsh_buckets" -> (SimQueries.simLshBuckets _)
+    "sim_lsh_buckets" -> (SimQueries.simLshBuckets _),
+    "sharded_log_roundtrip" -> (StreamQueries.shardedLogRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +77,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "sim_topk_bruteforce" -> SimQueries.simTopKBruteForceSql,
     "sim_neardup_cosine" -> SimQueries.simNearDupCosineSql,
-    "sim_lsh_buckets" -> SimQueries.simLshBucketsSql
+    "sim_lsh_buckets" -> SimQueries.simLshBucketsSql,
+    "sharded_log_roundtrip" -> StreamQueries.shardedLogRoundtripSql
   )
 }

@@ -1,0 +1,145 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.connector.shardedlog.{ShardedLog, ShardedLogSource, ShardedLogWriter}
+import graft.etl.SessionEtl
+
+/** The reference's full streaming topology (SURVEY.md §2.7), Spark-native:
+  *
+  * producer → source stream → ETL consumer → {usa, international} dest
+  * streams → firehose-style buffered file delivery → output dirs (+
+  * `errors/` dead-letter).
+  *
+  * Three entry points mirror the reference's three CLI mains (§3.1–3.3).
+  */
+object Topology {
+
+  def readStream(spark: SparkSession, streamDir: String,
+      startingPosition: String = "earliest",
+      maxRecordsPerPoll: Int = 200): DataFrame =
+    spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", streamDir)
+      .option("startingPosition", startingPosition)
+      .option("maxRecordsPerPoll", maxRecordsPerPoll.toString)
+      .load()
+
+  /** ETL consumer (≙ consumer.py): source stream → decode/validate/enrich/
+    * route → keyed PutRecords into the destination stream per route +
+    * dead-letter JSON under `errors/`. One foreachBatch pass per
+    * micro-batch; per-session_id order is preserved via (shard,
+    * sequence_number) ordering into the destination shards.
+    */
+  def startEtlConsumer(spark: SparkSession, sourceStream: String,
+      destStreams: Map[String, String], errorsDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    val source = readStream(spark, sourceStream)
+    source.writeStream
+      .queryName("graft-etl-consumer")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val outs = SessionEtl.transform(batch, dataCol = "data")
+        val order = Seq(col("shard"), col("sequence_number"))
+        destStreams.foreach { case (route, streamDir) =>
+          ShardedLogWriter.write(
+            outs.enriched.filter(col("route") === route),
+            streamDir, col("session_id"), col("data"), order)
+        }
+        val dead = outs.deadLetter
+        if (!dead.isEmpty)
+          dead.withColumn("payload", col("payload").cast("string"))
+            .write.mode(SaveMode.Append).json(errorsDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Firehose-style delivery (≙ Solution.ipynb cell 28): drain a
+    * destination stream into JSON files on a 60 s cadence (BufferingHints
+    * IntervalInSeconds=60; size-based flush is approximated by
+    * maxRecordsPerPoll).
+    */
+  def startFirehose(spark: SparkSession, destStream: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    readStream(spark, destStream, maxRecordsPerPoll = 100000)
+      .selectExpr("shard", "sequence_number", "partition_key",
+        "CAST(data AS STRING) AS data")
+      .writeStream
+      .queryName(s"graft-firehose-${new java.io.File(destStream).getName}")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .format("json")
+      .option("path", outDir)
+      .start()
+}
+
+/** ≙ the notebook's infra DDL (S8): create a stream with N shards
+  * (`create_stream(ShardCount=2)`, Solution.ipynb cell 24).
+  */
+object CreateStream {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).map(a => a(0) -> a(1)).toMap
+    val shards = opts.getOrElse("--shard_count", "2").toInt
+    ShardedLog.createStream(opts("--stream"), shards)
+    println(s"Stream ${opts("--stream")} ACTIVE with $shards shards")
+  }
+}
+
+/** ≙ producer_from_cli_my_modifications.py: single keyed PutRecord. */
+object Producer {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).map(a => a(0) -> a(1)).toMap
+    val stream = opts("--stream")
+    val json = opts("--json_string")
+    val key = ujsonKey(json)
+    val (shard, seq) = ShardedLog.putRecord(stream, key, json.getBytes("UTF-8"))
+    println(s"Record sent to shard=$shard sequence_number=$seq")
+  }
+  /** Extract session_id without a JSON dep (PartitionKey=payload["session_id"]). */
+  private def ujsonKey(json: String): String = {
+    val m = """"session_id"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json)
+    m.map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException("payload has no session_id"))
+  }
+}
+
+/** ≙ consumer_from_cli_my_modifications.py: poll → decode → log. */
+object ConsoleConsumer {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).map(a => a(0) -> a(1)).toMap
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-console-consumer")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val q = Topology.readStream(spark, opts("--stream"))
+      .selectExpr("shard", "sequence_number", "CAST(data AS STRING) AS data")
+      .writeStream.format("console")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("truncate", "false")
+      .start()
+    q.awaitTermination()
+  }
+}
+
+/** ≙ consumer.py: the ETL consumer CLI. `--dest_streams` takes
+  * `usa=<dir>,international=<dir>` (the reference's JSON routing config,
+  * consumer.py:24-28, without a JSON parser dependency).
+  */
+object EtlConsumer {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).map(a => a(0) -> a(1)).toMap
+    val dest = opts("--dest_streams").split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-etl-consumer")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val q = Topology.startEtlConsumer(spark, opts("--source_stream"), dest,
+      opts.getOrElse("--errors_dir", opts("--source_stream") + "-errors"),
+      opts.getOrElse("--checkpoint", opts("--source_stream") + "-ckpt"))
+    q.awaitTermination()
+  }
+}

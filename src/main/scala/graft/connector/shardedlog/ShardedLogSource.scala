@@ -1,0 +1,183 @@
+package graft.connector.shardedlog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** DataSource V2 sharded-log source (SURVEY.md §2.1 S1–S4, §7.2(3)).
+  *
+  * `spark.readStream.format("graft.connector.shardedlog.ShardedLogSource")
+  *   .option("path", streamDir)
+  *   .option("startingPosition", "earliest")         // TRIM_HORIZON
+  *   .option("maxRecordsPerPoll", "200")             // ≙ GetRecords Limit
+  *   .load()`
+  *
+  * Mapping to the reference:
+  *  - one InputPartition per shard (S1 shard discovery → task parallelism —
+  *    the reference polls shards sequentially, consumer.py:112; here each
+  *    shard is an independent task, which is the scale-out the 100 TB
+  *    design needs);
+  *  - offsets = per-shard sequence numbers serialized as JSON (S2);
+  *  - startingPosition ∈ earliest | latest | at_timestamp:<millis> |
+  *    at_sequence_number:<n> | after_sequence_number:<n> — the five Kinesis
+  *    iterator types (README.md:62-69);
+  *  - admission control caps each micro-batch at maxRecordsPerPoll records
+  *    per shard (S3, `GetRecords(Limit=200)`, consumer.py:115);
+  *  - also supports batch reads (whole-log scan) for debugging/backfill.
+  */
+class ShardedLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardedLogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ShardedLogTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ShardedLogSource {
+  val ShortName = "graft.connector.shardedlog.ShardedLogSource"
+
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("arrival_timestamp", TimestampType, nullable = false),
+    StructField("partition_key", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+}
+
+class ShardedLogTable(streamDir: String) extends Table with SupportsRead {
+  require(streamDir != null, "option 'path' (stream directory) is required")
+  override def name(): String = s"sharded-log(`$streamDir`)"
+  override def schema(): StructType = ShardedLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ShardedLogScan(streamDir, options.asScala.toMap)
+}
+
+/** Per-shard offset map; JSON round-trips through the checkpoint log. */
+case class ShardedLogOffset(shards: Map[String, Long]) extends Offset {
+  implicit private val fmts: Formats = DefaultFormats
+  override def json(): String = Serialization.write(shards)
+}
+
+object ShardedLogOffset {
+  implicit private val fmts: Formats = DefaultFormats
+  def fromJson(s: String): ShardedLogOffset =
+    ShardedLogOffset(JsonMethods.parse(s).extract[Map[String, Long]])
+}
+
+final case class ShardSlice(streamDir: String, shard: String,
+    startSeq: Long, endSeq: Long) extends InputPartition
+
+class ShardedLogScan(streamDir: String, options: Map[String, String])
+    extends Scan {
+  override def readSchema(): StructType = ShardedLogSource.schema
+  override def description(): String = s"ShardedLogScan($streamDir)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ShardedLog.endOffsets(streamDir).toSeq.sortBy(_._1).map {
+        case (shard, end) => ShardSlice(streamDir, shard, 0L, end)
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ShardedLogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ShardedLogMicroBatchStream(streamDir, options)
+}
+
+class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val maxRecordsPerPoll: Long =
+    options.getOrElse("maxrecordsperpoll", "200").toLong
+
+  /** The five Kinesis iterator types (README.md:62-69). */
+  override def initialOffset(): Offset = {
+    val pos = options.getOrElse("startingposition", "earliest")
+    val shards = ShardedLog.listShards(streamDir)
+    val m: Map[String, Long] = pos.split(":", 2) match {
+      case Array("earliest") => shards.map(_ -> 0L).toMap
+      case Array("latest") => ShardedLog.endOffsets(streamDir)
+      case Array("at_timestamp", millis) =>
+        shards.map(s => s -> ShardedLog.seqAtTimestamp(streamDir, s, millis.toLong)).toMap
+      case Array("at_sequence_number", n) => shards.map(_ -> n.toLong).toMap
+      case Array("after_sequence_number", n) => shards.map(_ -> (n.toLong + 1)).toMap
+      case other =>
+        throw new IllegalArgumentException(s"bad startingPosition: ${other.mkString(":")}")
+    }
+    ShardedLogOffset(m)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxRecordsPerPoll * math.max(1, ShardedLog.shardCount(streamDir)))
+
+  /** Advance each shard to min(current end, start + cap): the micro-poll
+    * with per-shard rate limit (consumer.py:115).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ShardedLogOffset].shards
+    val ends = ShardedLog.endOffsets(streamDir)
+    // shards can appear after the stream was first read (resharding-lite):
+    // new shards start from 0.
+    ShardedLogOffset(ends.map { case (shard, end) =>
+      val from = s.getOrElse(shard, 0L)
+      shard -> math.min(end, from + maxRecordsPerPoll)
+    })
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset =
+    ShardedLogOffset(ShardedLog.endOffsets(streamDir))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardedLogOffset].shards
+    val e = end.asInstanceOf[ShardedLogOffset].shards
+    e.toSeq.sortBy(_._1).collect {
+      case (shard, endSeq) if endSeq > s.getOrElse(shard, 0L) =>
+        ShardSlice(streamDir, shard, s.getOrElse(shard, 0L), endSeq)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardedLogReaderFactory
+  override def deserializeOffset(json: String): Offset =
+    ShardedLogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class ShardedLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[ShardSlice]
+    new PartitionReader[InternalRow] {
+      private val it = ShardedLog.read(
+        slice.streamDir, slice.shard, slice.startSeq, slice.endSeq)
+      private var current: ShardedLog.Record = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(current.shard),
+        current.sequenceNumber,
+        DateTimeUtils.millisToMicros(current.arrivalMillis),
+        UTF8String.fromString(current.partitionKey),
+        current.data)
+      override def close(): Unit = ()
+    }
+  }
+}

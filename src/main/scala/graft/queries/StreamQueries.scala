@@ -1,0 +1,61 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.connector.shardedlog.{ShardedLog, ShardedLogSource, ShardedLogWriter}
+
+/** Gate coverage for the sharded-log connector (SURVEY.md §2.1): a real
+  * write→read roundtrip through the DataSource V2 source whose OUTPUT is
+  * nevertheless oracle-checkable — shard placement is the deterministic
+  * md5 hash-range function, so DuckDB can recompute the expected per-shard
+  * statistics straight from the events table without touching any files.
+  */
+object StreamQueries {
+
+  private val NumShards = 4
+
+  /** Write events through the keyed writer into a fresh sharded-log
+    * stream, read it back through the DSv2 batch scan, and aggregate
+    * per-shard record counts, distinct keys and payload bytes.
+    */
+  def shardedLogRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val streamDir = Files.createTempDirectory("graft-roundtrip")
+      .resolve("stream").toString
+    ShardedLog.createStream(streamDir, NumShards)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("key"),
+        col("props").as("payload"), col("event_id"))
+    ShardedLogWriter.write(ev, streamDir, col("key"),
+      col("payload").cast("binary"), orderWithinKey = Seq(col("event_id")))
+
+    spark.read.format(ShardedLogSource.ShortName)
+      .option("path", streamDir).load()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("partition_key")).as("n_keys"),
+        sum(length(col("data"))).as("payload_bytes"),
+        max(col("sequence_number")).as("max_seq"))
+      .orderBy(col("shard"))
+  }
+
+  /** DuckDB recomputes shard placement with the identical md5 range-split:
+    * shard = (first-60-bits-of-md5(key) * N) >> 60.
+    */
+  val shardedLogRoundtripSql: String =
+    s"""WITH placed AS (
+       |  SELECT printf('shard-%05d',
+       |           CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |                 * $NumShards) >> 60 AS INTEGER)) AS shard,
+       |         CAST(user_id AS VARCHAR) AS key,
+       |         props
+       |  FROM events)
+       |SELECT shard, count(*) AS n_records,
+       |  count(DISTINCT key) AS n_keys,
+       |  sum(length(props)) AS payload_bytes,
+       |  count(*) - 1 AS max_seq
+       |FROM placed
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+}

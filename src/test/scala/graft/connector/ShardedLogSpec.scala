@@ -1,0 +1,172 @@
+package graft.connector
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import graft.connector.shardedlog.{ShardedLog, ShardedLogSource, ShardedLogWriter}
+
+class ShardedLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newStream(shards: Int = 2): String = {
+    val dir = Files.createTempDirectory("graft-log").toString + "/stream"
+    ShardedLog.createStream(dir, shards)
+    dir
+  }
+
+  private def put(dir: String, key: String, s: String, at: Long = 1000L) =
+    ShardedLog.putRecord(dir, key, s.getBytes("UTF-8"), at)
+
+  test("putRecord assigns md5 hash-range shards; batch read sees all records") {
+    val dir = newStream(2)
+    (1 to 50).foreach(i => put(dir, s"key-$i", s"payload-$i"))
+    val df = spark.read.format(ShardedLogSource.ShortName)
+      .option("path", dir).load()
+    assert(df.count() == 50)
+    // shard placement matches the driver-side function
+    val rows = df.select($"shard", $"partition_key").collect()
+    rows.foreach { r =>
+      val expected = ShardedLog.shardName(
+        ShardedLog.shardFor(r.getString(1), 2))
+      assert(r.getString(0) == expected)
+    }
+    // both shards used (md5 spreads keys)
+    assert(df.select($"shard").distinct().count() == 2)
+  }
+
+  test("Catalyst shardIndexCol matches driver-side shardFor") {
+    val keys = (1 to 200).map(i => s"session-$i")
+    val got = keys.toDF("k")
+      .select($"k", ShardedLogWriter.shardIndexCol($"k", 4).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(got(k) == ShardedLog.shardFor(k, 4).toLong, s"key $k")
+    }
+  }
+
+  test("per-shard sequence numbers are dense and ordered") {
+    val dir = newStream(1)
+    (1 to 10).foreach(i => put(dir, "same-key", s"p$i"))
+    val seqs = spark.read.format(ShardedLogSource.ShortName)
+      .option("path", dir).load()
+      .orderBy($"sequence_number")
+      .select($"sequence_number", $"data".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(seqs.map(_._1).toSeq == (0L until 10L))
+    assert(seqs.map(_._2).toSeq == (1 to 10).map(i => s"p$i"))
+  }
+
+  test("streaming: earliest reads everything; maxRecordsPerPoll caps batches") {
+    val dir = newStream(2)
+    (1 to 30).foreach(i => put(dir, s"k$i", s"p$i"))
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", dir)
+      .option("startingPosition", "earliest")
+      .option("maxRecordsPerPoll", "5")
+      .load()
+      .writeStream.format("memory").queryName("log_earliest")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("log_earliest").count() == 30)
+    // rate cap: every micro-batch processed ≤ 5 records per shard (2 shards)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.nonEmpty && batches.forall(_ <= 10),
+      s"batch sizes: ${batches.mkString(",")}")
+  }
+
+  test("streaming: latest skips history, sees only new data") {
+    val dir = newStream(2)
+    (1 to 10).foreach(i => put(dir, s"k$i", s"old$i"))
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", dir)
+      .option("startingPosition", "latest")
+      .load()
+      .writeStream.format("memory").queryName("log_latest")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("log_latest").count() == 0)
+      (11 to 15).foreach(i => put(dir, s"k$i", s"new$i"))
+      q.processAllAvailable()
+      val got = spark.table("log_latest").select($"data".cast("string"))
+        .as[String].collect().toSet
+      assert(got == (11 to 15).map(i => s"new$i").toSet)
+    } finally q.stop()
+  }
+
+  test("streaming: at_timestamp starts mid-log") {
+    val dir = newStream(1)
+    put(dir, "a", "before1", at = 1000L)
+    put(dir, "a", "before2", at = 2000L)
+    put(dir, "a", "after1", at = 3000L)
+    put(dir, "a", "after2", at = 4000L)
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", dir)
+      .option("startingPosition", "at_timestamp:3000")
+      .load()
+      .writeStream.format("memory").queryName("log_at_ts")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("log_at_ts").select($"data".cast("string"))
+      .as[String].collect().toSet
+    assert(got == Set("after1", "after2"))
+  }
+
+  test("streaming: after_sequence_number resumes past a record") {
+    val dir = newStream(1)
+    (0 until 6).foreach(i => put(dir, "a", s"p$i"))
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", dir)
+      .option("startingPosition", "after_sequence_number:2")
+      .load()
+      .writeStream.format("memory").queryName("log_after_seq")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("log_after_seq").select($"data".cast("string"))
+      .as[String].collect().toSet
+    assert(got == Set("p3", "p4", "p5"))
+  }
+
+  test("restart from checkpoint resumes exactly-once (kill-and-resume)") {
+    val dir = newStream(2)
+    val out = Files.createTempDirectory("graft-log-out").toString
+    (1 to 8).foreach(i => put(dir, s"k$i", s"p$i"))
+    def run(): Unit = {
+      val q = spark.readStream.format(ShardedLogSource.ShortName)
+        .option("path", dir).option("startingPosition", "earliest")
+        .load()
+        .selectExpr("CAST(data AS STRING) AS data")
+        .writeStream.format("json")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    (9 to 12).foreach(i => put(dir, s"k$i", s"p$i"))
+    run()
+    val got = spark.read.json(s"$out/data").select($"data").as[String].collect()
+    assert(got.length == 12)
+    assert(got.toSet == (1 to 12).map(i => s"p$i").toSet)
+  }
+
+  test("keyed writer preserves per-key order into destination shards") {
+    val src = (1 to 40).map(i => (s"sess-${i % 4}", i))
+    val dir = newStream(2)
+    ShardedLogWriter.write(
+      src.toDF("key", "n").withColumn("payload", concat($"key", lit(":"), $"n")),
+      dir, $"key", $"payload".cast("binary"), orderWithinKey = Seq($"n"))
+    val rows = spark.read.format(ShardedLogSource.ShortName)
+      .option("path", dir).load()
+      .select($"partition_key", $"sequence_number", $"data".cast("string"))
+      .collect()
+    assert(rows.length == 40)
+    // per key: sequence order == production order (the n suffix ascending)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byLog = rs.sortBy(_.getLong(1)).map(_.getString(2))
+      val ns = byLog.map(_.split(":")(1).toInt)
+      assert(ns.sorted.sameElements(ns), s"out-of-order: ${byLog.mkString(",")}")
+    }
+  }
+}
