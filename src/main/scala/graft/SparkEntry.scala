@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, Relational, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{EtlParity, EventQueries, MultimodalQueries, Relational, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,8 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (SimQueries.simTopKBruteForce _),
     "sim_neardup_cosine" -> (SimQueries.simNearDupCosine _),
     "sim_lsh_buckets" -> (SimQueries.simLshBuckets _),
-    "sharded_log_roundtrip" -> (StreamQueries.shardedLogRoundtrip _)
+    "sharded_log_roundtrip" -> (StreamQueries.shardedLogRoundtrip _),
+    "multimodal_decode" -> (MultimodalQueries.multimodalDecode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +79,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> SimQueries.simTopKBruteForceSql,
     "sim_neardup_cosine" -> SimQueries.simNearDupCosineSql,
     "sim_lsh_buckets" -> SimQueries.simLshBucketsSql,
-    "sharded_log_roundtrip" -> StreamQueries.shardedLogRoundtripSql
+    "sharded_log_roundtrip" -> StreamQueries.shardedLogRoundtripSql,
+    "multimodal_decode" -> MultimodalQueries.multimodalDecodeSql
   )
 }

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Gate coverage for the multimodal plumbing: the batched mapPartitions
+  * decode+featurize pipeline runs for real (typed Dataset, Encoders,
+  * per-batch iteration) and its stub-codec output is recomputed by DuckDB
+  * from the same md5 arithmetic.
+  */
+object MultimodalQueries {
+
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val decoded = Multimodal.decodeAndFeaturize(media)
+    Multimodal.resize(decoded, maxW = 320, maxH = 240)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"), col("out_width"), col("out_height"),
+        round(element_at(col("feat"), 1), 4).as("feat0"),
+        round(element_at(col("feat"), 8), 4).as("feat7"))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalDecodeSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    text, md5(text) AS hex,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |decoded AS (
+      |  SELECT media_id, kind,
+      |    1 + h % 640 AS width, 1 + h % 480 AS height,
+      |    CASE kind WHEN 'video' THEN 1 + h % 32
+      |              WHEN 'audio' THEN 1 + h % 16
+      |              ELSE 1 END AS n_frames,
+      |    (('0x' || substr(md5('0:' || hex), 1, 15))::BIGINT % 2001 - 1000) / 1000.0 AS f0,
+      |    (('0x' || substr(md5('7:' || hex), 1, 15))::BIGINT % 2001 - 1000) / 1000.0 AS f7
+      |  FROM media),
+      |resized AS (
+      |  SELECT *, least(320.0 / width, 240.0 / height, 1.0) AS scale FROM decoded)
+      |SELECT media_id, kind, width, height, n_frames,
+      |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+      |  CAST(floor(height * scale) AS BIGINT) AS out_height,
+      |  round(f0, 4) AS feat0, round(f7, 4) AS feat7
+      |FROM resized
+      |ORDER BY media_id""".stripMargin
+}
