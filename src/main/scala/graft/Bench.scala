@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, shuffle machinery, parquet
+    // footer reader) so the first timed query isn't charged for JVM
+    // startup costs.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -67,6 +67,7 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("content"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[MediaRow]
   }
 
