@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over event streams (the stateful Structured
+  * Streaming surface the engine exposes beyond the reference's stateless
+  * pipeline — SURVEY.md §2.4 notes the reference has none, so these are
+  * engine-completeness operators, mirrored 1:1 by the batch
+  * [[graft.queries.EventQueries]] the oracle checks).
+  *
+  * Scale posture: state is partitioned by the grouping key (one shuffle),
+  * watermarks bound state size (late data beyond the watermark is
+  * dropped), and session state per key is O(1) — the state store never
+  * holds raw events.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling event-time window aggregate with a watermark — the
+    * Firehose-style "how many records per window" rollup, incrementally
+    * maintained. Append mode emits each window once, when the watermark
+    * passes its end.
+    */
+  def windowedStats(events: DataFrame, tsCol: String = "ts",
+      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      // group by the window STRUCT (extracting .start here would sever the
+      // watermark→window linkage and append mode would be rejected);
+      // project the bucket start after the aggregate.
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double)
+
+  /** Gap-based streaming sessionization: the stateful twin of
+    * [[graft.queries.EventQueries.sessionize]]. Sessions close via
+    * event-time timeout once the watermark passes (last event + gap);
+    * state per user is a single [[SessionState]], not the event list.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.end), s.n, s.sum))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end > gapMs =>
+              out ::= SessionOut(userId, new Timestamp(s.start),
+                new Timestamp(s.end), s.n, s.sum)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case Some(s) =>
+              cur = Some(SessionState(s.start, math.max(s.end, t),
+                s.n + 1, s.sum + e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

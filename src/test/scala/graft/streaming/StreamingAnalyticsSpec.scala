@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import graft.streaming.StreamingAnalytics.SessionEvent
+
+class StreamingAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed stats with watermark emit closed windows in append mode") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingAnalytics.windowedStats(df, window_ = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0))
+      q.processAllAvailable()
+      // watermark far past the first window: it must close and emit
+      mem.addData((ts(60), "view", 5.0))
+      q.processAllAvailable()
+      mem.addData((ts(120), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+      assert(rows.exists(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Long]("n") == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions via event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingAnalytics.sessionize(mem.toDS(), gapSeconds = 300,
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two events 2 min apart (one session)
+      mem.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(2), 2.0))
+      q.processAllAvailable()
+      // jump far ahead: watermark passes session end + gap → session closes
+      mem.addData(SessionEvent(2L, ts(120), 9.0))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, ts(240), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("n_events") == 2L)
+      assert(u1.head.getAs[Double]("session_value") == 3.0)
+      assert(u1.head.getAs[Timestamp]("session_start") == ts(0))
+      assert(u1.head.getAs[Timestamp]("session_end") == ts(2))
+    } finally q.stop()
+  }
+
+  test("sessionization splits on gap within one batch") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingAnalytics.sessionize(mem.toDS(), gapSeconds = 300,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("stream_sessions2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // two bursts 30 min apart in ONE batch → first session emitted
+      // immediately on the in-batch gap split
+      mem.addData(SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(1), 1.0),
+        SessionEvent(7L, ts(30), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_sessions2").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+}
