@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, MultimodalQueries, Relational, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{EtlParity, EventQueries, MultimodalQueries, Relational, ScalarQueries, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,7 +46,8 @@ object SparkEntry {
     "sim_neardup_cosine" -> (SimQueries.simNearDupCosine _),
     "sim_lsh_buckets" -> (SimQueries.simLshBuckets _),
     "sharded_log_roundtrip" -> (StreamQueries.shardedLogRoundtrip _),
-    "multimodal_decode" -> (MultimodalQueries.multimodalDecode _)
+    "multimodal_decode" -> (MultimodalQueries.multimodalDecode _),
+    "scalar_functions" -> (ScalarQueries.scalarFunctions _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +81,7 @@ object SparkEntry {
     "sim_neardup_cosine" -> SimQueries.simNearDupCosineSql,
     "sim_lsh_buckets" -> SimQueries.simLshBucketsSql,
     "sharded_log_roundtrip" -> StreamQueries.shardedLogRoundtripSql,
-    "multimodal_decode" -> MultimodalQueries.multimodalDecodeSql
+    "multimodal_decode" -> MultimodalQueries.multimodalDecodeSql,
+    "scalar_functions" -> ScalarQueries.scalarFunctionsSql
   )
 }
