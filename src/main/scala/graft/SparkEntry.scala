@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (TextQueries.dedupMinhashLsh _),
     "dedup_simhash" -> (TextQueries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_minhash_corpus" -> (TextQueries.dedupMinhashCorpus _),
     "sim_topk_bruteforce" -> (SimQueries.simTopKBruteForce _),
     "sim_neardup_cosine" -> (SimQueries.simNearDupCosine _),
     "sim_lsh_buckets" -> (SimQueries.simLshBuckets _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> TextQueries.dedupMinhashLshSql,
     "dedup_simhash" -> TextQueries.dedupSimhashSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "dedup_minhash_corpus" -> TextQueries.dedupMinhashCorpusSql,
     "sim_topk_bruteforce" -> SimQueries.simTopKBruteForceSql,
     "sim_neardup_cosine" -> SimQueries.simNearDupCosineSql,
     "sim_lsh_buckets" -> SimQueries.simLshBucketsSql,

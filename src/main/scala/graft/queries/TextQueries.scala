@@ -113,6 +113,34 @@ object TextQueries {
       |FROM hashed
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level MinHash sketch per language via the custom typed
+    * [[graft.functions.MinHashAggregator]]: per-doc signatures merged by
+    * element-wise min (partial-aggregate friendly), emitting one k=8
+    * signature per lang. The first/last signature elements are gated; the
+    * oracle recomputes them as plain mins over the token hash ring.
+    */
+  def dedupMinhashCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val merge = graft.functions.MinHashAggregator.minhashMerge(8)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), Dedup.minhashSignature(col("text"), 8).as("sig"))
+      .groupBy(col("lang"))
+      .agg(merge(col("sig")).as("merged"))
+      .select(col("lang"),
+        element_at(col("merged"), 1).as("sig0"),
+        element_at(col("merged"), 8).as("sig7"))
+      .orderBy(col("lang"))
+  }
+
+  val dedupMinhashCorpusSql: String =
+    """SELECT lang,
+      |  min(list_min([md5('0:' || x)
+      |    for x in regexp_split_to_array(trim(lower(text)), '\s+')])) AS sig0,
+      |  min(list_min([md5('7:' || x)
+      |    for x in regexp_split_to_array(trim(lower(text)), '\s+')])) AS sig7
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Exact 3-gram Jaccard near-dup pairs, blocked by lang. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
