@@ -34,9 +34,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     // Integer division, NOT `/` — epoch-nanos (~1.7e18) exceeds double's
-    // 53-bit integer range, so a double divide is off by ±1 µs.
+    // 53-bit integer range, so a double divide is off by ±1 µs. The cast to
+    // TIMESTAMP_NTZ (wall-clock, session tz is UTC) matches how Spark 4
+    // reads the other tables' naive parquet timestamps — keeping every
+    // timestamp column NTZ end-to-end so written results are naive µs,
+    // exactly like the DuckDB oracle's.
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

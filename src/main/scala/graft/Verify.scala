@@ -15,6 +15,9 @@ object Verify {
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark only reads it
       // as a long (nanos since epoch) — Tables.events converts to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs timestamps (not INT96) so result parquet dtypes match the
+      // oracle's arrow schema
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

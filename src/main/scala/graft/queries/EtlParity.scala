@@ -50,8 +50,8 @@ object EtlParity {
     */
   val enrichSessionsSql: String =
     """SELECT l_orderkey,
-      |  sum(CAST(floor(l_quantity) AS BIGINT)) AS overall_product_quantity,
-      |  coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity) AS BIGINT) END), 0) AS overall_in_shopping_cart,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS overall_product_quantity,
+      |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity) AS BIGINT) END), 0) AS BIGINT) AS overall_in_shopping_cart,
       |  count(*) AS total_different_products,
       |  CASE WHEN o_orderstatus = 'F' THEN 'usa' ELSE 'international' END AS route
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -73,7 +73,7 @@ object EtlParity {
   }
 
   val eventsJsonExtractSql: String =
-    """SELECT event_type, count(*) AS n_even, sum(k) AS sum_k
+    """SELECT event_type, count(*) AS n_even, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
       |WHERE k IS NOT NULL AND k % 2 = 0
       |GROUP BY event_type

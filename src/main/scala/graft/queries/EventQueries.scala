@@ -22,7 +22,7 @@ object EventQueries {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(decv).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(decv).cast("decimal(38,2)").as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
 
   val hourlyRollupSql: String =
@@ -39,7 +39,7 @@ object EventQueries {
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(sum(decv))
+      .agg(sum(decv).cast("decimal(38,2)"))
       .orderBy(col("user_id"))
 
   val pivotPerUserSql: String =
@@ -91,18 +91,21 @@ object EventQueries {
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // unix_micros only takes TIMESTAMP (LTZ); ts is NTZ — cast through LTZ
+    // (session tz is UTC, so the instant is unchanged).
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
     val ev = Tables.events(spark, sfDir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("prev_us", lag(tsUs, 1).over(byUser))
       .withColumn("new_session",
         (col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L)).cast("long"))
+          tsUs - col("prev_us") > lit(1800L * 1000000L)).cast("long"))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
     ev.groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(decv).as("session_value"))
+        sum(decv).cast("decimal(38,2)").as("session_value"))
       .orderBy(col("user_id"), col("session_idx"))
   }
 
@@ -118,7 +121,7 @@ object EventQueries {
       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       |  FROM flagged)
-      |SELECT user_id, session_idx, count(*) AS n_events,
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
       |  min(CAST(ts AS TIMESTAMP)) AS session_start,
       |  max(CAST(ts AS TIMESTAMP)) AS session_end,
       |  sum(CAST(value AS DECIMAL(18,2))) AS session_value

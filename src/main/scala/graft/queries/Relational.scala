@@ -33,8 +33,8 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
@@ -173,7 +173,7 @@ object Relational {
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
-          .as("total_spend"))
+          .cast("decimal(38,2)").as("total_spend"))
       .orderBy(col("c_custkey"))
 
   val joinOuterCountsSql: String =
@@ -192,7 +192,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)
-      .withColumn("rank_in_cust", row_number().over(w))
+      .withColumn("rank_in_cust", row_number().over(w).cast("long"))
       .filter(col("rank_in_cust") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank_in_cust"))
       .orderBy(col("o_custkey"), col("rank_in_cust"))
@@ -217,7 +217,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
       .filter(col("l_suppkey") <= 5)
-      .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w))
+      .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("decimal(38,2)"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("running_qty"))
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -298,7 +298,7 @@ object Relational {
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggRollupSql: String =

@@ -53,7 +53,7 @@ object StreamQueries {
        |  FROM events)
        |SELECT shard, count(*) AS n_records,
        |  count(DISTINCT key) AS n_keys,
-       |  sum(length(props)) AS payload_bytes,
+       |  CAST(sum(length(props)) AS BIGINT) AS payload_bytes,
        |  count(*) - 1 AS max_seq
        |FROM placed
        |GROUP BY shard

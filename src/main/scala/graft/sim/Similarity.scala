@@ -55,7 +55,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
   }
@@ -106,7 +106,7 @@ object Similarity {
       .withColumn("sim", round(cosine(col("query_vec"), col("corpus_vec")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
   }

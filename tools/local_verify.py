@@ -70,6 +70,13 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: oracle sql error: {str(e)[:200]}")
             n_fail += 1
             continue
+        # advisory: physical arrow types (driver may or may not compare these)
+        stypes = {f.name: str(f.type) for f in pads.dataset(str(res_dir)).schema}
+        dtypes = {f.name: str(f.type) for f in duck.fetch_arrow_table().schema}
+        tdiff = {c: (stypes.get(c), dtypes.get(c))
+                 for c in set(stypes) | set(dtypes) if stypes.get(c) != dtypes.get(c)}
+        if tdiff:
+            print(f"  [type-diff] {name}: {tdiff}")
         sn, sr = rows_of(spark_tbl.keys(), spark_tbl)
         dn, dr = rows_of(duck_tbl.keys(), duck_tbl)
         if sn != dn:
