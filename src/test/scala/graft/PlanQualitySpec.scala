@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.{EventQueries, Relational}
+
+/** Plan-quality regression guards: these assert the OPTIMIZED plan shape,
+  * not results — a change that silently drops predicate pushdown, column
+  * pruning or broadcast would still return correct rows while becoming
+  * unusable at 100 TB. Failures here mean "the plan regressed", not "the
+  * answer is wrong".
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet scan, schema pruned to referenced columns") {
+    val p = plan(Relational.q1PricingSummary(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double"))
+    assert(!p.contains("l_orderkey"), "q1 must not read unreferenced columns")
+  }
+
+  test("q3: dimension joins broadcast; top-10 plans as TakeOrderedAndProject") {
+    val p = plan(Relational.q3ShippingPriority(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5: five-way star join stays broadcast with a single big-table scan path") {
+    val p = plan(Relational.q5RegionRevenue(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast at this scale")
+  }
+
+  test("asof join plans exactly one shuffle for the window") {
+    val p = plan(EventQueries.asofLastPurchase(spark, sf0001))
+    // one hashpartitioning exchange for the window; the final orderBy adds
+    // a range exchange — but no join-induced shuffles at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "asof must be union+window, not a join")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+distinct") {
+    val semi = plan(Relational.joinSemi(spark, sf0001))
+    val anti = plan(Relational.joinAnti(spark, sf0001))
+    assert(semi.contains("LeftSemi"))
+    assert(anti.contains("LeftAnti"))
+  }
+}
