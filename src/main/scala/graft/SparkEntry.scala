@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, MultimodalQueries, Relational, ScalarQueries, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{EtlParity, EventQueries, MultimodalQueries, Relational, RelationalMore, ScalarQueries, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,7 +48,12 @@ object SparkEntry {
     "sim_lsh_buckets" -> (SimQueries.simLshBuckets _),
     "sharded_log_roundtrip" -> (StreamQueries.shardedLogRoundtrip _),
     "multimodal_decode" -> (MultimodalQueries.multimodalDecode _),
-    "scalar_functions" -> (ScalarQueries.scalarFunctions _)
+    "scalar_functions" -> (ScalarQueries.scalarFunctions _),
+    "q4_priority_check" -> (RelationalMore.q4PriorityCheck _),
+    "q12_priority_classes" -> (RelationalMore.q12PriorityClasses _),
+    "q14_promo_share" -> (RelationalMore.q14PromoShare _),
+    "q18_large_orders" -> (RelationalMore.q18LargeOrders _),
+    "q2_cheapest_part" -> (RelationalMore.q2CheapestPart _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +89,11 @@ object SparkEntry {
     "sim_lsh_buckets" -> SimQueries.simLshBucketsSql,
     "sharded_log_roundtrip" -> StreamQueries.shardedLogRoundtripSql,
     "multimodal_decode" -> MultimodalQueries.multimodalDecodeSql,
-    "scalar_functions" -> ScalarQueries.scalarFunctionsSql
+    "scalar_functions" -> ScalarQueries.scalarFunctionsSql,
+    "q4_priority_check" -> RelationalMore.q4PriorityCheckSql,
+    "q12_priority_classes" -> RelationalMore.q12PriorityClassesSql,
+    "q14_promo_share" -> RelationalMore.q14PromoShareSql,
+    "q18_large_orders" -> RelationalMore.q18LargeOrdersSql,
+    "q2_cheapest_part" -> RelationalMore.q2CheapestPartSql
   )
 }
