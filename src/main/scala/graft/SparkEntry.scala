@@ -46,6 +46,8 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (SimQueries.simTopKBruteForce _),
     "sim_neardup_cosine" -> (SimQueries.simNearDupCosine _),
     "sim_lsh_buckets" -> (SimQueries.simLshBuckets _),
+    "sim_lsh_topk" -> (SimQueries.simLshTopK _),
+    "quality_filter_pipeline" -> (TextQueries.qualityFilterPipeline _),
     "sharded_log_roundtrip" -> (StreamQueries.shardedLogRoundtrip _),
     "multimodal_decode" -> (MultimodalQueries.multimodalDecode _),
     "scalar_functions" -> (ScalarQueries.scalarFunctions _),
@@ -87,6 +89,8 @@ object SparkEntry {
     "sim_topk_bruteforce" -> SimQueries.simTopKBruteForceSql,
     "sim_neardup_cosine" -> SimQueries.simNearDupCosineSql,
     "sim_lsh_buckets" -> SimQueries.simLshBucketsSql,
+    "sim_lsh_topk" -> SimQueries.simLshTopKSql,
+    "quality_filter_pipeline" -> TextQueries.qualityFilterPipelineSql,
     "sharded_log_roundtrip" -> StreamQueries.shardedLogRoundtripSql,
     "multimodal_decode" -> MultimodalQueries.multimodalDecodeSql,
     "scalar_functions" -> ScalarQueries.scalarFunctionsSql,

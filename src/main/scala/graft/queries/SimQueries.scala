@@ -64,6 +64,40 @@ object SimQueries {
       |        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) > 0.3
       |ORDER BY label, id_a, id_b""".stripMargin
 
+  /** Bucketed (IVF-style) approximate top-3: the full ANN scale path —
+    * LSH bucket assignment, bucket-equijoin candidate generation, exact
+    * rank within the bucket — oracle-checked end to end.
+    */
+  def simLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.lshTopK(corpus = emb,
+        queries = emb.filter(col("vec_id") < 20), k = 3,
+        nBits = LshBits, dim = Dim)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simLshTopKSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    round(list_dot_product(q.e, c.e)
+       |          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, corpus_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, corpus_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** LSH bucket histogram (8-bit random-hyperplane signatures): the
     * map-only bucketing step of the ANN scale path, fully oracle-checked.
     */

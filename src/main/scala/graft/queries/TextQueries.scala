@@ -58,6 +58,44 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Training-data filter pipeline: quality score + language gate + length
+    * band, emitting the kept documents — the composition a real corpus
+    * cleaning job runs (filters are all pushable projections; one scan, no
+    * shuffle until the final sort).
+    */
+  def qualityFilterPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .filter(col("quality") > 0.3 && col("n_tokens").between(5, 200) &&
+        col("lang").isin("en", "es", "de", "fr"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val qualityFilterPipelineSql: String = {
+    val en = TextFunctions.langMarkers("en").map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+       |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        x -> list_contains([$en], x))) AS hit_en,
+       |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+       |    length(text) AS n_chars_txt
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  round(0.5 * least(n_tokens / 50.0, 1.0)
+       |      + 0.3 * (hit_en / CAST(n_tokens AS DOUBLE))
+       |      + 0.2 * (n_alpha / CAST(n_chars_txt AS DOUBLE)), 4) AS quality,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM scored
+       |WHERE round(0.5 * least(n_tokens / 50.0, 1.0)
+       |      + 0.3 * (hit_en / CAST(n_tokens AS DOUBLE))
+       |      + 0.2 * (n_alpha / CAST(n_chars_txt AS DOUBLE)), 4) > 0.3
+       |  AND n_tokens BETWEEN 5 AND 200
+       |  AND lang IN ('en','es','de','fr')
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact dedup: normalized-fingerprint groups with canonical id. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(spark, sfDir))
