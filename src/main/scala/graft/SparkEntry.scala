@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlParity, EventQueries, MultimodalQueries, Relational, RelationalMore, ScalarQueries, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, Relational, RelationalMore, ScalarQueries, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,7 +55,11 @@ object SparkEntry {
     "q12_priority_classes" -> (RelationalMore.q12PriorityClasses _),
     "q14_promo_share" -> (RelationalMore.q14PromoShare _),
     "q18_large_orders" -> (RelationalMore.q18LargeOrders _),
-    "q2_cheapest_part" -> (RelationalMore.q2CheapestPart _)
+    "q2_cheapest_part" -> (RelationalMore.q2CheapestPart _),
+    "window_analytics" -> (AnalyticsMore.windowAnalytics _),
+    "agg_cube" -> (AnalyticsMore.aggCube _),
+    "set_ops_all" -> (AnalyticsMore.setOpsAll _),
+    "string_agg" -> (AnalyticsMore.stringAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,6 +102,10 @@ object SparkEntry {
     "q12_priority_classes" -> RelationalMore.q12PriorityClassesSql,
     "q14_promo_share" -> RelationalMore.q14PromoShareSql,
     "q18_large_orders" -> RelationalMore.q18LargeOrdersSql,
-    "q2_cheapest_part" -> RelationalMore.q2CheapestPartSql
+    "q2_cheapest_part" -> RelationalMore.q2CheapestPartSql,
+    "window_analytics" -> AnalyticsMore.windowAnalyticsSql,
+    "agg_cube" -> AnalyticsMore.aggCubeSql,
+    "set_ops_all" -> AnalyticsMore.setOpsAllSql,
+    "string_agg" -> AnalyticsMore.stringAggSql
   )
 }

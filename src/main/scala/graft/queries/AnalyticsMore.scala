@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Remaining analytic-surface coverage: offset/first/ntile window
+  * functions, CUBE grouping sets, multiset (ALL) set operations, and
+  * ordered string aggregation.
+  */
+object AnalyticsMore {
+
+  /** lag/lead/first_value/ntile in one pass over per-customer order
+    * history (fully tiebroken ordering).
+    */
+  def windowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderdate")).over(w).as("first_order_date"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_orderdate) OVER w AS first_order_date,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all four grouping-set levels. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * cardinality (the customer keys of F-status vs urgent orders, with
+    * multiplicity).
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val finished = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    finished.intersectAll(urgent).withColumn("which", lit("intersect_all"))
+      .unionAll(finished.exceptAll(urgent).withColumn("which", lit("except_all")))
+      .groupBy(col("which"), col("o_custkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("which"), col("o_custkey"))
+  }
+
+  val setOpsAllSql: String =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |     u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |combined AS (
+      |  SELECT o_custkey, 'intersect_all' AS which FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM u)
+      |  UNION ALL
+      |  SELECT o_custkey, 'except_all' AS which FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM u))
+      |SELECT which, o_custkey, count(*) AS multiplicity
+      |FROM combined
+      |GROUP BY which, o_custkey
+      |ORDER BY which, o_custkey""".stripMargin
+
+  /** Ordered string aggregation: comma-joined sorted customer names per
+    * segment (array_sort + concat_ws ≡ string_agg ... ORDER BY).
+    */
+  def stringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 50)
+      .groupBy(col("c_mktsegment"))
+      .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  val stringAggSql: String =
+    """SELECT c_mktsegment,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+      |  count(*) AS n
+      |FROM customer
+      |WHERE c_custkey <= 50
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+}
