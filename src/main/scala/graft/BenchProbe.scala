@@ -47,6 +47,32 @@ object BenchProbe {
         .groupBy(col("lang"), col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("inter")).count()
     }
+    time("postings with sz (new)") {
+      docs.repartition(32)
+        .select(col("lang"), col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("lang"), col("id"),
+          array_distinct(transform(Dedup.ngramSetOfTokens(col("toks"), 3),
+            g => xxhash64(g))).as("ngrams"))
+        .select(col("lang"), col("id"), size(col("ngrams")).as("sz"),
+          explode(col("ngrams")).as("g")).count()
+    }
+    time("join+agg with sz (new)") {
+      val p = docs.repartition(32)
+        .select(col("lang"), col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("lang"), col("id"),
+          array_distinct(transform(Dedup.ngramSetOfTokens(col("toks"), 3),
+            g => xxhash64(g))).as("ngrams"))
+        .select(col("lang"), col("id"), size(col("ngrams")).as("sz"),
+          explode(col("ngrams")).as("g"))
+      val pa = p.toDF("lang", "id_a", "sz_a", "g")
+      val pb = p.toDF("lang", "id_b", "sz_b", "g")
+      val joined = pa.join(pb, Seq("lang", "g")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("lang"), col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+      val plan = joined.queryExecution.executedPlan.toString
+      println("  ReusedExchange in plan: " + plan.contains("ReusedExchange"))
+      joined.count()
+    }
     time("full ngramJaccardPairs") {
       Dedup.ngramJaccardPairs(docs, Seq("lang"), n = 3, threshold = 0.2).count()
     }

@@ -34,11 +34,23 @@ object Dedup {
   /** k MinHash signature values: for seed s, min over tokens of
     * md5(s:token). String-min over hex digests ≡ min over the hash ring;
     * identical in any engine with md5.
+    *
+    * Pass a MATERIALIZED token-array column (an attribute, not the
+    * `tokens(text)` expression): higher-order lambdas evaluate interpreted,
+    * and any non-attribute subexpression referenced inside the lambda body
+    * is re-evaluated per element — embedding the regexp split here would
+    * re-tokenize the document k times.
+    */
+  def minhashSignatureOfTokens(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(toks,
+        t => md5(concat(s.cast("string"), lit(":"), t)))))
+
+  /** Convenience wrapper over [[minhashSignatureOfTokens]]; prefer
+    * projecting the token array first on anything bigger than a test row.
     */
   def minhashSignature(text: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(TextFunctions.tokens(text),
-        t => md5(concat(s.cast("string"), lit(":"), t)))))
+    minhashSignatureOfTokens(TextFunctions.tokens(text), k)
 
   /** LSH banding: `bands` buckets, each hashing `rowsPerBand` consecutive
     * signature values. Equal bucket in any band ⇒ candidate pair.
@@ -58,9 +70,20 @@ object Dedup {
     // md5 calls in interpreted higher-order lambdas) is the dominant map
     // cost, and a single-file parquet source arrives as one partition.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sigs = docs.repartition(par).select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), k).as("sig"))
+    // Materialize signatures ONCE (localCheckpoint truncates lineage): the
+    // probe side and the broadcast build side below would otherwise each
+    // recompute the full k·tokens md5 signature pass — the dominant map
+    // cost. Signatures are k×32 B per doc (orders smaller than the text),
+    // so materializing them is the standard two-pass LSH design at scale.
+    // Tokenize BEFORE the repartition: the exchange is then a barrier
+    // between the token projection and the signature projection, so
+    // CollapseProject cannot inline the (single-use) token array back into
+    // the signature lambda — which would re-run the regexp split per seed.
+    val sigs = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(par)
+      .select(col("id"), minhashSignatureOfTokens(col("toks"), k).as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(lshBuckets(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -71,20 +94,22 @@ object Dedup {
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band"), col("bucket"))
-    // Dedup pairs BEFORE scoring (a pair sharing both bands would be
-    // scored twice), and score with plain positional expressions rather
-    // than zip_with/aggregate lambdas — higher-order functions evaluate
-    // interpreted, while element_at comparisons stay in whole-stage
-    // codegen; on millions of candidate pairs that is a ~5× difference.
+    // Score BEFORE the pair-dedup shuffle: a pair sharing both bands is
+    // scored twice (cheap — the positional element_at comparisons stay in
+    // whole-stage codegen; zip_with/aggregate lambdas would run ~5×
+    // slower interpreted), but the dropDuplicates exchange then carries
+    // only (id_a, id_b, double) instead of two full k×32 B signatures —
+    // a ~30× smaller shuffle, which is what dominates on millions of
+    // candidate pairs. The score is deterministic per pair, so duplicate
+    // rows agree and dedup-after-score is exact.
     val matches = (0 until k).map(i =>
       when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
         1L).otherwise(0L)).reduce(_ + _)
     a.join(broadcast(b), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 60-bit SimHash over whitespace tokens: per token take the first 15 hex
@@ -108,11 +133,21 @@ object Dedup {
   /** Hamming distance between two simhash signatures (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Word n-gram sets for exact Jaccard verification. */
-  def ngramSet(text: Column, n: Int): Column =
+  /** Word n-gram sets from a MATERIALIZED token-array column (see
+    * [[minhashSignatureOfTokens]] for why the tokens must be an attribute:
+    * an embedded `tokens(text)` would re-split the document once per gram
+    * position — quadratic in document length).
+    */
+  def ngramSetOfTokens(toks: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(size(TextFunctions.tokens(text)) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(TextFunctions.tokens(text), i, lit(n)))))
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Convenience wrapper over [[ngramSetOfTokens]]; prefer projecting the
+    * token array first on anything bigger than a test row.
+    */
+  def ngramSet(text: Column, n: Int): Column =
+    ngramSetOfTokens(TextFunctions.tokens(text), n)
 
   /** Exact n-gram Jaccard similarity between two n-gram set columns:
     * |A∩B| / |A∪B| — integer-count division, bit-identical everywhere.
@@ -151,28 +186,34 @@ object Dedup {
     // side and single-file sources arrive as one partition.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = docs.repartition(par)
-    val withSet = spread.select(
-      (blockCols.map(col) :+ col(idCol).as("id") :+
-        array_distinct(transform(ngramSet(col(textCol), n), g => xxhash64(g)))
+    // Materialize ONE gram-set array per document (localCheckpoint — the
+    // arrays are ~n_grams×8 B/doc, orders smaller than the text), for two
+    // reasons measured on this corpus: (a) referencing the gram array from
+    // both `size` and `explode` in one projection re-evaluates the whole
+    // interpreted gram construction per reference (6× the stage), and
+    // (b) exchange reuse does NOT fire across the self-join's two renamed
+    // sides, so an unmaterialized plan runs the full map work twice. After
+    // the checkpoint both effects read a stored array instead.
+    val withSet = spread
+      .select((blockCols.map(col) :+ col(idCol).as("id") :+
+        TextFunctions.tokens(col(textCol)).as("toks")): _*)
+      .select((blockCols.map(col) :+ col("id") :+
+        array_distinct(transform(ngramSetOfTokens(col("toks"), n), g => xxhash64(g)))
           .as("ngrams")): _*)
+      .localCheckpoint()
+    // Carry the set size ON the posting rows: |A| and |B| then arrive with
+    // the join, so no separate size-aggregate and no join-back is needed.
     val postings = withSet.select(
-      (blockCols.map(col) :+ col("id") :+ explode(col("ngrams")).as("g")): _*)
-    // Set sizes fall out of the (already distinct) postings — no second
-    // gram-construction pass.
-    val sizes = postings.groupBy((blockCols.map(col) :+ col("id")): _*)
-      .agg(count(lit(1)).as("sz"))
+      (blockCols.map(col) :+ col("id") :+ size(col("ngrams")).as("sz") :+
+        explode(col("ngrams")).as("g")): _*)
     val joinKeys = blockCols :+ "g"
-    val pa = postings.toDF(blockCols ++ Seq("id_a", "g"): _*)
-    val pb = postings.toDF(blockCols ++ Seq("id_b", "g"): _*)
-    val inter = pa.join(pb, joinKeys)
+    val pa = postings.toDF(blockCols ++ Seq("id_a", "sz_a", "g"): _*)
+    val pb = postings.toDF(blockCols ++ Seq("id_b", "sz_b", "g"): _*)
+    pa.join(pb, joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .groupBy((blockCols.map(col) :+ col("id_a") :+ col("id_b")): _*)
+      .groupBy((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        col("sz_a") :+ col("sz_b")): _*)
       .agg(count(lit(1)).as("inter"))
-    val sa = sizes.toDF(blockCols ++ Seq("id_a", "sz_a"): _*)
-    val sb = sizes.toDF(blockCols ++ Seq("id_b", "sz_b"): _*)
-    inter
-      .join(broadcast(sa), blockCols :+ "id_a")
-      .join(broadcast(sb), blockCols :+ "id_b")
       .withColumn("jaccard_sim", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard_sim") > threshold)
