@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, Relational, RelationalMore, ScalarQueries, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, PipelineQueries, Relational, RelationalMore, ScalarQueries, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,7 +59,11 @@ object SparkEntry {
     "window_analytics" -> (AnalyticsMore.windowAnalytics _),
     "agg_cube" -> (AnalyticsMore.aggCube _),
     "set_ops_all" -> (AnalyticsMore.setOpsAll _),
-    "string_agg" -> (AnalyticsMore.stringAgg _)
+    "string_agg" -> (AnalyticsMore.stringAgg _),
+    "split_train_test" -> (PipelineQueries.splitTrainTest _),
+    "stratified_sample" -> (PipelineQueries.stratifiedSample _),
+    "vocab_doc_freq" -> (PipelineQueries.vocabDocFreq _),
+    "corpus_stats" -> (PipelineQueries.corpusStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +110,10 @@ object SparkEntry {
     "window_analytics" -> AnalyticsMore.windowAnalyticsSql,
     "agg_cube" -> AnalyticsMore.aggCubeSql,
     "set_ops_all" -> AnalyticsMore.setOpsAllSql,
-    "string_agg" -> AnalyticsMore.stringAggSql
+    "string_agg" -> AnalyticsMore.stringAggSql,
+    "split_train_test" -> PipelineQueries.splitTrainTestSql,
+    "stratified_sample" -> PipelineQueries.stratifiedSampleSql,
+    "vocab_doc_freq" -> PipelineQueries.vocabDocFreqSql,
+    "corpus_stats" -> PipelineQueries.corpusStatsSql
   )
 }

@@ -26,11 +26,13 @@ object TextFunctions {
 
   /** BPE-ish subword count approximation: alpha runs, digit runs and single
     * punctuation marks each count as one piece (a cheap, deterministic
-    * stand-in for a real tokenizer's piece count).
+    * stand-in for a real tokenizer's piece count). regexp_extract_all with
+    * an alternation — no lookarounds, so the same pattern runs on RE2
+    * engines (the DuckDB oracle) as well as Java regex.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(trim(text)), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
-      t => t =!= "" && t =!= " ")).cast("long")
+    size(regexp_extract_all(lower(trim(text)),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
   /** Language marker stopword lists (tiny, deterministic n-gram-free
     * heuristic — the point is the operator shape, not linguistic accuracy).
