@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Third batch of relational shapes (TPC-H Q10/Q19/Q22 analogs): returned-
+  * item revenue ranking, disjunctive join predicates (OR-of-ANDs, where the
+  * per-side conjuncts must still push below the join), and a scalar-
+  * subquery threshold with NOT EXISTS. Same oracle-parity rules as
+  * [[Relational]] — money in DECIMAL, thresholds in exact arithmetic.
+  */
+object RelationalThird {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+
+  /** Q10-analog: revenue lost to returned items per customer, top 20.
+    * lineitem(filter R)⋈orders(filter year) shuffles on the orderkey;
+    * nation broadcasts; the customer join shuffles on custkey (customer
+    * grows with SF — not a broadcast candidate at scale).
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenue.as("rev"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("decimal(38,4)").as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+      |    AS lost_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Q19-analog: disjunctive brand/size/quantity predicate — an OR of
+    * conjunctions spanning both join sides. Catalyst extracts the
+    * per-relation residuals (p_brand IN (...), l_quantity bounds) below
+    * the join, so each scan still prunes; the full disjunction applies
+    * after the (broadcast) join.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .groupBy(col("p_brand"))
+      .agg(sum(revenue).cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q19DisjunctiveRevenueSql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+      |    AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Q22-analog: market segments of well-funded customers who never
+    * ordered — scalar-subquery threshold (kept in exact decimal×count
+    * arithmetic so both engines compare identically) plus an anti join.
+    */
+  def q22IdleBalances(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val thresh = cust.filter(dec(col("c_acctbal")) > 0)
+      .agg(sum(dec(col("c_acctbal"))).cast("decimal(38,2)").as("total"),
+        count(lit(1)).as("n"))
+    cust
+      .crossJoin(broadcast(thresh))
+      // c_acctbal > avg  ⇔  c_acctbal · n > total, all in exact decimal
+      .filter(dec(col("c_acctbal")) * col("n") > col("total"))
+      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("decimal(38,2)").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22IdleBalancesSql: String =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |      * (SELECT count(*) FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+      |    > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |       FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+}

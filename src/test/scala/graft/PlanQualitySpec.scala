@@ -48,4 +48,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(semi.contains("LeftSemi"))
     assert(anti.contains("LeftAnti"))
   }
+
+  test("q19: per-side residuals of the OR-of-ANDs push below the join") {
+    val p = plan(graft.queries.RelationalThird.q19DisjunctiveRevenue(spark, sf0001))
+    // Catalyst must extract `p_brand IN (...)` / quantity bounds from the
+    // disjunction and push them into each scan — the lineitem scan may not
+    // read rows outside the union of quantity ranges.
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "lineitem residual not pushed:\n" + p)
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "part residual not pushed:\n" + p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q22: threshold broadcasts and the no-orders check stays LeftAnti") {
+    val p = plan(graft.queries.RelationalThird.q22IdleBalances(spark, sf0001))
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row threshold must broadcast, not shuffle")
+  }
 }
