@@ -90,4 +90,24 @@ object StreamingAnalytics {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's click at most `windowSeconds` before it. Both sides carry
+    * watermarks and the join condition bounds the event-time distance, so
+    * the state store retains each side only for watermark + interval —
+    * bounded state, the requirement for an unbounded 100 TB/day stream.
+    * Inner join on (user_id, time interval); append output.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      windowSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "inner")
+      .select(c("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_id"), col("purchase_value"))
+  }
 }

@@ -78,4 +78,33 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       assert(rows.head.getAs[Long]("n_events") == 2L)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes purchases within the window only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingAnalytics.clickAttribution(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      purchases.toDF().toDF("user_id", "purchase_ts", "purchase_value"),
+      windowSeconds = 600, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attribution")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+      // user 1 buys 5 min after the click (inside 10-min window);
+      // user 2 buys 30 min after (outside); user 3 never clicked
+      purchases.addData((1L, ts(5), 9.99), (2L, ts(30), 5.0), (3L, ts(5), 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      clicks.addData((9L, ts(120), 0L))
+      purchases.addData((9L, ts(121), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution").collect()
+        .filter(_.getAs[Long]("user_id") < 9L)
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("user_id") == 1L)
+      assert(rows.head.getAs[Long]("click_id") == 100L)
+      assert(rows.head.getAs[Double]("purchase_value") == 9.99)
+    } finally q.stop()
+  }
 }
