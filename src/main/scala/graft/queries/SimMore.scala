@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.Similarity
+
+/** Vector-pipeline operators beyond search: IVF-style centroid assignment
+  * (the k-means E-step that builds an ANN index's inverted lists) and
+  * L2-normalize + int8 scalar quantization (the compression step of a
+  * vector-store ingest). Deterministic like the rest of the sim surface:
+  * centroids are integer-weight vectors derived from md5 and embedded as
+  * literals in the oracle SQL; all doubles come from identical operands.
+  */
+object SimMore {
+
+  private val K = 8
+  private val Dim = 64
+
+  /** The K fixed centroids (integer components, reproducible). */
+  private def centroids: Array[Array[Long]] =
+    Similarity.hyperplaneWeights(K, Dim)
+
+  /** Per-vector argmax-cosine centroid assignment, aggregated into the
+    * inverted-list histogram (count + smallest member per list). Map-only
+    * over the corpus — K fused-cosine evaluations per row against literal
+    * centroid arrays, no join, no shuffle until the final tiny groupBy.
+    * Ties break to the lowest centroid id via array_position-on-max.
+    */
+  def annCentroidAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val sims: Column = array(centroids.map { c =>
+      val cCol = array(c.map(v => lit(v.toDouble)): _*)
+      round(Similarity.cosine(col("e"), cCol), 6)
+    }: _*)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("sims", sims)
+      .withColumn("centroid_id",
+        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val annCentroidAssignSql: String = {
+    val simTerms = centroids.map { c =>
+      val arr = c.mkString("[", ", ", "]")
+      s"round(list_dot_product(e, CAST($arr AS DOUBLE[])) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(CAST($arr AS DOUBLE[]), CAST($arr AS DOUBLE[])))), 6)"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, $simTerms AS sims FROM v)
+       |SELECT CAST(list_indexof(sims, list_max(sims)) - 1 AS BIGINT) AS centroid_id,
+       |  count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |FROM assigned
+       |GROUP BY 1
+       |ORDER BY centroid_id""".stripMargin
+  }
+
+  /** L2-normalize + int8 scalar quantization: q_i = round(127·e_i/‖e‖).
+    * Map-only compression pass; emits the quantized vector, its norm and
+    * an exact integer checksum. Both engines divide identical doubles and
+    * round half-away-from-zero, so the int8 codes agree exactly.
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      // raw_norm is projected once and referenced twice below — a lambda
+      // embedding the dot-product expression would re-reduce the whole
+      // vector per element (see graft.text.Dedup for the measured cost).
+      .withColumn("raw_norm",
+        sqrt(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)))
+      .select(col("vec_id"), round(col("raw_norm"), 6).as("norm"),
+        transform(col("e"),
+          x => round(lit(127.0) * x / col("raw_norm")).cast("int")).as("q"))
+      .select(col("vec_id"), col("norm"),
+        // joined string rather than a raw list column: the engines' arrow
+        // list types differ only in the inner field NAME, which would trip
+        // schema-level compares; the codes themselves are identical.
+        array_join(col("q"), ",").as("q_codes"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("checksum"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS raw_norm FROM v),
+      |qz AS (SELECT vec_id, round(raw_norm, 6) AS norm,
+      |         [CAST(round(127.0 * x / raw_norm) AS INTEGER) for x in e] AS q
+      |       FROM n)
+      |SELECT vec_id, norm,
+      |  array_to_string(q, ',') AS q_codes,
+      |  CAST(list_sum(q) AS BIGINT) AS checksum
+      |FROM qz
+      |ORDER BY vec_id""".stripMargin
+}
