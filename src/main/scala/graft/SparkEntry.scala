@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, PipelineQueries, Relational, RelationalMore, RelationalThird, ScalarQueries, SimMore, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{AggregatesMore, AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, PipelineQueries, Relational, RelationalMore, RelationalThird, ScalarQueries, SimMore, SimQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,8 @@ object SparkEntry {
     "agg_cube" -> (AnalyticsMore.aggCube _),
     "set_ops_all" -> (AnalyticsMore.setOpsAll _),
     "string_agg" -> (AnalyticsMore.stringAgg _),
+    "agg_extrema" -> (AggregatesMore.aggExtrema _),
+    "unpivot_charges" -> (AggregatesMore.unpivotCharges _),
     "ann_centroid_assign" -> (SimMore.annCentroidAssign _),
     "embed_quantize" -> (SimMore.embedQuantize _),
     "q10_returned_items" -> (RelationalThird.q10ReturnedItems _),
@@ -116,6 +118,8 @@ object SparkEntry {
     "agg_cube" -> AnalyticsMore.aggCubeSql,
     "set_ops_all" -> AnalyticsMore.setOpsAllSql,
     "string_agg" -> AnalyticsMore.stringAggSql,
+    "agg_extrema" -> AggregatesMore.aggExtremaSql,
+    "unpivot_charges" -> AggregatesMore.unpivotChargesSql,
     "ann_centroid_assign" -> SimMore.annCentroidAssignSql,
     "embed_quantize" -> SimMore.embedQuantizeSql,
     "q10_returned_items" -> RelationalThird.q10ReturnedItemsSql,
