@@ -61,6 +61,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("unpivot: melt is a map-side Expand; only the re-aggregation shuffles") {
+    val p = plan(graft.queries.AggregatesMore.unpivotCharges(spark, sf0001))
+    assert(p.contains("Expand"), "unpivot should plan as Expand")
+    // exactly one hash exchange (the groupBy) + the final sort's range
+    // exchange — the melt itself must not repartition
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "melt must not add exchanges:\n" + p)
+  }
+
   test("q22: threshold broadcasts and the no-orders check stays LeftAnti") {
     val p = plan(graft.queries.RelationalThird.q22IdleBalances(spark, sf0001))
     assert(p.contains("LeftAnti"))
