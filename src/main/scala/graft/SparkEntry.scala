@@ -65,6 +65,8 @@ object SparkEntry {
     "ann_centroid_assign" -> (SimMore.annCentroidAssign _),
     "embed_quantize" -> (SimMore.embedQuantize _),
     "q10_returned_items" -> (RelationalThird.q10ReturnedItems _),
+    "q17_small_quantity" -> (RelationalThird.q17SmallQuantity _),
+    "window_range_frame" -> (AnalyticsMore.windowRangeFrame _),
     "q19_disjunctive_revenue" -> (RelationalThird.q19DisjunctiveRevenue _),
     "q22_idle_balances" -> (RelationalThird.q22IdleBalances _),
     "split_train_test" -> (PipelineQueries.splitTrainTest _),
@@ -123,6 +125,8 @@ object SparkEntry {
     "ann_centroid_assign" -> SimMore.annCentroidAssignSql,
     "embed_quantize" -> SimMore.embedQuantizeSql,
     "q10_returned_items" -> RelationalThird.q10ReturnedItemsSql,
+    "q17_small_quantity" -> RelationalThird.q17SmallQuantitySql,
+    "window_range_frame" -> AnalyticsMore.windowRangeFrameSql,
     "q19_disjunctive_revenue" -> RelationalThird.q19DisjunctiveRevenueSql,
     "q22_idle_balances" -> RelationalThird.q22IdleBalancesSql,
     "split_train_test" -> PipelineQueries.splitTrainTestSql,

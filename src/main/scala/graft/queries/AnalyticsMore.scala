@@ -81,6 +81,36 @@ object AnalyticsMore {
       |GROUP BY which, o_custkey
       |ORDER BY which, o_custkey""".stripMargin
 
+  /** Value-based (RANGE) window frame: for each order, the customer's
+    * rolling 30-day order-value total. Spark expresses the interval frame
+    * as rangeBetween on epoch seconds; the oracle as RANGE BETWEEN
+    * INTERVAL. Equal-date peers are all in-frame in both engines (value
+    * frames are tiebreak-free), and the frame sum is an exact decimal.
+    */
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 200)
+      .withColumn("rolling_30d_value",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("decimal(38,2)"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("rolling_30d_value"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(38,2)) AS rolling_30d_value
+      |FROM orders
+      |WHERE o_custkey <= 200
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   /** Ordered string aggregation: comma-joined sorted customer names per
     * segment (array_sort + concat_ws ≡ string_agg ... ORDER BY).
     */

@@ -118,6 +118,44 @@ object RelationalThird {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q17-analog: small-quantity lines — lines below 20% of their part's
+    * average quantity, summed per brand. The per-part average stays in
+    * exact arithmetic until one final double division of identical
+    * operands (sums of integral quantities are exact doubles), so both
+    * engines compare against the bit-identical threshold. The stats
+    * aggregate shuffles on partkey; part broadcasts.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("s_partkey"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+    Tables.lineitem(spark, sfDir)
+      .join(stats, col("l_partkey") === col("s_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("sq") / col("cq"))
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(38,2)")
+        .as("small_qty_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q17SmallQuantitySql: String =
+    """WITH stats AS (
+      |  SELECT l_partkey AS s_partkey, sum(l_quantity) AS sq, count(*) AS cq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |    AS small_qty_price,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN stats ON l_partkey = s_partkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < CAST(0.2 AS DOUBLE) * sq / cq
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val q22IdleBalancesSql: String =
     """SELECT c_mktsegment, count(*) AS numcust,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
