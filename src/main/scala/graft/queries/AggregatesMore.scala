@@ -65,7 +65,7 @@ object AggregatesMore {
         Array(col("price"), col("discount"), col("tax")),
         "measure", "amount")
       .groupBy(col("l_returnflag"), col("measure"))
-      .agg(sum(col("amount")).cast("decimal(38,2)").as("total"),
+      .agg(sum(col("amount")).cast("double").as("total"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("measure"))
 
@@ -80,7 +80,7 @@ object AggregatesMore {
       |  SELECT l_returnflag, measure, amount
       |  FROM wide UNPIVOT (amount FOR measure IN (price, discount, tax)))
       |SELECT l_returnflag, measure,
-      |  CAST(sum(amount) AS DECIMAL(38,2)) AS total, count(*) AS n
+      |  CAST(sum(amount) AS DOUBLE) AS total, count(*) AS n
       |FROM long
       |GROUP BY l_returnflag, measure
       |ORDER BY l_returnflag, measure""".stripMargin

@@ -44,12 +44,12 @@ object AnalyticsMore {
     Tables.lineitem(spark, sfDir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -95,7 +95,7 @@ object AnalyticsMore {
       .filter(col("o_custkey") <= 200)
       .withColumn("rolling_30d_value",
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-          .cast("decimal(38,2)"))
+          .cast("double"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("rolling_30d_value"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
@@ -106,7 +106,7 @@ object AnalyticsMore {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate
       |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
-      |    AS DECIMAL(38,2)) AS rolling_30d_value
+      |    AS DOUBLE) AS rolling_30d_value
       |FROM orders
       |WHERE o_custkey <= 200
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin

@@ -22,12 +22,12 @@ object EventQueries {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(decv).cast("decimal(38,2)").as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(decv).cast("double").as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
 
   val hourlyRollupSql: String =
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
-      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
@@ -39,16 +39,16 @@ object EventQueries {
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(sum(decv).cast("decimal(38,2)"))
+      .agg(sum(decv).cast("double"))
       .orderBy(col("user_id"))
 
   val pivotPerUserSql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS click,
-      |  sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS signup,
-      |  sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
@@ -56,31 +56,41 @@ object EventQueries {
   /** As-of join: each click/view event picks up the most recent prior (or
     * simultaneous) purchase by the same user. Exercises
     * [[graft.operators.AsOfJoin]]; oracled by DuckDB's native ASOF JOIN.
+    *
+    * The right side is pre-deduplicated to ONE row per (user_id, ts)
+    * (highest purchase_id wins) in BOTH engines: DuckDB's ASOF JOIN leaves
+    * the choice among equal right-side timestamps unspecified, so the tie
+    * must never reach the join. matched_value rounds money through decimal
+    * but emits DOUBLE (gate rule — see [[Relational]]).
     */
   def asofLastPurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val probes = ev.filter(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
-        col("value").as("purchase_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"),
+        max_by(col("value"), col("event_id")).as("purchase_value"))
     AsOfJoin.backward(probes, purchases, key = "user_id", ts = "ts",
       rightCols = Seq("purchase_id", "purchase_value"),
       tiebreak = Seq("purchase_id"))
       .select(col("event_id"), col("user_id"),
         col("matched_purchase_id"),
-        col("matched_purchase_value").cast("decimal(18,2)").as("matched_value"))
+        col("matched_purchase_value").cast("decimal(18,2)").cast("double")
+          .as("matched_value"))
       .orderBy(col("event_id"))
   }
 
   val asofLastPurchaseSql: String =
     """SELECT e.event_id, e.user_id,
       |  p.purchase_id AS matched_purchase_id,
-      |  CAST(p.purchase_value AS DECIMAL(18,2)) AS matched_value
+      |  CAST(CAST(p.purchase_value AS DECIMAL(18,2)) AS DOUBLE) AS matched_value
       |FROM (SELECT event_id, user_id, ts, value FROM events
       |      WHERE event_type IN ('click','view')) e
-      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
-      |                FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS purchase_id,
+      |                  max_by(value, event_id) AS purchase_value
+      |                FROM events WHERE event_type = 'purchase'
+      |                GROUP BY user_id, ts) p
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
@@ -105,7 +115,7 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        sum(decv).cast("decimal(38,2)").as("session_value"))
+        sum(decv).cast("double").as("session_value"))
       .orderBy(col("user_id"), col("session_idx"))
   }
 
@@ -124,7 +134,7 @@ object EventQueries {
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
       |  min(CAST(ts AS TIMESTAMP)) AS session_start,
       |  max(CAST(ts AS TIMESTAMP)) AS session_end,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM numbered
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin

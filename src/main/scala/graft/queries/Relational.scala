@@ -24,6 +24,17 @@ object Relational {
   /** Cast a stored double money column to exact decimal before arithmetic. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Final-emit conversion for decimal aggregates. The arithmetic stays in
+    * DECIMAL (exact, order-independent), but gated outputs must not carry a
+    * decimal column: the driver's hash renders values through float repr, so
+    * any decimal whose exact-scale string has a trailing zero ('190.00')
+    * mismatches the oracle. decimal→double of the identical exact value is
+    * bit-identical in Spark and DuckDB, so emitting DOUBLE is lossless for
+    * the comparison. DO NOT move the arithmetic itself to double — reduction
+    * order would diverge between engines at 600k rows.
+    */
+  private def emit(c: Column): Column = c.cast("double")
+
   /** TPC-H Q1-style pricing summary: the flagship scan+aggregate.
     * Single shuffle on (l_returnflag, l_linestatus) with map-side partial
     * aggregation; scan reads only the 7 referenced columns.
@@ -33,18 +44,18 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        emit(sum(dec(col("l_quantity")))).as("sum_qty"),
+        emit(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        emit(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))))
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1PricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,14 +80,14 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(revenue).as("revenue"))
+      .agg(emit(sum(revenue)).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3ShippingPrioritySql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -105,13 +116,13 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(revenue).as("revenue"))
+      .agg(emit(sum(revenue)).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5RegionRevenueSql: String =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -172,13 +183,13 @@ object Relational {
       .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("total_spend"))
+        emit(coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)")))
+          .as("total_spend"))
       .orderBy(col("c_custkey"))
 
   val joinOuterCountsSql: String =
     """SELECT c_custkey, count(o_orderkey) AS n_orders,
-      |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS total_spend
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin
@@ -217,7 +228,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
       .filter(col("l_suppkey") <= 5)
-      .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("decimal(38,2)"))
+      .withColumn("running_qty", emit(sum(dec(col("l_quantity"))).over(w)))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("running_qty"))
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -225,10 +236,10 @@ object Relational {
 
   val windowRunningSumSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem
       |WHERE l_suppkey <= 5
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
@@ -298,12 +309,12 @@ object Relational {
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"), count(lit(1)).as("n"))
+      .agg(emit(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin

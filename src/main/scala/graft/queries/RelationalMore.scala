@@ -74,10 +74,13 @@ object RelationalMore {
       .groupBy(col("l_returnflag"))
       .agg(
         sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast("decimal(18,2)")))
-          .cast("decimal(38,4)").as("promo_revenue"),
-        sum(revenue).cast("decimal(38,4)").as("total_revenue"))
-      .withColumn("promo_share",
-        round(col("promo_revenue").cast("double") / col("total_revenue").cast("double"), 6))
+          .as("__promo_dec"),
+        sum(revenue).as("__total_dec"))
+      .select(col("l_returnflag"),
+        col("__promo_dec").cast("double").as("promo_revenue"),
+        col("__total_dec").cast("double").as("total_revenue"),
+        round(col("__promo_dec").cast("double") / col("__total_dec").cast("double"), 6)
+          .as("promo_share"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -85,8 +88,8 @@ object RelationalMore {
     """SELECT l_returnflag,
       |  CAST(sum(CASE WHEN p_type = 'PROMO'
       |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS promo_revenue,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue,
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
       |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
       |           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
       |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -101,13 +104,14 @@ object RelationalMore {
   def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val big = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("total_qty"))
-      .filter(col("total_qty") > 150)
+      .agg(sum(dec(col("l_quantity"))).as("__qty_dec"))
+      .filter(col("__qty_dec") > 150)
     Tables.orders(spark, sfDir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.customer(spark, sfDir)),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("__qty_dec").cast("double").as("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(100)
   }
@@ -115,9 +119,9 @@ object RelationalMore {
   val q18LargeOrdersSql: String =
     """SELECT c_name, o_orderkey, o_totalprice, total_qty
       |FROM orders
-      |JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+      |JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |      FROM lineitem GROUP BY l_orderkey
-      |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 150) b
+      |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) b
       |  ON o_orderkey = b.l_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey

@@ -36,7 +36,7 @@ object RelationalThird {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(sum(col("rev")).cast("decimal(38,4)").as("lost_revenue"))
+      .agg(sum(col("rev")).cast("double").as("lost_revenue"))
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -44,7 +44,7 @@ object RelationalThird {
   val q10ReturnedItemsSql: String =
     """SELECT c_custkey, c_name, n_name,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
       |    AS lost_revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -76,7 +76,7 @@ object RelationalThird {
         col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .groupBy(col("p_brand"))
-      .agg(sum(revenue).cast("decimal(38,4)").as("revenue"),
+      .agg(sum(revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
   }
@@ -84,7 +84,7 @@ object RelationalThird {
   val q19DisjunctiveRevenueSql: String =
     """SELECT p_brand,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
       |    AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -114,7 +114,7 @@ object RelationalThird {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"),
-        sum(dec(col("c_acctbal"))).cast("decimal(38,2)").as("totacctbal"))
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -135,7 +135,7 @@ object RelationalThird {
       .join(broadcast(Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(38,2)")
+      .agg(sum(dec(col("l_extendedprice"))).cast("double")
         .as("small_qty_price"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
@@ -146,7 +146,7 @@ object RelationalThird {
       |  SELECT l_partkey AS s_partkey, sum(l_quantity) AS sq, count(*) AS cq
       |  FROM lineitem GROUP BY 1)
       |SELECT p_brand,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS small_qty_price,
       |  count(*) AS n_lines
       |FROM lineitem
@@ -158,7 +158,7 @@ object RelationalThird {
 
   val q22IdleBalancesSql: String =
     """SELECT c_mktsegment, count(*) AS numcust,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
       |FROM customer
       |WHERE CAST(c_acctbal AS DECIMAL(18,2))
       |      * (SELECT count(*) FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)

@@ -34,7 +34,10 @@ object ScalarQueries {
         abs(col("o_orderkey") - 1000).as("key_dist"),
         floor(col("o_totalprice")).cast("long").as("price_floor"),
         ceil(col("o_totalprice")).cast("long").as("price_ceil"),
-        round(col("o_totalprice").cast("decimal(18,2)"), 0).cast("decimal(18,0)").as("price_round"),
+        // round half-away-from-zero in exact decimal, emitted as BIGINT
+        // (gate rule: never emit a decimal column — driver hash renders
+        // decimals via float repr)
+        round(col("o_totalprice").cast("decimal(18,2)"), 0).cast("long").as("price_round"),
         // conditional
         when(col("o_orderstatus") === "F", lit("finished"))
           .when(col("o_orderstatus") === "O", lit("open"))
@@ -59,7 +62,7 @@ object ScalarQueries {
       |  abs(o_orderkey - 1000) AS key_dist,
       |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
       |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
-      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DECIMAL(18,0)) AS price_round,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT) AS price_round,
       |  CASE o_orderstatus WHEN 'F' THEN 'finished'
       |                     WHEN 'O' THEN 'open'
       |                     ELSE 'partial' END AS status_word,

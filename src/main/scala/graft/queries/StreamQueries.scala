@@ -19,10 +19,20 @@ object StreamQueries {
   /** Write events through the keyed writer into a fresh sharded-log
     * stream, read it back through the DSv2 batch scan, and aggregate
     * per-shard record counts, distinct keys and payload bytes.
+    *
+    * The stream lives in ONE stable per-JVM temp location that is wiped and
+    * recreated on each invocation — repeated Bench/Verify runs must not
+    * accumulate temp directories.
     */
   def shardedLogRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val streamDir = Files.createTempDirectory("graft-roundtrip")
-      .resolve("stream").toString
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-roundtrip")
+    if (Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    val streamDir = base.resolve("stream").toString
     ShardedLog.createStream(streamDir, NumShards)
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id").cast("string").as("key"),
@@ -41,7 +51,10 @@ object StreamQueries {
   }
 
   /** DuckDB recomputes shard placement with the identical md5 range-split:
-    * shard = (first-60-bits-of-md5(key) * N) >> 60.
+    * shard = (first-60-bits-of-md5(key) * N) >> 60. `strlen` is DuckDB's
+    * BYTE length (≡ Spark `length` on BINARY after the UTF-8 cast) — plain
+    * `length(VARCHAR)` counts characters and would diverge on non-ASCII
+    * payloads.
     */
   val shardedLogRoundtripSql: String =
     s"""WITH placed AS (
@@ -53,7 +66,7 @@ object StreamQueries {
        |  FROM events)
        |SELECT shard, count(*) AS n_records,
        |  count(DISTINCT key) AS n_keys,
-       |  CAST(sum(length(props)) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(strlen(props)) AS BIGINT) AS payload_bytes,
        |  count(*) - 1 AS max_seq
        |FROM placed
        |GROUP BY shard
