@@ -22,5 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "cosine_sim(arrayA, arrayB) takes 2 arguments")
         CosineSimilarity(exprs(0), exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "minhash_sig(tokens, k) takes 2 arguments")
+        MinHashSignature(exprs(0), exprs(1))
+      }))
   }
 }

@@ -33,18 +33,19 @@ object Dedup {
 
   /** k MinHash signature values: for seed s, min over tokens of
     * md5(s:token). String-min over hex digests ≡ min over the hash ring;
-    * identical in any engine with md5.
+    * identical in any engine with md5 — the DuckDB oracle replays the same
+    * definition in SQL.
     *
-    * Pass a MATERIALIZED token-array column (an attribute, not the
-    * `tokens(text)` expression): higher-order lambdas evaluate interpreted,
-    * and any non-attribute subexpression referenced inside the lambda body
-    * is re-evaluated per element — embedding the regexp split here would
-    * re-tokenize the document k times.
+    * Computed by the codegen'd [[graft.functions.MinHashSignature]]
+    * expression (one compiled loop per document) rather than the
+    * higher-order-function composition, which evaluates interpreted and was
+    * the dominant cost of the whole dedup path.
     */
-  def minhashSignatureOfTokens(toks: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(toks,
-        t => md5(concat(s.cast("string"), lit(":"), t)))))
+  def minhashSignatureOfTokens(toks: Column, k: Int): Column = {
+    graft.functions.MinHashSignature.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_sig", toks, lit(k))
+  }
 
   /** Convenience wrapper over [[minhashSignatureOfTokens]]; prefer
     * projecting the token array first on anything bigger than a test row.
@@ -67,18 +68,18 @@ object Dedup {
       idCol: String = "doc_id", k: Int = 16, bands: Int = 2): DataFrame = {
     val rowsPerBand = k / bands
     // Spread BEFORE signature computation: the per-doc minhash (k·tokens
-    // md5 calls in interpreted higher-order lambdas) is the dominant map
-    // cost, and a single-file parquet source arrives as one partition.
+    // md5 calls) is the dominant map cost, and a single-file parquet
+    // source arrives as one partition.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // Materialize signatures ONCE (localCheckpoint truncates lineage): the
-    // probe side and the broadcast build side below would otherwise each
-    // recompute the full k·tokens md5 signature pass — the dominant map
-    // cost. Signatures are k×32 B per doc (orders smaller than the text),
-    // so materializing them is the standard two-pass LSH design at scale.
-    // Tokenize BEFORE the repartition: the exchange is then a barrier
+    // self-join's two sides below would otherwise each recompute the full
+    // k·tokens md5 signature pass (exchange reuse does not fire across the
+    // renamed sides). Signatures are k×32 B per doc (orders smaller than
+    // the text), so materializing them is the standard two-pass LSH design
+    // at scale. Tokenize BEFORE the repartition: the exchange is a barrier
     // between the token projection and the signature projection, so
     // CollapseProject cannot inline the (single-use) token array back into
-    // the signature lambda — which would re-run the regexp split per seed.
+    // the signature expression — which would re-run the regexp split.
     val sigs = docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(par)
@@ -87,9 +88,13 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(lshBuckets(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
-    // Probe side stays spread (inherited from the repartition above);
-    // the build side is broadcast, so probe partition count is the only
-    // parallelism for the quadratic per-bucket pair generation.
+    // The candidate join is a plain shuffle join on (band, bucket) — NO
+    // broadcast hint: the banded relation is the whole corpus, so a
+    // broadcast build side would be a scale-killer at 100 TB (build side =
+    // entire dataset). Shuffling co-locates equal buckets on both sides;
+    // AQE may still elect a broadcast at toy scale factors where the
+    // corpus genuinely fits, which is the correct adaptive behavior. Hot
+    // buckets (stop-gram-like bucket skew) are AQE skew-join territory.
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -105,7 +110,7 @@ object Dedup {
     val matches = (0 until k).map(i =>
       when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1),
         1L).otherwise(0L)).reduce(_ + _)
-    a.join(broadcast(b), Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))

@@ -70,6 +70,30 @@ class PlanQualitySpec extends SparkTestBase {
       "melt must not add exchanges:\n" + p)
   }
 
+  test("minhash LSH: candidate join must not broadcast the banded corpus") {
+    // The banded relation IS the corpus — a broadcast build side OOMs at
+    // scale, so there must be no broadcast() HINT forcing one. With the
+    // size-based auto-broadcast disabled (at real scale the corpus never
+    // fits under the threshold anyway), the plan must be a shuffle join on
+    // (band, bucket). At toy scale with the threshold on, Catalyst/AQE may
+    // still elect a broadcast from size evidence — that is adaptive and
+    // fine, which is why the threshold is pinned off for the guard.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val df = graft.text.Dedup.minhashCandidates(docs)
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), "pair join degenerated:\n" + p)
+      assert(!p.contains("BroadcastHashJoin"),
+        "a broadcast hint forces the banded corpus to broadcast:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "candidate join must shuffle on (band, bucket):\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("q22: threshold broadcasts and the no-orders check stays LeftAnti") {
     val p = plan(graft.queries.RelationalThird.q22IdleBalances(spark, sf0001))
     assert(p.contains("LeftAnti"))
