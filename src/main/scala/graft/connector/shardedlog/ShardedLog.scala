@@ -76,30 +76,44 @@ object ShardedLog {
       match { case first => (shard, first) }
   }
 
+  /** Per-path intra-JVM monitors: `FileChannel.lock()` only serializes
+    * across PROCESSES — within one JVM an overlapping lock attempt throws
+    * OverlappingFileLockException instead of blocking, so two local-mode
+    * writer tasks hitting the same shard would crash rather than queue.
+    * The monitor serializes same-JVM writers; the channel lock then
+    * serializes cross-process ones.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Append a batch of records to ONE shard; returns the first assigned
-    * sequence number. Locks the shard file so concurrent writers (tasks or
-    * processes) cannot interleave half-lines or duplicate sequence numbers.
+    * sequence number. Thread-safe in-JVM (per-path monitor) and
+    * cross-process (file lock): concurrent writers cannot interleave
+    * half-lines or duplicate sequence numbers.
     */
   def appendLines(streamDir: String, shard: String,
       records: Seq[(String, Array[Byte], Long)]): Long = {
     val file = new File(streamDir, shard)
-    val raf = new RandomAccessFile(file, "rw")
-    val lock = raf.getChannel.lock()
-    try {
-      val firstSeq = countLines(file)
-      raf.seek(raf.length())
-      val sb = new StringBuilder
-      records.zipWithIndex.foreach { case ((key, data, arrival), i) =>
-        sb.append(firstSeq + i).append('\t')
-          .append(arrival).append('\t')
-          .append(Base64.getEncoder.encodeToString(key.getBytes(UTF_8))).append('\t')
-          .append(Base64.getEncoder.encodeToString(data)).append('\n')
+    val monitor = jvmLocks.computeIfAbsent(file.getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+      val raf = new RandomAccessFile(file, "rw")
+      val lock = raf.getChannel.lock()
+      try {
+        val firstSeq = countLines(file)
+        raf.seek(raf.length())
+        val sb = new StringBuilder
+        records.zipWithIndex.foreach { case ((key, data, arrival), i) =>
+          sb.append(firstSeq + i).append('\t')
+            .append(arrival).append('\t')
+            .append(Base64.getEncoder.encodeToString(key.getBytes(UTF_8))).append('\t')
+            .append(Base64.getEncoder.encodeToString(data)).append('\n')
+        }
+        raf.write(sb.toString.getBytes(UTF_8))
+        firstSeq
+      } finally {
+        lock.release()
+        raf.close()
       }
-      raf.write(sb.toString.getBytes(UTF_8))
-      firstSeq
-    } finally {
-      lock.release()
-      raf.close()
     }
   }
 
@@ -125,33 +139,51 @@ object ShardedLog {
       s -> countLines(new File(streamDir, s))
     }.toMap
 
-  /** Read records of one shard in [startSeq, endSeq). */
+  /** Read records of one shard in [startSeq, endSeq). The underlying
+    * `Files.lines` stream is closed when the iterator is exhausted (the
+    * streaming source calls this per shard per micro-batch — relying on GC
+    * to release the handle would leak file descriptors on 2 s triggers).
+    */
   def read(streamDir: String, shard: String, startSeq: Long,
       endSeq: Long): Iterator[Record] = {
     val path = Paths.get(streamDir, shard)
     if (!Files.exists(path)) return Iterator.empty
-    Files.lines(path, UTF_8).iterator().asScala
+    val stream = Files.lines(path, UTF_8)
+    val base = stream.iterator().asScala
       .drop(startSeq.toInt).take((endSeq - startSeq).toInt)
-      .map { line =>
-        val parts = line.split("\t", 4)
+    new Iterator[Record] {
+      private var open = true
+      private def closeOnce(): Unit = if (open) { open = false; stream.close() }
+      override def hasNext: Boolean = {
+        val h = open && base.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      override def next(): Record = {
+        if (!hasNext) throw new NoSuchElementException(s"$shard exhausted")
+        val parts = base.next().split("\t", 4)
         Record(shard, parts(0).toLong, parts(1).toLong,
           new String(Base64.getDecoder.decode(parts(2)), UTF_8),
           Base64.getDecoder.decode(parts(3)))
       }
+    }
   }
 
   /** First sequence at-or-after a timestamp (≙ AT_TIMESTAMP iterator). */
   def seqAtTimestamp(streamDir: String, shard: String, millis: Long): Long = {
     val path = Paths.get(streamDir, shard)
     if (!Files.exists(path)) return 0L
-    val it = Files.lines(path, UTF_8).iterator().asScala
-    var seq = 0L
-    var found = -1L
-    while (it.hasNext && found < 0) {
-      val parts = it.next().split("\t", 3)
-      if (parts(1).toLong >= millis) found = seq
-      seq += 1
-    }
-    if (found < 0) seq else found
+    val stream = Files.lines(path, UTF_8)
+    try {
+      val it = stream.iterator().asScala
+      var seq = 0L
+      var found = -1L
+      while (it.hasNext && found < 0) {
+        val parts = it.next().split("\t", 3)
+        if (parts(1).toLong >= millis) found = seq
+        seq += 1
+      }
+      if (found < 0) seq else found
+    } finally stream.close()
   }
 }

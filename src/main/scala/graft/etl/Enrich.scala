@@ -21,13 +21,24 @@ import org.apache.spark.sql.functions._
 object Enrich {
 
   /** `item.quantity` coerced like Python's `int(...)`: integral strings and
-    * ints pass, anything else (null / missing / non-numeric) is null — the
+    * ints pass directly; numeric floats truncate toward zero (Python
+    * `int(2.5)` == 2, `int(-2.5)` == -2 — double→long cast truncation, NOT
+    * floor); anything else (null / missing / non-numeric) is null — the
     * validity predicate in [[SessionEtl]] routes such records to the
     * dead-letter channel, mirroring the reference's raise-log-skip
     * (consumer.py:178-185).
+    *
+    * Known divergence, by construction: `quantity` parses as StringType
+    * (see [[SessionSchemas.browseItem]]), so a JSON number `2.5` and a JSON
+    * string `"2.5"` are indistinguishable here. The reference accepts the
+    * former (`int(2.5)`) and raises on the latter (`int("2.5")`); we accept
+    * BOTH — lenient in the direction that never drops a record the
+    * reference would keep.
     */
-  private def qty(item: Column): Column =
-    item.getField("quantity").try_cast("long")
+  private[etl] def qty(item: Column): Column = {
+    val q = item.getField("quantity")
+    coalesce(q.try_cast("long"), q.try_cast("double").try_cast("long"))
+  }
 
   /** P2: sum of quantities over the whole browse_history. */
   def overallProductQuantity(browseHistory: Column): Column =

@@ -51,8 +51,9 @@ object SessionEtl {
     *  - missing session_id (PutRecord PartitionKey lookup, consumer.py:170)
     *  - missing country (routing lookup, consumer.py:161)
     *  - missing browse_history (iteration, consumer.py:135)
-    *  - any item whose quantity is not int-coercible (int(...) raises,
-    *    consumer.py:137)
+    *  - any item whose quantity is not numeric (int(...) raises,
+    *    consumer.py:137; floats truncate — see [[Enrich.qty]] for the
+    *    lenient string-vs-number divergence note)
     * A null `in_shopping_cart` is VALID and simply not counted (Python
     * `None is True` is False, it does not raise — consumer.py:142).
     *
@@ -68,7 +69,7 @@ object SessionEtl {
       parsed.getField("session_id").isNotNull &&
       parsed.getField("country").isNotNull &&
       bh.isNotNull &&
-      forall(bh, x => x.getField("quantity").try_cast("long").isNotNull)
+      forall(bh, x => Enrich.qty(x).isNotNull)
   }
 
   /** S5: output wire format. The reference mutates the decoded dict in place

@@ -112,6 +112,18 @@ class SessionEtlSpec extends SparkTestBase {
     assert(out.deadLetter.collect().head.getAs[String]("error") == "bad_quantity")
   }
 
+  test("float quantity truncates toward zero like Python int() (consumer.py:137)") {
+    // JSON number 2.5: reference's int(2.5) == 2. (A quoted "2.5" is
+    // indistinguishable after the StringType parse and is accepted too —
+    // documented divergence in Enrich.qty.)
+    val j = canonical.replace("\"quantity\": 2,", "\"quantity\": 2.5,")
+    val out = run(j)
+    assert(out.deadLetter.count() == 0)
+    // canonical sums to 2 + 1 = 3; int(2.5) == 2 keeps it 3
+    assert(out.enriched.collect().head
+      .getAs[Long]("overall_product_quantity") == 3L)
+  }
+
   test("null in_shopping_cart is valid and not counted (None is True → False)") {
     val j = canonical.replace("\"in_shopping_cart\": true", "\"in_shopping_cart\": null")
     val r = run(j).enriched.collect().head
