@@ -33,15 +33,144 @@ object ShardedLog {
   final case class Record(shard: String, sequenceNumber: Long,
       arrivalMillis: Long, partitionKey: String, data: Array[Byte])
 
+  /** Lineage + hash-range metadata for one shard (Kinesis DescribeStream
+    * analog, README.md:57-69 of the reference). `start`/`endEx` bound the
+    * shard's slice of the 60-bit md5 hash space; `parents` is non-empty for
+    * shards created by split/merge; a closed shard (`open == false`) takes
+    * no further writes and its end offset is final.
+    */
+  final case class ShardInfo(name: String, start: Long, endEx: Long,
+      parents: Seq[String], open: Boolean)
+
+  /** Size of the hash space: first 60 bits of md5. */
+  val HashSpace: Long = 1L << 60
+
+  private val MetaFile = "shards.json"
+
   def shardName(i: Int): String = f"shard-$i%05d"
 
-  /** S8 "DDL": create the stream directory with N shard files. */
+  /** S8 "DDL": create the stream directory with N shard files and the
+    * lineage metadata (even hash-range split, no parents, all open).
+    */
   def createStream(streamDir: String, shardCount: Int): Unit = {
     val dir = new File(streamDir)
     dir.mkdirs()
     (0 until shardCount).foreach { i =>
       new File(dir, shardName(i)).createNewFile()
     }
+    writeMeta(streamDir, evenMeta((0 until shardCount).map(shardName)))
+  }
+
+  /** Even hash-range split over the given shard names: shard i covers
+    * exactly the keys where `(hash60 * N) >> 60 == i` (the [[shardFor]]
+    * arithmetic), i.e. [ceil(i·2⁶⁰/N), ceil((i+1)·2⁶⁰/N)).
+    */
+  private def evenMeta(names: Seq[String]): Seq[ShardInfo] = {
+    val n = names.size
+    def bound(i: Int): Long =
+      ((BigInt(i) * HashSpace + n - 1) / n).toLong
+    names.zipWithIndex.map { case (name, i) =>
+      ShardInfo(name, bound(i), bound(i + 1), Nil, open = true)
+    }
+  }
+
+  /** Shard metadata; streams created before lineage support (no
+    * shards.json) derive the even split with no parents.
+    */
+  def shardMeta(streamDir: String): Seq[ShardInfo] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val f = new File(streamDir, MetaFile)
+    if (f.exists()) {
+      org.json4s.jackson.JsonMethods
+        .parse(new String(Files.readAllBytes(f.toPath), UTF_8))
+        .extract[Seq[ShardInfo]]
+    } else evenMeta(listShards(streamDir))
+  }
+
+  private def writeMeta(streamDir: String, meta: Seq[ShardInfo]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val tmp = Paths.get(streamDir, MetaFile + ".tmp")
+    Files.write(tmp,
+      org.json4s.jackson.Serialization.write(meta).getBytes(UTF_8))
+    Files.move(tmp, Paths.get(streamDir, MetaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def metaMonitor(streamDir: String): Object =
+    jvmLocks.computeIfAbsent(
+      new File(streamDir, MetaFile).getCanonicalPath, _ => new Object)
+
+  private def nextShardIndex(meta: Seq[ShardInfo]): Int =
+    meta.map(si => si.name.stripPrefix("shard-").toInt).max + 1
+
+  /** SplitShard: close `shard` and hand each half of its hash range to a
+    * new child. Like Kinesis, the parent stops accepting writes and
+    * remains readable; consumers must exhaust it before reading the
+    * children (enforced by the streaming source's offset holdback).
+    */
+  def splitShard(streamDir: String, shard: String): (String, String) =
+    metaMonitor(streamDir).synchronized {
+      val meta = shardMeta(streamDir)
+      val info = meta.find(_.name == shard)
+        .getOrElse(throw new IllegalArgumentException(s"no shard $shard"))
+      require(info.open, s"$shard is closed")
+      require(info.endEx - info.start >= 2, s"$shard range too small to split")
+      val mid = info.start + (info.endEx - info.start) / 2
+      val i = nextShardIndex(meta)
+      val left = ShardInfo(shardName(i), info.start, mid, Seq(shard), open = true)
+      val right = ShardInfo(shardName(i + 1), mid, info.endEx, Seq(shard), open = true)
+      new File(streamDir, left.name).createNewFile()
+      new File(streamDir, right.name).createNewFile()
+      writeMeta(streamDir,
+        meta.map(si => if (si.name == shard) si.copy(open = false) else si)
+          ++ Seq(left, right))
+      (left.name, right.name)
+    }
+
+  /** MergeShards: close two ADJACENT shards and hand their combined hash
+    * range to one new child (Kinesis requires adjacency too). The child is
+    * readable only after BOTH parents are exhausted.
+    */
+  def mergeShards(streamDir: String, a: String, b: String): String =
+    metaMonitor(streamDir).synchronized {
+      val meta = shardMeta(streamDir)
+      val ia = meta.find(_.name == a).getOrElse(
+        throw new IllegalArgumentException(s"no shard $a"))
+      val ib = meta.find(_.name == b).getOrElse(
+        throw new IllegalArgumentException(s"no shard $b"))
+      require(ia.open && ib.open, "both merge parents must be open")
+      require(ia.endEx == ib.start || ib.endEx == ia.start,
+        s"$a and $b are not adjacent in the hash space")
+      val child = ShardInfo(shardName(nextShardIndex(meta)),
+        math.min(ia.start, ib.start), math.max(ia.endEx, ib.endEx),
+        Seq(a, b), open = true)
+      new File(streamDir, child.name).createNewFile()
+      writeMeta(streamDir,
+        meta.map(si => if (si.name == a || si.name == b) si.copy(open = false)
+          else si) :+ child)
+      child.name
+    }
+
+  /** First 60 bits of md5(key) — the hash-range coordinate. */
+  def hash60(key: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes(UTF_8)).take(8)
+      .map("%02x".format(_)).mkString.take(15)
+    BigInt(hex, 16).toLong
+  }
+
+  /** The OPEN shard owning `key`'s hash — the post-resharding routing
+    * function (open ranges always tile the hash space: creation tiles it,
+    * split/merge preserve the tiling).
+    */
+  def openShardFor(streamDir: String, key: String): String = {
+    val h = hash60(key)
+    shardMeta(streamDir)
+      .find(si => si.open && h >= si.start && h < si.endEx)
+      .getOrElse(throw new IllegalStateException(
+        s"no open shard covers hash $h in $streamDir"))
+      .name
   }
 
   def listShards(streamDir: String): Seq[String] = {
@@ -69,9 +198,12 @@ object ShardedLog {
     */
   def putRecord(streamDir: String, key: String, data: Array[Byte],
       arrivalMillis: Long = System.currentTimeMillis()): (String, Long) = {
-    val n = shardCount(streamDir)
-    require(n > 0, s"stream $streamDir does not exist / has no shards")
-    val shard = shardName(shardFor(key, n))
+    require(shardCount(streamDir) > 0,
+      s"stream $streamDir does not exist / has no shards")
+    // Range-based routing over the OPEN shards: identical to
+    // shardName(shardFor(key, n)) until a split/merge, after which writes
+    // go to the owning child (closed parents take no new records).
+    val shard = openShardFor(streamDir, key)
     appendLines(streamDir, shard, Seq((key, data, arrivalMillis)))
       match { case first => (shard, first) }
   }

@@ -127,15 +127,25 @@ class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String]
 
   /** Advance each shard to min(current end, start + cap): the micro-poll
     * with per-shard rate limit (consumer.py:115).
+    *
+    * Resharding lineage (Kinesis split/merge semantics): a shard with
+    * parents does NOT advance until every parent is exhausted as of the
+    * batch START offset — so all parent records land in strictly earlier
+    * micro-batches than any child record, preserving per-key order across
+    * the reshard (parents are closed, their ends are final). New shards
+    * appearing mid-query start from 0 once their parents drain.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShardedLogOffset].shards
     val ends = ShardedLog.endOffsets(streamDir)
-    // shards can appear after the stream was first read (resharding-lite):
-    // new shards start from 0.
+    val parentsOf = ShardedLog.shardMeta(streamDir)
+      .map(si => si.name -> si.parents).toMap
     ShardedLogOffset(ends.map { case (shard, end) =>
       val from = s.getOrElse(shard, 0L)
-      shard -> math.min(end, from + maxRecordsPerPoll)
+      val parentsExhausted = parentsOf.getOrElse(shard, Nil).forall(p =>
+        s.getOrElse(p, 0L) >= ends.getOrElse(p, 0L))
+      shard -> (if (parentsExhausted) math.min(end, from + maxRecordsPerPoll)
+                else from)
     })
   }
 

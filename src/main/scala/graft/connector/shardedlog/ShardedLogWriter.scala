@@ -29,31 +29,48 @@ object ShardedLogWriter {
         * numShards, 60)
   }
 
+  /** Catalyst twin of [[ShardedLog.openShardFor]]: route each key's 60-bit
+    * md5 hash to the OPEN shard whose range contains it — a small CASE
+    * chain over the (driver-read) shard metadata, so writes honor
+    * resharding lineage exactly like driver-side `putRecord`. On a
+    * never-resharded stream this is placement-identical to
+    * [[shardIndexCol]].
+    */
+  def shardNameCol(key: Column, meta: Seq[ShardedLog.ShardInfo]): Column = {
+    val open = meta.filter(_.open).sortBy(_.start)
+    require(open.nonEmpty, "stream has no open shards")
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    open.init.foldRight(lit(open.last.name): Column)((si, rest) =>
+      when(h < si.endEx, lit(si.name)).otherwise(rest))
+  }
+
   /** Write `batch` into the stream at `streamDir`. `orderWithinKey` should
     * be the upstream ordering columns (e.g. source shard, sequence_number);
-    * rows for the same partition key are appended in that order.
+    * rows for the same partition key are appended in that order. Writes
+    * route only to OPEN shards (closed reshard parents take no records).
     */
   def write(batch: DataFrame, streamDir: String, keyCol: Column,
       dataCol: Column, orderWithinKey: Seq[Column] = Nil): Unit = {
-    val n = ShardedLog.shardCount(streamDir)
-    require(n > 0, s"stream $streamDir does not exist")
+    val meta = ShardedLog.shardMeta(streamDir)
+    val numOpen = meta.count(_.open)
+    require(numOpen > 0, s"stream $streamDir does not exist / has no open shards")
     val prepared = batch.select(
       (Seq(keyCol.cast("string").as("__key"),
         dataCol.cast("binary").as("__data"),
-        shardIndexCol(keyCol, n).as("__shard")) ++ orderWithinKey): _*)
+        shardNameCol(keyCol, meta).as("__shard")) ++ orderWithinKey): _*)
     val sorted = prepared
-      .repartition(n, col("__shard"))
+      .repartition(numOpen, col("__shard"))
       .sortWithinPartitions((col("__shard") +: orderWithinKey): _*)
     sorted.foreachPartition { rows: Iterator[Row] =>
-      val buffers = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[(String, Array[Byte], Long)]]
+      val buffers = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[(String, Array[Byte], Long)]]
       val now = System.currentTimeMillis()
       rows.foreach { r =>
-        val shard = r.getAs[Long]("__shard").toInt
+        val shard = r.getAs[String]("__shard")
         buffers.getOrElseUpdate(shard, mutable.ArrayBuffer.empty) +=
           ((r.getAs[String]("__key"), r.getAs[Array[Byte]]("__data"), now))
       }
       buffers.foreach { case (shard, recs) =>
-        ShardedLog.appendLines(streamDir, ShardedLog.shardName(shard), recs.toSeq)
+        ShardedLog.appendLines(streamDir, shard, recs.toSeq)
       }
     }
   }

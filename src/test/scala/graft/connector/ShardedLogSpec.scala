@@ -151,6 +151,103 @@ class ShardedLogSpec extends SparkTestBase {
     assert(got.toSet == (1 to 12).map(i => s"p$i").toSet)
   }
 
+  test("split closes the parent, children tile its range, writes route to children") {
+    val dir = newStream(2)
+    put(dir, "k1", "pre")
+    val (l, r) = ShardedLog.splitShard(dir, "shard-00000")
+    assert((l, r) == ("shard-00002", "shard-00003"))
+    val meta = ShardedLog.shardMeta(dir).map(si => si.name -> si).toMap
+    assert(!meta("shard-00000").open && meta("shard-00001").open)
+    assert(meta(l).parents == Seq("shard-00000") && meta(r).parents == Seq("shard-00000"))
+    assert(meta(l).start == meta("shard-00000").start &&
+      meta(l).endEx == meta(r).start &&
+      meta(r).endEx == meta("shard-00000").endEx)
+    // every key that hashed to the parent now routes to one of its children
+    (1 to 100).map(i => s"key-$i")
+      .filter(k => ShardedLog.shardFor(k, 2) == 0)
+      .foreach { k =>
+        val (shard, _) = put(dir, k, "post")
+        assert(shard == l || shard == r, s"$k routed to $shard")
+      }
+    // closed parent got no new writes
+    assert(ShardedLog.endOffsets(dir)("shard-00000") ==
+      (if (ShardedLog.shardFor("k1", 2) == 0) 1L else 0L))
+  }
+
+  test("merge requires adjacency and routes the union range to one child") {
+    val dir = newStream(4)
+    intercept[IllegalArgumentException] {
+      ShardedLog.mergeShards(dir, "shard-00000", "shard-00002") // not adjacent
+    }
+    val child = ShardedLog.mergeShards(dir, "shard-00001", "shard-00002")
+    val meta = ShardedLog.shardMeta(dir).map(si => si.name -> si).toMap
+    assert(meta(child).parents.toSet == Set("shard-00001", "shard-00002"))
+    assert(!meta("shard-00001").open && !meta("shard-00002").open)
+    (1 to 100).map(i => s"m-$i")
+      .filter(k => Set(1, 2).contains(ShardedLog.shardFor(k, 4)))
+      .foreach { k =>
+        val (shard, _) = put(dir, k, "post")
+        assert(shard == child, s"$k routed to $shard, not merged child")
+      }
+  }
+
+  test("streaming: split mid-stream, per-key order holds across the split") {
+    val dir = newStream(1)
+    (1 to 6).foreach(i => put(dir, s"k${i % 2}", s"pre-$i"))
+    ShardedLog.splitShard(dir, "shard-00000")
+    (7 to 12).foreach(i => put(dir, s"k${i % 2}", s"post-$i"))
+
+    // offset-level guarantee: children are held at their start until the
+    // parent is exhausted AS OF THE BATCH START — so parent records land in
+    // strictly earlier micro-batches than child records.
+    val stream = new graft.connector.shardedlog.ShardedLogMicroBatchStream(
+      dir, Map("startingposition" -> "earliest"))
+    val o0 = stream.initialOffset()
+      .asInstanceOf[graft.connector.shardedlog.ShardedLogOffset]
+    val o1 = stream.latestOffset(o0, null)
+      .asInstanceOf[graft.connector.shardedlog.ShardedLogOffset]
+    assert(o1.shards("shard-00000") == 6L, "parent drains first")
+    assert(o1.shards("shard-00001") == 0L && o1.shards("shard-00002") == 0L,
+      "children must not advance while the parent has unread records")
+    val o2 = stream.latestOffset(o1, null)
+      .asInstanceOf[graft.connector.shardedlog.ShardedLogOffset]
+    assert(o2.shards("shard-00001") + o2.shards("shard-00002") == 6L,
+      "children advance once the parent is exhausted")
+
+    // end-to-end: everything is read exactly once, and for each key the
+    // pre-split records precede the post-split ones in delivery order
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", dir).option("startingPosition", "earliest")
+      .load()
+      .writeStream.format("memory").queryName("log_split")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("log_split")
+      .select($"shard", $"data".cast("string")).collect()
+    assert(got.length == 12)
+    assert(got.filter(_.getString(1).startsWith("post"))
+      .forall(r => r.getString(0) != "shard-00000"),
+      "post-split writes must not land in the closed parent")
+  }
+
+  test("keyed writer routes around a split (open shards only)") {
+    val dir = newStream(2)
+    ShardedLog.splitShard(dir, "shard-00000")
+    val src = (1 to 40).map(i => (s"sess-$i", i))
+    ShardedLogWriter.write(
+      src.toDF("key", "n").withColumn("payload", concat($"key", lit(":"), $"n")),
+      dir, $"key", $"payload".cast("binary"), orderWithinKey = Seq($"n"))
+    val rows = spark.read.format(ShardedLogSource.ShortName)
+      .option("path", dir).load()
+      .select($"shard", $"partition_key").collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.getString(0) != "shard-00000"), "closed parent written")
+    // placement agrees with the driver-side routing function
+    rows.foreach { r =>
+      assert(r.getString(0) == ShardedLog.openShardFor(dir, r.getString(1)))
+    }
+  }
+
   test("keyed writer preserves per-key order into destination shards") {
     val src = (1 to 40).map(i => (s"sess-${i % 4}", i))
     val dir = newStream(2)
