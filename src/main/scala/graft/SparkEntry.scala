@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AggregatesMore, AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, PipelineQueries, Relational, RelationalMore, RelationalThird, ScalarQueries, SimMore, SimQueries, StreamQueries, TextQueries}
+import graft.queries.{AggregatesMore, AnalyticsMore, EtlParity, EventQueries, MultimodalQueries, PipelineQueries, Relational, RelationalMore, RelationalThird, ScalarQueries, SimMore, SimQueries, SkewQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,7 +72,8 @@ object SparkEntry {
     "split_train_test" -> (PipelineQueries.splitTrainTest _),
     "stratified_sample" -> (PipelineQueries.stratifiedSample _),
     "vocab_doc_freq" -> (PipelineQueries.vocabDocFreq _),
-    "corpus_stats" -> (PipelineQueries.corpusStats _)
+    "corpus_stats" -> (PipelineQueries.corpusStats _),
+    "skew_salted_join_agg" -> (SkewQueries.skewSaltedJoinAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,6 +133,7 @@ object SparkEntry {
     "split_train_test" -> PipelineQueries.splitTrainTestSql,
     "stratified_sample" -> PipelineQueries.stratifiedSampleSql,
     "vocab_doc_freq" -> PipelineQueries.vocabDocFreqSql,
-    "corpus_stats" -> PipelineQueries.corpusStatsSql
+    "corpus_stats" -> PipelineQueries.corpusStatsSql,
+    "skew_salted_join_agg" -> SkewQueries.skewSaltedJoinAggSql
   )
 }

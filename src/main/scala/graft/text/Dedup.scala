@@ -176,13 +176,21 @@ object Dedup {
     * quadratic per-task loops), and skew is per-gram, not per-block.
     * Pairs sharing zero grams have jaccard 0 and a positive threshold
     * excludes them, so the index formulation is exactly equivalent.
-    * At 100 TB the one addition would be a stop-gram cap (drop grams with
-    * f_g above a bound, which can only remove pairs already near-certain
-    * duplicates via other grams).
+    *
+    * `maxGramDocFreq` is the 100 TB stop-gram guard: Σ_g f_g² is dominated
+    * by the most frequent grams (boilerplate, licence headers), and one
+    * gram appearing in 10⁶ documents alone contributes 10¹² posting pairs.
+    * With a cap, grams whose document frequency exceeds it are treated as
+    * stop-grams and removed from BOTH the posting lists and the set sizes —
+    * i.e. the result is exactly [[ngramJaccardPairs]] over documents with
+    * those grams deleted (jaccard over the informative-gram vocabulary;
+    * spec-verified equivalence). `None` (the default, used by the gated
+    * query) changes nothing.
     */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      maxGramDocFreq: Option[Long] = None): DataFrame = {
     require(threshold > 0.0, "inverted-index jaccard needs a positive threshold")
     // 64-bit hashed grams: long equality in the join instead of string
     // equality; sizes unchanged modulo ~1e-9 collisions, so the SQL oracle
@@ -208,9 +216,25 @@ object Dedup {
       .localCheckpoint()
     // Carry the set size ON the posting rows: |A| and |B| then arrive with
     // the join, so no separate size-aggregate and no join-back is needed.
-    val postings = withSet.select(
+    val allPostings = withSet.select(
       (blockCols.map(col) :+ col("id") :+ size(col("ngrams")).as("sz") :+
         explode(col("ngrams")).as("g")): _*)
+    // Stop-gram cap: count each gram's doc frequency (a window over the
+    // same (block, gram) partitioning the join shuffles on anyway), drop
+    // over-cap grams, and RECOMPUTE the per-doc sizes over the surviving
+    // grams so |A| and |B| describe the same filtered vocabulary as |∩|.
+    val postings = maxGramDocFreq match {
+      case None => allPostings
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val byGram = Window.partitionBy((blockCols :+ "g").map(col): _*)
+        val byDoc = Window.partitionBy((blockCols :+ "id").map(col): _*)
+        allPostings
+          .withColumn("__df", count(lit(1)).over(byGram))
+          .filter(col("__df") <= cap)
+          .withColumn("sz", count(lit(1)).over(byDoc))
+          .drop("__df")
+    }
     val joinKeys = blockCols :+ "g"
     val pa = postings.toDF(blockCols ++ Seq("id_a", "sz_a", "g"): _*)
     val pb = postings.toDF(blockCols ++ Seq("id_b", "sz_b", "g"): _*)
