@@ -122,15 +122,21 @@ object RelationalThird {
     * average quantity, summed per brand. The per-part average stays in
     * exact arithmetic until one final double division of identical
     * operands (sums of integral quantities are exact doubles), so both
-    * engines compare against the bit-identical threshold. The stats
-    * aggregate shuffles on partkey; part broadcasts.
+    * engines compare against the bit-identical threshold.
+    *
+    * The per-part stats are a whole-partition WINDOW over l_partkey rather
+    * than a groupBy + self-join: ONE shuffle of lineitem and a single scan,
+    * instead of two scans and two exchanges — the window's frame sum of
+    * integral quantities is the same exact, order-independent value as the
+    * aggregate's. Part broadcasts.
     */
   def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
-    val stats = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_partkey").as("s_partkey"))
-      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+    import org.apache.spark.sql.expressions.Window
+    val byPart = Window.partitionBy(col("l_partkey"))
     Tables.lineitem(spark, sfDir)
-      .join(stats, col("l_partkey") === col("s_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("sq", sum(col("l_quantity")).over(byPart))
+      .withColumn("cq", count(lit(1)).over(byPart))
       .filter(col("l_quantity") < lit(0.2) * col("sq") / col("cq"))
       .join(broadcast(Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
