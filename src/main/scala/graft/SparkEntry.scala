@@ -73,7 +73,8 @@ object SparkEntry {
     "stratified_sample" -> (PipelineQueries.stratifiedSample _),
     "vocab_doc_freq" -> (PipelineQueries.vocabDocFreq _),
     "corpus_stats" -> (PipelineQueries.corpusStats _),
-    "skew_salted_join_agg" -> (SkewQueries.skewSaltedJoinAgg _)
+    "skew_salted_join_agg" -> (SkewQueries.skewSaltedJoinAgg _),
+    "dedup_components" -> (TextQueries.dedupComponents _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,6 +135,7 @@ object SparkEntry {
     "stratified_sample" -> PipelineQueries.stratifiedSampleSql,
     "vocab_doc_freq" -> PipelineQueries.vocabDocFreqSql,
     "corpus_stats" -> PipelineQueries.corpusStatsSql,
-    "skew_salted_join_agg" -> SkewQueries.skewSaltedJoinAggSql
+    "skew_salted_join_agg" -> SkewQueries.skewSaltedJoinAggSql,
+    "dedup_components" -> TextQueries.dedupComponentsSql
   )
 }

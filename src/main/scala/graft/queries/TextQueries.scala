@@ -185,6 +185,45 @@ object TextQueries {
       blockCols = Seq("lang"), n = 3, threshold = 0.2)
       .orderBy(col("lang"), col("id_a"), col("id_b"))
 
+  /** Duplicate clusters: connected components over the exact n-gram
+    * Jaccard near-dup graph — each document in any above-threshold pair,
+    * labeled with its cluster representative (min doc id reachable through
+    * the pair graph). The oracle recomputes the same pairs and takes the
+    * transitive closure with a recursive CTE.
+    */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+      blockCols = Seq("lang"), n = 3, threshold = 0.2)
+    Dedup.connectedComponents(pairs)
+      .select(col("src").as("doc_id"), col("lbl").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE grams AS (
+      |  SELECT lang, doc_id AS id,
+      |    list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS g
+      |  FROM (SELECT lang, doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM grams a JOIN grams b ON a.lang = b.lang AND a.id < b.id
+      |  WHERE round(len(list_intersect(a.g, b.g))
+      |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4) > 0.2),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, lbl) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
+      |SELECT src AS doc_id, min(lbl) AS component
+      |FROM reach
+      |GROUP BY src
+      |ORDER BY doc_id""".stripMargin
+
   val dedupNgramJaccardSql: String =
     """WITH grams AS (
       |  SELECT lang, doc_id AS id,

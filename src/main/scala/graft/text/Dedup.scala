@@ -248,4 +248,44 @@ object Dedup {
       .filter(col("jaccard_sim") > threshold)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard_sim")): _*)
   }
+
+  /** Connected components over an undirected duplicate-pair graph —
+    * the clustering step downstream of any candidate generator
+    * ([[minhashCandidates]], [[ngramJaccardPairs]]): every document in a
+    * component shares a chain of above-threshold pairs, and min-id becomes
+    * the cluster representative to keep.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels (one join + one groupBy,
+    * both distributed; `localCheckpoint` truncates the growing lineage).
+    * Rounds needed = graph diameter — near-dup components are shallow
+    * chains, so convergence is fast; the driver-side loop only ever pulls
+    * a scalar convergence count, never data. Deterministic: min over ids,
+    * no randomness.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src")).distinct()
+      .withColumn("lbl", col("src")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = edges
+        .join(labels.select(col("src").as("dst"), col("lbl")), "dst")
+        .select(col("src"), col("lbl"))
+        .union(labels)
+        .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("src"), col("lbl").as("__old")), "src")
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }
