@@ -74,7 +74,8 @@ object SparkEntry {
     "vocab_doc_freq" -> (PipelineQueries.vocabDocFreq _),
     "corpus_stats" -> (PipelineQueries.corpusStats _),
     "skew_salted_join_agg" -> (SkewQueries.skewSaltedJoinAgg _),
-    "dedup_components" -> (TextQueries.dedupComponents _)
+    "dedup_components" -> (TextQueries.dedupComponents _),
+    "pack_sequences" -> (PipelineQueries.packSequences _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,6 +137,7 @@ object SparkEntry {
     "vocab_doc_freq" -> PipelineQueries.vocabDocFreqSql,
     "corpus_stats" -> PipelineQueries.corpusStatsSql,
     "skew_salted_join_agg" -> SkewQueries.skewSaltedJoinAggSql,
-    "dedup_components" -> TextQueries.dedupComponentsSql
+    "dedup_components" -> TextQueries.dedupComponentsSql,
+    "pack_sequences" -> PipelineQueries.packSequencesSql
   )
 }

@@ -135,4 +135,56 @@ object PipelineQueries {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** Token budget per training pack (tokens per sequence after concat). */
+  private val PackBudget = 512L
+
+  /** Sequence packing, concat-and-chunk style: within each language
+    * stream, documents are laid end-to-end in deterministic doc_id order
+    * and cut into fixed 512-token packs; each document is labeled with the
+    * pack its first token lands in and its offset inside that pack — the
+    * assignment step of an LLM pre-training batch packer (documents
+    * crossing a boundary continue into the next pack, exactly like the
+    * usual tokenize→concat→chunk dataloader).
+    *
+    * One window shuffle on lang (running token total over doc_id order);
+    * the division/modulo are integer ops on exact longs, so the oracle
+    * replays bit-identically. At scale the lang partitions are the
+    * parallelism unit; a finer pre-partitioning key (lang, shard) drops in
+    * without changing the arithmetic.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        // integer `div`, not `/`: Spark's / is double division, which
+        // would lose exactness past 2^53 total tokens
+        expr(s"start_offset div $PackBudget").as("pack_id"),
+        (col("start_offset") % PackBudget).as("pack_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM t)
+       |SELECT lang, doc_id, n_tokens,
+       |  CAST(start_offset // $PackBudget AS BIGINT) AS pack_id,
+       |  CAST(start_offset % $PackBudget AS BIGINT) AS pack_offset
+       |FROM c
+       |ORDER BY lang, doc_id""".stripMargin
 }
