@@ -91,6 +91,21 @@ object StreamingAnalytics {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Exactly-once event dedup: drop redelivered records (producer retries,
+    * at-least-once sources) by event id within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys the state store by `idCols` and
+    * evicts entries once the watermark passes — bounded state, unlike a
+    * plain `dropDuplicates` on an unbounded stream, at the cost of only
+    * deduplicating redeliveries that arrive within the watermark (the
+    * at-least-once redelivery window is bounded in practice, so that is
+    * the correct contract for an unbounded stream).
+    */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Stream-stream interval join: attribute each purchase to the same
     * user's click at most `windowSeconds` before it. Both sides carry
     * watermarks and the join condition bounds the event-time distance, so

@@ -107,4 +107,24 @@ class StreamingAnalyticsSpec extends SparkTestBase {
       assert(rows.head.getAs[Double]("purchase_value") == 9.99)
     } finally q.stop()
   }
+
+  test("streaming dedup drops redeliveries within the watermark, state bounded") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "payload")
+    val out = StreamingAnalytics.dedupEvents(df, Seq("event_id"),
+      watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b"))
+      q.processAllAvailable()
+      // redelivery of id 1 in a later batch, still inside the watermark
+      mem.addData((1L, ts(2), "a-redelivered"), (3L, ts(2), "c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect()
+        .map(r => r.getAs[Long]("event_id")).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), s"got $got")
+    } finally q.stop()
+  }
 }
