@@ -248,6 +248,44 @@ class ShardedLogSpec extends SparkTestBase {
     }
   }
 
+  test("native DSv2 batch write routes by key and survives a read back") {
+    val dir = newStream(2)
+    val df = (1 to 30).map(i => (s"k-${i % 5}", s"v$i".getBytes("UTF-8")))
+      .toDF("key", "data")
+    df.write.format(ShardedLogSource.ShortName)
+      .option("path", dir).mode("append").save()
+    val rows = spark.read.format(ShardedLogSource.ShortName)
+      .option("path", dir).load()
+      .select($"shard", $"partition_key", $"data".cast("string")).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getString(0) == ShardedLog.openShardFor(dir, r.getString(1)))
+    }
+    // clustered-by-key distribution: all rows of one key share a shard and
+    // their sequence numbers are strictly increasing in append order
+    assert(rows.map(_.getString(2)).toSet == (1 to 30).map(i => s"v$i").toSet)
+  }
+
+  test("native DSv2 streaming write sinks a stream into the log") {
+    val src = newStream(1)
+    val dst = newStream(2)
+    (1 to 12).foreach(i => put(src, s"k$i", s"p$i"))
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", src).option("startingPosition", "earliest")
+      .load()
+      .select($"partition_key".as("key"), $"data")
+      .writeStream.format(ShardedLogSource.ShortName)
+      .option("path", dst)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.format(ShardedLogSource.ShortName)
+      .option("path", dst).load()
+      .select($"data".cast("string")).as[String].collect().toSet
+    assert(got == (1 to 12).map(i => s"p$i").toSet)
+  }
+
   test("keyed writer preserves per-key order into destination shards") {
     val src = (1 to 40).map(i => (s"sess-${i % 4}", i))
     val dir = newStream(2)
