@@ -75,7 +75,9 @@ object SparkEntry {
     "corpus_stats" -> (PipelineQueries.corpusStats _),
     "skew_salted_join_agg" -> (SkewQueries.skewSaltedJoinAgg _),
     "dedup_components" -> (TextQueries.dedupComponents _),
-    "pack_sequences" -> (PipelineQueries.packSequences _)
+    "pack_sequences" -> (PipelineQueries.packSequences _),
+    "agg_grouping_sets" -> (AnalyticsMore.aggGroupingSets _),
+    "events_gapfill_hourly" -> (AnalyticsMore.eventsGapfillHourly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,6 +140,8 @@ object SparkEntry {
     "corpus_stats" -> PipelineQueries.corpusStatsSql,
     "skew_salted_join_agg" -> SkewQueries.skewSaltedJoinAggSql,
     "dedup_components" -> TextQueries.dedupComponentsSql,
-    "pack_sequences" -> PipelineQueries.packSequencesSql
+    "pack_sequences" -> PipelineQueries.packSequencesSql,
+    "agg_grouping_sets" -> AnalyticsMore.aggGroupingSetsSql,
+    "events_gapfill_hourly" -> AnalyticsMore.eventsGapfillHourlySql
   )
 }

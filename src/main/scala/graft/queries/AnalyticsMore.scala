@@ -111,6 +111,79 @@ object AnalyticsMore {
       |WHERE o_custkey <= 200
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond the rollup/cube shorthands): per
+    * (returnflag), per (linestatus), and grand total in one pass, with
+    * grouping_id disambiguating the set each row came from. Plans as one
+    * Expand + one aggregation exchange, like rollup/cube.
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val aggGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Time-series resample + forward fill: each user's event values summed
+    * into an hourly grid with NO missing hours — the spine is generated
+    * per user from min to max hour (sequence + explode, distributed with
+    * the user partition), missing buckets forward-fill the last seen sum
+    * (`last(..., ignoreNulls)` over the time order). The gap-fill every
+    * metrics/feature pipeline runs before windowed training features.
+    */
+  def eventsGapfillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") <= 20)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    val hourly = ev.groupBy(col("user_id"), col("bucket"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("hour_value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "bucket"), "left")
+      .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(w))
+      // date_trunc yields LTZ; emit NTZ like the stored events timestamps
+      // (session tz is UTC, so the instant is unchanged)
+      .select(col("user_id"), col("bucket").cast("timestamp_ntz").as("bucket"),
+        col("hour_value"), col("filled_value"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  val eventsGapfillHourlySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, value
+      |  FROM events WHERE user_id <= 20),
+      |hourly AS (
+      |  SELECT user_id, bucket,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+      |  FROM ev GROUP BY user_id, bucket),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      |  FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      |        FROM ev GROUP BY user_id))
+      |SELECT s.user_id, s.bucket, h.hour_value,
+      |  last_value(h.hour_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM spine s LEFT JOIN hourly h
+      |  ON s.user_id = h.user_id AND s.bucket = h.bucket
+      |ORDER BY s.user_id, s.bucket""".stripMargin
+
   /** Ordered string aggregation: comma-joined sorted customer names per
     * segment (array_sort + concat_ws ≡ string_agg ... ORDER BY).
     */
