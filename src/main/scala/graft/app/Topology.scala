@@ -129,6 +129,10 @@ object LatencyProbe {
       else println("LATENCY probe timed out after 120 s")
     } finally {
       etl.stop(); firehose.stop(); spark.stop()
+      // probe is throwaway: clean the temp topology up
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }
