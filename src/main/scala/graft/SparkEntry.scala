@@ -77,7 +77,8 @@ object SparkEntry {
     "dedup_components" -> (TextQueries.dedupComponents _),
     "pack_sequences" -> (PipelineQueries.packSequences _),
     "agg_grouping_sets" -> (AnalyticsMore.aggGroupingSets _),
-    "events_gapfill_hourly" -> (AnalyticsMore.eventsGapfillHourly _)
+    "events_gapfill_hourly" -> (AnalyticsMore.eventsGapfillHourly _),
+    "multimodal_frame_sample" -> (MultimodalQueries.multimodalFrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,6 +143,7 @@ object SparkEntry {
     "dedup_components" -> TextQueries.dedupComponentsSql,
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "agg_grouping_sets" -> AnalyticsMore.aggGroupingSetsSql,
-    "events_gapfill_hourly" -> AnalyticsMore.eventsGapfillHourlySql
+    "events_gapfill_hourly" -> AnalyticsMore.eventsGapfillHourlySql,
+    "multimodal_frame_sample" -> MultimodalQueries.multimodalFrameSampleSql
   )
 }

@@ -107,4 +107,5 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         posexplode(sequence(lit(0L), col("n_frames") - 1, lit(stride)))
           .as(Seq("sample_idx", "frame_idx")))
+      .withColumn("sample_idx", col("sample_idx").cast("long"))
 }

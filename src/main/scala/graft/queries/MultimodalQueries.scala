@@ -23,6 +23,32 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Frame sampling gated end-to-end: every 4th frame index of each video
+    * row, one output row per sampled frame with its sample ordinal.
+    */
+  def multimodalFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    Multimodal.sampleFrames(Multimodal.decodeAndFeaturize(media), stride = 4)
+      .orderBy(col("media_id"), col("sample_idx"))
+  }
+
+  val multimodalFrameSampleSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |videos AS (
+      |  SELECT media_id, 1 + h % 32 AS n_frames
+      |  FROM media WHERE kind = 'video')
+      |SELECT media_id, n_frames,
+      |  CAST(f // 4 AS BIGINT) AS sample_idx,
+      |  CAST(f AS BIGINT) AS frame_idx
+      |FROM (SELECT media_id, n_frames,
+      |        unnest(generate_series(0, n_frames - 1, 4)) AS f
+      |      FROM videos)
+      |ORDER BY media_id, sample_idx""".stripMargin
+
   val multimodalDecodeSql: String =
     """WITH media AS (
       |  SELECT doc_id AS media_id,
