@@ -131,8 +131,10 @@ object LatencyProbe {
       etl.stop(); firehose.stop(); spark.stop()
       // probe is throwaway: clean the temp topology up
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

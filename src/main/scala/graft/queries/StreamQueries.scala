@@ -29,8 +29,9 @@ object StreamQueries {
       System.getProperty("java.io.tmpdir"), "graft-roundtrip")
     if (Files.exists(base)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      val walk = Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
     val streamDir = base.resolve("stream").toString
     ShardedLog.createStream(streamDir, NumShards)

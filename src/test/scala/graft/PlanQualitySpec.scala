@@ -94,6 +94,29 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("grouping sets plans one Expand and one aggregation exchange") {
+    val p = plan(graft.queries.AnalyticsMore.aggGroupingSets(spark, sf0001))
+    assert(p.contains("Expand"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "grouping sets must not add exchanges:\n" + p)
+  }
+
+  test("gap-fill: spine generation stays inside the user_id partitioning") {
+    val p = plan(graft.queries.AnalyticsMore.eventsGapfillHourly(spark, sf0001))
+    // the spine agg, the join and the forward-fill window all cluster on
+    // user_id; no cartesian spine and no extra all-to-all exchange
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spine must join per-user, not cross:\n" + p)
+    assert(p.contains("Window"))
+  }
+
+  test("q17: per-part stats are a window over ONE lineitem scan, no self-join") {
+    val p = plan(graft.queries.RelationalThird.q17SmallQuantity(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(p).size <= 2, // lineitem + part
+      "q17 must not scan lineitem twice:\n" + p)
+    assert(p.contains("Window"))
+  }
+
   test("q22: threshold broadcasts and the no-orders check stays LeftAnti") {
     val p = plan(graft.queries.RelationalThird.q22IdleBalances(spark, sf0001))
     assert(p.contains("LeftAnti"))
