@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "minhash_sig(tokens, k) takes 2 arguments")
         MinHashSignature(exprs(0), exprs(1))
       }))
+    // SQL users writing the portable HOF MinHash composition get the
+    // codegen'd expression automatically.
+    e.injectOptimizerRule(_ => RewriteMinHashHof)
   }
 }
