@@ -11,7 +11,9 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSet else Set(
       "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-      "events_asof_last_purchase", "sim_topk_bruteforce", "dedup_minhash_lsh")
+      "events_asof_last_purchase", "sim_topk_bruteforce", "dedup_minhash_lsh",
+      "q6_forecast_revenue", "q17_small_quantity", "skew_salted_join_agg",
+      "pack_sequences", "events_gapfill_hourly", "agg_grouping_sets")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

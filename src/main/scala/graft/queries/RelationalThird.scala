@@ -97,6 +97,32 @@ object RelationalThird {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** Q6-analog: the forecasting-revenue-change scan — single table, three
+    * pushable predicates, one global aggregate. The entire query is a
+    * parquet scan with PushedFilters + one partial/final agg pair; at any
+    * scale it is I/O-bound by exactly the pruned column set.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Q22-analog: market segments of well-funded customers who never
     * ordered — scalar-subquery threshold (kept in exact decimal×count
     * arithmetic so both engines compare identically) plus an anti join.
