@@ -21,13 +21,12 @@ object SimMore {
   private def centroids: Array[Array[Long]] =
     Similarity.hyperplaneWeights(K, Dim)
 
-  /** Per-vector argmax-cosine centroid assignment, aggregated into the
-    * inverted-list histogram (count + smallest member per list). Map-only
-    * over the corpus — K fused-cosine evaluations per row against literal
-    * centroid arrays, no join, no shuffle until the final tiny groupBy.
-    * Ties break to the lowest centroid id via array_position-on-max.
+  /** Per-vector argmax-cosine assignment against the literal centroids:
+    * (vec_id, e, centroid_id). Map-only — K fused-cosine evaluations per
+    * row, no join, no shuffle. Ties break to the lowest centroid id via
+    * array_position-on-max.
     */
-  def annCentroidAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  private def assignedVectors(spark: SparkSession, sfDir: String): DataFrame = {
     Similarity.registerCosine(spark)
     val sims: Column = array(centroids.map { c =>
       val cCol = array(c.map(v => lit(v.toDouble)): _*)
@@ -38,25 +37,79 @@ object SimMore {
       .withColumn("sims", sims)
       .withColumn("centroid_id",
         (array_position(col("sims"), array_max(col("sims"))) - 1).cast("long"))
+  }
+
+  /** Assignment (k-means E-step) aggregated into the inverted-list
+    * histogram (count + smallest member per list); the only shuffle is the
+    * final tiny groupBy.
+    */
+  def annCentroidAssign(spark: SparkSession, sfDir: String): DataFrame =
+    assignedVectors(spark, sfDir)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("centroid_id"))
-  }
 
-  val annCentroidAssignSql: String = {
+  /** Centroid update (k-means M-step), completing one full Lloyd
+    * iteration with the E-step above: per (cluster, component), the mean
+    * of the member vectors' components in FIXED POINT — components are
+    * quantized to 1e-9 (`round(x·1e9)` rounds half-away-from-zero
+    * identically in both engines; a decimal cast would not — the engines
+    * round the double's decimal expansion differently in the last place)
+    * and summed as exact longs, so the sum is reduction-order independent
+    * across any cluster size; the mean is then one division chain of
+    * identical operands. Emitted long-form — one row per (centroid_id,
+    * component) — which also keeps the gate free of raw list columns.
+    * Shuffle profile: posexplode is map-side; one combiner-friendly
+    * aggregation on (centroid_id, i).
+    */
+  def annCentroidUpdate(spark: SparkSession, sfDir: String): DataFrame =
+    assignedVectors(spark, sfDir)
+      .select(col("centroid_id"), posexplode(col("e")).as(Seq("i0", "x")))
+      .groupBy(col("centroid_id"), (col("i0") + 1).cast("long").as("i"))
+      .agg(sum(round(col("x") * 1e9).cast("long")).as("sum_q9"),
+        count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("i"),
+        (col("sum_q9").cast("double") / lit(1e9) / col("n_members"))
+          .as("mean_component"),
+        col("n_members"))
+      .orderBy(col("centroid_id"), col("i"))
+
+  /** Shared oracle CTE: per-vector sims + assignment. */
+  private def assignedSqlCtes: String = {
     val simTerms = centroids.map { c =>
       val arr = c.mkString("[", ", ", "]")
       s"round(list_dot_product(e, CAST($arr AS DOUBLE[])) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(CAST($arr AS DOUBLE[]), CAST($arr AS DOUBLE[])))), 6)"
     }.mkString("[", ",\n      ", "]")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sims AS (
+       |  SELECT vec_id, e, $simTerms AS sims FROM v),
        |assigned AS (
-       |  SELECT vec_id, $simTerms AS sims FROM v)
-       |SELECT CAST(list_indexof(sims, list_max(sims)) - 1 AS BIGINT) AS centroid_id,
+       |  SELECT vec_id, e,
+       |    CAST(list_indexof(sims, list_max(sims)) - 1 AS BIGINT) AS centroid_id
+       |  FROM sims)""".stripMargin
+  }
+
+  val annCentroidAssignSql: String =
+    s"""$assignedSqlCtes
+       |SELECT centroid_id,
        |  count(*) AS n_vectors, min(vec_id) AS min_vec_id
        |FROM assigned
        |GROUP BY 1
        |ORDER BY centroid_id""".stripMargin
-  }
+
+  val annCentroidUpdateSql: String =
+    s"""$assignedSqlCtes,
+       |exploded AS (
+       |  SELECT centroid_id, unnest(e) AS x,
+       |    unnest(range(1, len(e) + 1)) AS i
+       |  FROM assigned)
+       |SELECT centroid_id, CAST(i AS BIGINT) AS i,
+       |  CAST(CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)
+       |       / 1e9 / count(*) AS DOUBLE) AS mean_component,
+       |  count(*) AS n_members
+       |FROM exploded
+       |GROUP BY centroid_id, i
+       |ORDER BY centroid_id, i""".stripMargin
 
   /** L2-normalize + int8 scalar quantization: q_i = round(127·e_i/‖e‖).
     * Map-only compression pass; emits the quantized vector, its norm and
