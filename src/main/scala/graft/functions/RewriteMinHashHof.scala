@@ -71,7 +71,14 @@ object RewriteMinHashHof extends Rule[LogicalPlan] {
                 Seq(tv2: NamedLambdaVariable), _))),
             Seq(sv2: NamedLambdaVariable), _))
           if ColonLiteral.unapply(c) &&
-            sv.exprId == sv2.exprId && tv.exprId == tv2.exprId =>
+            sv.exprId == sv2.exprId && tv.exprId == tv2.exprId &&
+            // the token expression must not itself depend on either lambda
+            // binder (a seed-dependent token array is NOT a minhash)
+            !toks.exists {
+              case v: NamedLambdaVariable =>
+                v.exprId == sv2.exprId || v.exprId == tv2.exprId
+              case _ => false
+            } =>
         Some((toks, k))
       case _ => None
     }

@@ -54,6 +54,18 @@ class RewriteMinHashHofSpec extends SparkTestBase {
     }
   }
 
+  test("seed-dependent token arrays do not rewrite") {
+    withRule {
+      // the inner array depends on the seed binder — not a minhash
+      val df = docs.select(
+        transform(sequence(lit(0), lit(3)),
+          s => array_min(transform(
+            array(s.cast("string"), lit("fixed")),
+            t => md5(concat(s.cast("string"), lit(":"), t))))).as("sig"))
+      assert(!usesNative(df), df.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("SQL-authored composition rewrites too") {
     withRule {
       docs.createOrReplaceTempView("hof_docs")
