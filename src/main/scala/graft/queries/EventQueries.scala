@@ -94,6 +94,30 @@ object EventQueries {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Per-day event-type heavy hitters via the Misra-Gries typed
+    * [[graft.functions.HeavyHittersAggregator]] in its EXACT regime
+    * (capacity 8 ≥ the 5 event types, so the sketch equals the exact
+    * per-item counts whatever the partitioning — which is precisely what
+    * the oracle's plain GROUP BY verifies). The shuffle carries ≤ 8
+    * (item, count) pairs per day instead of the raw events.
+    */
+  def heavyHittersDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val hh = graft.functions.HeavyHittersAggregator.heavyHitters(8)
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+      .groupBy(col("day"))
+      .agg(hh(col("event_type")).as("sketch"))
+      .select(col("day"), explode(col("sketch")).as(Seq("item", "est_count")))
+      .orderBy(col("day"), col("item"))
+  }
+
+  val heavyHittersDailySql: String =
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |  event_type AS item, count(*) AS est_count
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, item""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity gap): the batch
     * equivalent of the streaming state machine. Two window passes over one
     * user_id shuffle, then the session aggregate.
