@@ -94,6 +94,43 @@ object EventQueries {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Batch interval (range) join — the batch face of the streaming
+    * click-attribution ([[graft.streaming.StreamingAnalytics.clickAttribution]]):
+    * for each click, the purchases by the same user within the following
+    * hour. Equi-key on user_id carries the shuffle; the time band is a
+    * post-join filter on co-located rows — the scale-correct shape for a
+    * band predicate anchored on an equality key (a pure range join with
+    * no equi-key would need interval partitioning instead).
+    */
+  def intervalJoinAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases_1h"),
+        sum(col("purchase_value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+      .orderBy(col("click_id"))
+  }
+
+  val intervalJoinAttributionSql: String =
+    """SELECT c.event_id AS click_id, count(*) AS n_purchases_1h,
+      |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY c.event_id
+      |ORDER BY click_id""".stripMargin
+
   /** Per-day event-type heavy hitters via the Misra-Gries typed
     * [[graft.functions.HeavyHittersAggregator]] in its EXACT regime
     * (capacity 8 ≥ the 5 event types, so the sketch equals the exact
