@@ -179,6 +179,80 @@ object TextQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * flag every training document sharing at least one 5-gram with the
+    * eval set, with the count of distinct shared grams. The eval set here
+    * is the deterministic doc_id % 97 == 0 slice (standing in for a held-
+    * out benchmark); its gram set is small by construction, so the
+    * broadcast semi-style join is the CORRECT scale shape — training
+    * postings stream past an eval-gram set that fits everywhere. Grams
+    * join on 64-bit hashes Spark-side (long equality); the oracle joins
+    * the raw strings — identical counts modulo ~1e-9 collisions.
+    */
+  def decontaminateNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .repartition(par)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          Dedup.ngramSetOfTokens(col("toks"), 5), g => xxhash64(g)))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateNgramSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+      |      for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS g
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(DISTINCT g) AS n_shared_grams
+      |FROM grams JOIN ev USING (g)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing: redact emails and phone-like digit runs, emitting the
+    * per-document redaction counts and the scrubbed-text fingerprint.
+    * Patterns are lookaround-free (identical under Java regex and RE2) and
+    * the whole pass is a map-only projection — one scan, no shuffle until
+    * the final sort.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9()\\s-]{6,}[0-9]"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("scrubbed_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\s-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\+?[0-9][0-9()\s-]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact 3-gram Jaccard near-dup pairs, blocked by lang. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
