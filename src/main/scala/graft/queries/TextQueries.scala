@@ -179,6 +179,67 @@ object TextQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Repetition filter (Gopher-rules style): per document, the duplicate
+    * 3-gram fraction (1 − distinct/total grams) and the most-frequent
+    * token's share; a document is kept when both fall under the usual
+    * thresholds. The gram total is derived arithmetically
+    * (greatest(n_tokens−2, 1)) so the gram array is referenced exactly
+    * once — a second reference would re-run the interpreted gram
+    * construction per use. One scan + one (doc, token) aggregation; all
+    * fractions are single divisions of identical integers, rounded before
+    * the threshold compare.
+    */
+  def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .repartition(par)
+    val gramStats = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      greatest(size(col("toks")) - 2, lit(1)).cast("long").as("n_grams"),
+      size(array_distinct(Dedup.ngramSetOfTokens(col("toks"), 3)))
+        .cast("long").as("n_distinct"))
+    val topToken = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_count"))
+    gramStats.join(topToken, "doc_id")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_grams").cast("double"), 4).as("dup3_frac"),
+        round(col("top_count").cast("double") /
+          col("n_tokens").cast("double"), 4).as("top_token_frac"))
+      .withColumn("keep",
+        (col("dup3_frac") <= 0.3 && col("top_token_frac") <= 0.2)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(greatest(len(t) - 2, 1) AS BIGINT) AS n_grams,
+      |    CAST(len(list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS BIGINT) AS n_distinct
+      |  FROM toks),
+      |tt AS (
+      |  SELECT doc_id, max(c) AS top_count FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS dup3_frac,
+      |  round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
+      |  CAST(CASE WHEN round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) <= 0.3
+      |         AND round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) <= 0.2
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM g JOIN tt ON g.doc_id = tt.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
     * flag every training document sharing at least one 5-gram with the
     * eval set, with the count of distinct shared grams. The eval set here
