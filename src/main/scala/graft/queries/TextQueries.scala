@@ -191,9 +191,13 @@ object TextQueries {
     */
   def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
+    // materialized once: BOTH branches below (gram stats, token dominance)
+    // read the stored token arrays instead of re-running the tokenization
+    // (exchange reuse does not fire across the two branches of the join)
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .repartition(par)
+      .localCheckpoint()
     val gramStats = toks.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       greatest(size(col("toks")) - 2, lit(1)).cast("long").as("n_grams"),
