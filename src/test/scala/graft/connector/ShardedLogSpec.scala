@@ -230,6 +230,34 @@ class ShardedLogSpec extends SparkTestBase {
       "post-split writes must not land in the closed parent")
   }
 
+  test("checkpoint restart across a two-level reshard is exactly-once") {
+    val dir = newStream(1)
+    val out = Files.createTempDirectory("graft-reshard-out").toString
+    (1 to 4).foreach(i => put(dir, s"k$i", s"gen0-$i"))
+    def run(): Unit = {
+      val q = spark.readStream.format(ShardedLogSource.ShortName)
+        .option("path", dir).option("startingPosition", "earliest")
+        .load()
+        .selectExpr("CAST(data AS STRING) AS data")
+        .writeStream.format("json")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // checkpoint knows only the original shard
+    val (l, _) = ShardedLog.splitShard(dir, "shard-00000")
+    (5 to 8).foreach(i => put(dir, s"k$i", s"gen1-$i"))
+    ShardedLog.splitShard(dir, l) // split a child again (grandchildren)
+    (9 to 10).foreach(i => put(dir, s"k$i", s"gen2-$i"))
+    run() // restart: children + grandchildren appear, parents drain first
+    val got = spark.read.json(s"$out/data").select($"data").as[String].collect()
+    assert(got.length == 10, s"expected 10 records, got ${got.length}")
+    assert(got.toSet.size == 10, "duplicate delivery after restart")
+    assert(got.count(_.startsWith("gen0")) == 4 &&
+      got.count(_.startsWith("gen1")) == 4 && got.count(_.startsWith("gen2")) == 2)
+  }
+
   test("keyed writer routes around a split (open shards only)") {
     val dir = newStream(2)
     ShardedLog.splitShard(dir, "shard-00000")
