@@ -108,6 +108,34 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("heavy-hitters sketch aggregates inside a streaming window") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Timestamp, String)]
+    val hh = graft.functions.HeavyHittersAggregator.heavyHitters(4)
+    val q = mem.toDF().toDF("ts", "item")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(hh(col("item")).as("sketch"))
+      .select(col("window.start").as("bucket"), explode(col("sketch"))
+        .as(Seq("item", "est_count")))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      mem.addData((ts(60), "late-watermark-pusher")) // closes the first window
+      q.processAllAvailable()
+      mem.addData((ts(120), "x"))
+      q.processAllAvailable()
+      val first = spark.table("hh_stream")
+        .filter(col("bucket") === ts(0))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      // exact regime (2 distinct <= capacity 4): counts are exact
+      assert(first == Map("a" -> 2L, "b" -> 1L), s"got $first")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redeliveries within the watermark, state bounded") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
