@@ -98,6 +98,45 @@ object SimQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH top-3: queries probe their home bucket plus all 8
+    * Hamming-1 neighbors — the recall lever over [[simLshTopK]] without
+    * extra tables; only the tiny query side expands ×9.
+    */
+  def simLshMultiProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.lshTopKMultiProbe(corpus = emb,
+        queries = emb.filter(col("vec_id") < 20), k = 3,
+        nBits = LshBits, dim = Dim)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simLshMultiProbeSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val flips = (0 until LshBits).map(i => s"xor(home_bucket, ${1L << i})")
+      .mkString("[", ", ", ", home_bucket]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS home_bucket FROM v),
+       |probes AS (
+       |  SELECT vec_id, e, unnest($flips) AS bucket
+       |  FROM b WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    round(list_dot_product(q.e, c.e)
+       |          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+       |  FROM probes q JOIN b c ON q.bucket = c.home_bucket
+       |  WHERE c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, corpus_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, corpus_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** LSH bucket histogram (8-bit random-hyperplane signatures): the
     * map-only bucketing step of the ANN scale path, fully oracle-checked.
     */

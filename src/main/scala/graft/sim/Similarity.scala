@@ -110,4 +110,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
   }
+
+  /** Multi-probe LSH top-k: each query probes its own bucket AND every
+    * bucket at Hamming distance 1 (one flipped signature bit) — the
+    * standard recall lever that avoids building more tables. Only the
+    * (small) query side expands, ×(nBits+1); the corpus keeps one bucket
+    * per vector, so no (query, corpus) pair can repeat across probes and
+    * no dedup is needed. Same output shape as [[lshTopK]].
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    registerCosine(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      toDoubleVec(col(vecCol)).as("corpus_vec"))
+      .withColumn("bucket", lshBucket(col("corpus_vec"), nBits, dim))
+    val probes = (0 until nBits).map(i =>
+      col("home_bucket").bitwiseXOR(lit(1L << i))) :+ col("home_bucket")
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("query_vec"))
+      .withColumn("home_bucket", lshBucket(col("query_vec"), nBits, dim))
+      .withColumn("bucket", explode(array(probes: _*)))
+      .drop("home_bucket")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("query_vec"), col("corpus_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
 }
