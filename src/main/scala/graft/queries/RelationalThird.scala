@@ -123,6 +123,53 @@ object RelationalThird {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Q7-analog: volume shipped between two specific nations per year —
+    * the dual-role dimension pattern: `nation` joins TWICE under
+    * different roles (supplier nation vs customer nation), both
+    * broadcast; the disjunctive nation-pair predicate applies across the
+    * roles after the joins. One big co-shuffle (lineitem ⋈ orders); the
+    * rest broadcasts.
+    */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val supNation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custNation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |WHERE (ns.n_name = 'NATION_9' AND nc.n_name = 'NATION_10')
+      |   OR (ns.n_name = 'NATION_10' AND nc.n_name = 'NATION_9')
+      |GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Q22-analog: market segments of well-funded customers who never
     * ordered — scalar-subquery threshold (kept in exact decimal×count
     * arithmetic so both engines compare identically) plus an anti join.
