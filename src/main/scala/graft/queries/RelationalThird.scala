@@ -183,7 +183,13 @@ object RelationalThird {
       .crossJoin(broadcast(thresh))
       // c_acctbal > avg  ⇔  c_acctbal · n > total, all in exact decimal
       .filter(dec(col("c_acctbal")) * col("n") > col("total"))
-      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+      // anti side restricted to URGENT orders: every customer in the
+      // synthetic data has SOME order, so the TPC-H "no orders at all"
+      // predicate would gate zero rows — this keeps the identical plan
+      // shape (broadcast scalar threshold + left anti) non-vacuous
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"),
@@ -243,7 +249,9 @@ object RelationalThird {
       |      * (SELECT count(*) FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
       |    > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
       |       FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 }
