@@ -151,6 +151,36 @@ object TextQueries {
       |FROM hashed
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash hamming-ball near-dup pairs with Levenshtein verification —
+    * the pairing step the SimHash signatures feed ([[Dedup.simhashPairs]]):
+    * 12-bit prefix blocks, hamming ≤ 8, exact edit distance over the
+    * 40-char text prefixes.
+    */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, sfDir))
+
+  val dedupSimhashPairsSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS prefix,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT
+      |     for x in regexp_split_to_array(trim(lower(text)), '\s+')] AS hs
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, prefix,
+      |    CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+      |                                         THEN 1 ELSE -1 END
+      |                                    for h in hs]) > 0
+      |                        THEN (1::BIGINT << b) ELSE 0 END
+      |                   for b in range(0, 60)]) AS BIGINT) AS s
+      |  FROM hashed)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming,
+      |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS prefix_edit_distance
+      |FROM sh a JOIN sh b
+      |  ON (a.s >> 48) = (b.s >> 48) AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.s, b.s)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Corpus-level MinHash sketch per language via the custom typed
     * [[graft.functions.MinHashAggregator]]: per-doc signatures merged by
     * element-wise min (partial-aggregate friendly), emitting one k=8

@@ -138,6 +138,40 @@ object Dedup {
   /** Hamming distance between two simhash signatures (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup candidate pairs: block on the top `prefixBits` of
+    * the 60-bit signature (similar documents share the high bits with
+    * overwhelming probability), pair within blocks, keep pairs within the
+    * hamming-ball radius, and verify each with edit distance over a text
+    * prefix (Levenshtein is the same DP in every engine — integer-exact).
+    *
+    * Scale shape mirrors [[minhashCandidates]]: signatures are map-only,
+    * the pair space exists only inside prefix blocks (a shuffle equijoin,
+    * never all-pairs), and the expensive exact verifier runs on the
+    * already-blocked candidates.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", prefixBits: Int = 12,
+      maxHamming: Int = 8): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition(par)
+      .select(col("id"), substring(col("txt"), 1, 40).as("prefix"),
+        simhash(col("txt")).as("sh"))
+      .withColumn("block", shiftright(col("sh"), 60 - prefixBits))
+      .localCheckpoint()
+    val a = sh.toDF("id_a", "prefix_a", "sh_a", "block")
+    val b = sh.toDF("id_b", "prefix_b", "sh_b", "block")
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        levenshtein(col("prefix_a"), col("prefix_b")).cast("long")
+          .as("prefix_edit_distance"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Word n-gram sets from a MATERIALIZED token-array column (see
     * [[minhashSignatureOfTokens]] for why the tokens must be an attribute:
     * an embedded `tokens(text)` would re-split the document once per gram
