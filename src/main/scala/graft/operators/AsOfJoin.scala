@@ -46,7 +46,7 @@ object AsOfJoin {
       .withColumn("__payload", lit(null).cast(payloadType))
     // The right side carries only the union schema: left columns (key kept,
     // rest nulled) + the window helpers.
-    val rPrepared = right.select((left.columns.map(c =>
+    val rPrepared = right.select((left.columns.toIndexedSeq.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
       col(ts).as("__ts") :+ lit(1).as("__side") :+ payload.as("__payload")): _*)
@@ -63,7 +63,7 @@ object AsOfJoin {
     lPrepared.unionByName(rPrepared)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col("__match").getField(c).as(s"$prefix$c"))): _*)
   }
 }

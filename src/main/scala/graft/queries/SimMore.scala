@@ -28,8 +28,8 @@ object SimMore {
     */
   private def assignedVectors(spark: SparkSession, sfDir: String): DataFrame = {
     Similarity.registerCosine(spark)
-    val sims: Column = array(centroids.map { c =>
-      val cCol = array(c.map(v => lit(v.toDouble)): _*)
+    val sims: Column = array(centroids.toIndexedSeq.map { c =>
+      val cCol = array(c.toIndexedSeq.map(v => lit(v.toDouble)): _*)
       round(Similarity.cosine(col("e"), cCol), 6)
     }: _*)
     Tables.embeddings(spark, sfDir)

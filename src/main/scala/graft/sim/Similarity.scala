@@ -80,7 +80,7 @@ object Similarity {
   def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val weights = hyperplaneWeights(nBits, dim)
     weights.zipWithIndex.map { case (w, i) =>
-      val wCol = array(w.map(v => lit(v.toDouble)): _*)
+      val wCol = array(w.toIndexedSeq.map(v => lit(v.toDouble)): _*)
       val dot = aggregate(zip_with(vec, wCol, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
