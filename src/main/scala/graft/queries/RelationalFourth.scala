@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fourth batch of relational shapes, completing the 22-query TPC-H analog
+  * suite (q8/q9/q11/q13/q15/q16/q20/q21). The harness schema has no
+  * `partsupp` and no commit/receipt dates, so the canonical queries are
+  * adapted — the PLAN SHAPES (multi-way star join + ratio, profit expression,
+  * group-HAVING vs scalar subquery, outer-join distribution, max-of-aggregate
+  * view, distinct-count with NOT-IN, correlated dominance threshold,
+  * EXISTS/NOT-EXISTS self-joins) are the canonical ones:
+  *  - supplier-part relation := SELECT DISTINCT (l_partkey, l_suppkey)
+  *  - "late" := l_shipdate > o_orderdate + 60 days
+  * Oracle-parity rules as [[Relational]]: money arithmetic in DECIMAL, final
+  * emits cast to DOUBLE, ratios divided only after both operands are exact.
+  */
+object RelationalFourth {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+
+  /** Q8-analog: national market share. Revenue in region-ASIA customer
+    * markets for ECONOMY parts, 1995–1996, and the share supplied by
+    * NATION_5. The big fact co-shuffle is lineitem⋈orders; part, supplier,
+    * customer, nation, region all broadcast (dims stay small relative to
+    * the fact at every SF). Share = ratio of two exact decimal sums,
+    * divided after the cast to double (identical operands both engines).
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val custRegion = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", revenue)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_rev"),
+        sum(revenue).cast("double").as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    """WITH base AS (
+      |  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+      |    ns.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT CAST(yr AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+      |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+      |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE) AS mkt_share
+      |FROM base
+      |GROUP BY yr
+      |ORDER BY o_year""".stripMargin
+
+  /** Q9-analog: product-type profit per supplier nation per year. No
+    * `partsupp`, so cost := p_retailprice · l_quantity (the analog of
+    * ps_supplycost · l_quantity); parts restricted by the name pattern as
+    * in the canonical query. Profit stays in exact DECIMAL(·,4) until the
+    * final emit: (18,2)×(18,2) products are exact in both engines, and the
+    * scale-4 sum is order-independent.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cost = dec(col("p_retailprice")) * dec(col("l_quantity"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).filter(col("p_name").like("%gear%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenue - cost).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |           - CAST(p_retailprice AS DECIMAL(18,2))
+      |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11-analog: important inventory value. No `partsupp`, so per-part value
+    * := Σ l_extendedprice over lines supplied by NATION_3 suppliers; emit
+    * parts whose value exceeds 1/1000 of the national total. The HAVING
+    * threshold is the canonical scalar-subquery-vs-group comparison, kept
+    * in exact decimal·integer arithmetic (value·1000 > total) so both
+    * engines compare identically.
+    */
+  def q11ImportantValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val natLines = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .join(broadcast(Tables.nation(spark, sfDir)
+              .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), dec(col("l_extendedprice")).as("px"))
+    val perPart = natLines.groupBy(col("l_partkey"))
+      .agg(sum(col("px")).cast("decimal(38,2)").as("value"))
+    val total = perPart.agg(sum(col("value")).cast("decimal(38,2)").as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") * 1000 > col("total"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11ImportantValueSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      |FROM v
+      |WHERE value * 1000 > (SELECT CAST(sum(value) AS DECIMAL(38,2)) FROM v)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** Q13-analog: customer order-count distribution. Customer LEFT OUTER
+    * JOIN orders (non-urgent only — the analog of the NOT LIKE comment
+    * filter), count per customer, then the distribution of those counts.
+    * Two shuffles by construction (custkey, then count) — both unavoidable
+    * and both tiny after the first aggregate.
+    */
+  def q13OrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(!col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13OrderDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15-analog: top supplier(s) by quarterly revenue — the max-of-aggregate
+    * view pattern. Per-supplier revenue stays DECIMAL so the max and the
+    * equality join-back are exact (no double-rounding ties); the broadcast
+    * scalar max is the same shape as q22's threshold.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).cast("decimal(38,4)").as("total_rev"))
+    val best = rev.agg(max(col("total_rev")).as("best"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("total_rev") === col("best"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      AS DECIMAL(38,4)) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16-analog: supplier diversity per part group. The supplier-part
+    * relation is derived (DISTINCT l_partkey, l_suppkey — no partsupp);
+    * suppliers in deficit (s_acctbal < 0, the "complaints" analog) are
+    * excluded via an anti join (≡ NOT IN over non-null keys). The distinct
+    * pair projection happens BEFORE the part join so the expensive
+    * distinct runs on two int columns, not the widened row.
+    */
+  def q16SupplierDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierDiversitySql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1,2,3,4,5,6,7,8)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20-analog: dominant suppliers of 'small%' parts. Without
+    * ps_availqty the correlated threshold becomes "shipped more than half
+    * of the part's total 1996 volume" — the same correlated
+    * per-group-threshold shape. The per-part total is a window over the
+    * already-grouped (part, supp) aggregate: ONE shuffle on partkey after
+    * the groupBy, no self-join. Quantity sums are sums of integral doubles
+    * (exact), and 2·sq > total is exact integer-valued arithmetic.
+    */
+  def q20DominantSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
+    val perPartSupp = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter(col("p_name").like("small%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .withColumn("part_total", sum(col("sq")).over(byPart))
+    perPartSupp
+      .filter(col("sq") * 2 > col("part_total"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20DominantSuppliersSql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey),
+      |dom AS (
+      |  SELECT l_suppkey, count(*) AS n_parts
+      |  FROM pq a
+      |  WHERE sq * 2 > (SELECT sum(sq) FROM pq b WHERE b.l_partkey = a.l_partkey)
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, n_parts
+      |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21-analog: suppliers who kept multi-supplier orders waiting. "Late"
+    * := shipped more than 60 days after the order date (no receipt/commit
+    * dates in the schema). The canonical EXISTS (another supplier on the
+    * order) + NOT EXISTS (no OTHER supplier was late) pair becomes a semi
+    * join and an anti join, both on l_orderkey with a non-equi supplier
+    * residual — three shuffles total, all on the same orderkey, so AQE
+    * reuses co-partitioning; supplier broadcasts.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val l1 = lines.filter(col("late"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = lines.filter(col("late"))
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM lines l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM lines l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lines l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+}
