@@ -125,4 +125,47 @@ object StreamingAnalytics {
       .select(c("user_id"), col("click_ts"), col("purchase_ts"),
         col("click_id"), col("purchase_value"))
   }
+
+  /** Native session windows: the built-in `session_window` twin of the
+    * custom [[sessionize]] path — gap-based windows maintained by the
+    * state store itself (merging as events extend a session), closed and
+    * emitted once the watermark passes last-event + gap. Prefer this when
+    * per-session state is just aggregates; drop to
+    * `flatMapGroupsWithState` (the [[sessionize]] path) only for custom
+    * state transitions. Same scale posture: one shuffle on the user key,
+    * watermark-bounded state.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** Stream-stream LEFT OUTER interval join: like [[clickAttribution]]
+    * but unmatched clicks are still emitted (null purchase columns) once
+    * the watermark guarantees no matching purchase can arrive — the
+    * "which impressions never converted" stream. Outer stream-stream
+    * joins REQUIRE both the watermark and the event-time bound: that pair
+    * is what lets the state store both expire rows and prove a null
+    * result final. Null emission happens at watermark passage, so outer
+    * results lag the inner ones by the watermark delay by design.
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+      windowSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "leftOuter")
+      .select(c("user_id"), col("click_ts"), col("click_id"),
+        col("purchase_ts"), col("purchase_value"))
+  }
 }

@@ -108,6 +108,73 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session_window merges extensions and closes on the gap") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingAnalytics.sessionWindowStats(
+        mem.toDF().toDF("user_id", "ts", "value"),
+        gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("session_windows")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: events at t0, t5, t12 — one session (each gap < 10 min,
+      // the t5 event EXTENDS the window, exercising state merge);
+      // user 2: events at t0 and t25 — two sessions (gap 25 > 10)
+      mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(0), 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(12), 3.0), (2L, ts(25), 7.0))
+      q.processAllAvailable()
+      mem.addData((9L, ts(180), 0.0)) // watermark push: close everything
+      q.processAllAvailable()
+      val rows = spark.table("session_windows").collect()
+        .filter(_.getAs[Long]("user_id") < 9L)
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"),
+          r.getAs[Long]("n_events"),
+          r.getAs[java.math.BigDecimal]("session_value").doubleValue()))
+        .sortBy(r => (r._1, r._2.getTime))
+      assert(rows.map(r => (r._1, r._3, r._4)).toSeq ==
+        Seq((1L, 3L, 6.0), (2L, 1L, 5.0), (2L, 1L, 7.0)),
+        s"got ${rows.toSeq}")
+      // user 1's merged session spans t0..t12 (window end = last + gap)
+      val u1 = rows.filter(_._1 == 1L)
+      assert(u1.length == 1 && u1.head._2 == ts(0))
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER interval join emits unmatched clicks with nulls") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingAnalytics.clickAttributionOuter(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      purchases.toDF().toDF("user_id", "purchase_ts", "purchase_value"),
+      windowSeconds = 600, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+      purchases.addData((1L, ts(5), 9.99)) // user 2 never converts
+      q.processAllAvailable()
+      // push both watermarks far past click+interval so the state store
+      // can PROVE user 2's null is final and emit it
+      clicks.addData((9L, ts(120), 0L))
+      purchases.addData((9L, ts(121), 0.0))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(240), 1L))
+      purchases.addData((9L, ts(241), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution_outer").collect()
+        .filter(_.getAs[Long]("user_id") < 9L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Double]("purchase_value"))))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (1L, 100L, Some(9.99)),
+        (2L, 200L, None)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("heavy-hitters sketch aggregates inside a streaming window") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
