@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HyperLogLogAggregator
+
+/** Sketch-based aggregation queries. The point of this surface is that
+  * even APPROXIMATE answers are deterministic and cross-engine
+  * replayable: the sketches hash with md5 (identical everywhere), score
+  * with integer arithmetic, and keep floating point to one final division
+  * of identical operands — so the DuckDB oracle reproduces the estimate
+  * bit-for-bit and the driver hash-gate applies to a sketch.
+  */
+object SketchQueries {
+
+  /** Per-event-type distinct users: HyperLogLog estimate (m=64 registers
+    * via [[HyperLogLogAggregator]]) side-by-side with the exact distinct
+    * and the signed relative error. ONE shuffle carries 64-byte sketches
+    * (map-side combined), vs the exact path's full user-id sets — at
+    * 100 TB the sketch column is why the query still fits; the exact
+    * column is the sf-scale audit.
+    *
+    * The 64-entry register fold runs as an interpreted HOF lambda — on
+    * ONE ROW PER GROUP (5 groups here), not per input row, so codegen
+    * is irrelevant to it; the per-row hot path is the aggregator's
+    * integer reduce.
+    */
+  def sketchHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val hll = HyperLogLogAggregator.hllSketch
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        hll(col("user_id").cast("string")).as("regs"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      // S = Σ 2^(55-M[j]) — exact int64 (≤ 64·2^55); empty registers
+      // (rho 0) contribute 2^55 each automatically
+      .withColumn("s_dyadic",
+        expr("aggregate(regs, 0L, (a, r) -> a + shiftleft(1L, 55 - r))"))
+      // decimal-point literals parse as DECIMAL in both engines — cast
+      // every constant to double explicitly or the α·m²·2^55 product
+      // overflows decimal math (and would round differently anyway)
+      .withColumn("hll_estimate",
+        expr("cast(0.709 as double) * cast(4096 as double)" +
+          " * cast(36028797018963968 as double) / cast(s_dyadic as double)"))
+      .withColumn("rel_error",
+        expr("(hll_estimate - cast(exact_distinct as double)) / cast(exact_distinct as double)"))
+      .select(col("event_type"), col("s_dyadic"), col("hll_estimate"),
+        col("exact_distinct"), col("rel_error"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchHllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+      |    user_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, hv % 64 AS j,
+      |    max(55 - (CASE WHEN hv // 64 = 0 THEN 0
+      |              ELSE length(printf('%b', hv // 64)) END)) AS rho
+      |  FROM h GROUP BY event_type, hv % 64),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+      |      + (64 - count(*)) * (1::BIGINT << 55) AS s_dyadic
+      |  FROM r GROUP BY event_type),
+      |e AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      |  FROM events GROUP BY event_type)
+      |SELECT s.event_type, s_dyadic,
+      |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |    * CAST(36028797018963968 AS DOUBLE) / CAST(s_dyadic AS DOUBLE)
+      |    AS hll_estimate,
+      |  exact_distinct,
+      |  (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |    * CAST(36028797018963968 AS DOUBLE) / CAST(s_dyadic AS DOUBLE)
+      |    - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)
+      |    AS rel_error
+      |FROM s JOIN e ON s.event_type = e.event_type
+      |ORDER BY s.event_type""".stripMargin
+}
