@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture and behavioral-sequence shapes: SCD2 dimension
+  * versioning (the batch MERGE/upsert face) and ordered funnel analysis
+  * over the event stream.
+  */
+object CdcQueries {
+
+  /** SCD2 merge: apply an update batch to a dimension, emitting the full
+    * version history — every key keeps its closed versions
+    * (valid_from/valid_to) plus one open current row. The update batch
+    * here is deterministic (every 10th customer gets a +100 balance
+    * adjustment effective 2000-01-01) so the oracle replays it.
+    *
+    * Shape: union(current-as-v0, updates-as-v1) → ONE shuffle on the key
+    * for the lead() window that closes superseded versions — the same
+    * union+window trick as the as-of join, no full-outer self-join, no
+    * MERGE-specific engine support needed. At scale the union reads both
+    * sides once and the window carries (key, version) only.
+    */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val base = cust.select(col("c_custkey"), col("c_acctbal"),
+      lit("1995-01-01").cast("timestamp_ntz").as("eff"))
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("2000-01-01").cast("timestamp_ntz").as("eff"))
+    val byKey = Window.partitionBy(col("c_custkey")).orderBy(col("eff"))
+    base.unionByName(updates)
+      .withColumn("valid_to",
+        coalesce(lead(col("eff"), 1).over(byKey),
+          lit("9999-12-31").cast("timestamp_ntz")))
+      .withColumn("is_current",
+        (col("valid_to") === lit("9999-12-31").cast("timestamp_ntz"))
+          .cast("long"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("eff").as("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val scd2MergeSql: String =
+    """WITH versions AS (
+      |  SELECT c_custkey, c_acctbal, TIMESTAMP '1995-01-01 00:00:00' AS eff
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal + 100, TIMESTAMP '2000-01-01 00:00:00'
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT c_custkey, c_acctbal, eff AS valid_from,
+      |  coalesce(lead(eff, 1) OVER (PARTITION BY c_custkey ORDER BY eff),
+      |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |  CAST(coalesce(lead(eff, 1) OVER (PARTITION BY c_custkey ORDER BY eff),
+      |                TIMESTAMP '9999-12-31 00:00:00')
+      |       = TIMESTAMP '9999-12-31 00:00:00' AS BIGINT) AS is_current
+      |FROM versions
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** Strict ordered funnel signup → view → click → purchase: each stage
+    * counts users whose FIRST qualifying event happens at-or-after their
+    * entry into the previous stage (not merely "did both ever happen").
+    * Four aggregations, all shuffling on user_id — co-partitioned, so
+    * AQE plans one real exchange per stage input and the stage tables
+    * are tiny (one row per surviving user). Conversion ratios divide
+    * identical long counts — cross-engine exact.
+    */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(prev: DataFrame, prevTs: String, etype: String, out: String): DataFrame =
+      ev.filter(col("event_type") === etype)
+        .join(prev, "user_id")
+        .filter(col("ts") >= col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stage(s1, "t1", "view", "t2")
+    val s3 = stage(s2, "t2", "click", "t3")
+    val s4 = stage(s3, "t3", "purchase", "t4")
+    val counts = s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_click")))
+      .crossJoin(s4.agg(count(lit(1)).as("n_purchase")))
+    counts.select(col("n_signup"), col("n_view"), col("n_click"),
+      col("n_purchase"),
+      (col("n_view").cast("double") / col("n_signup").cast("double"))
+        .as("view_rate"),
+      (col("n_purchase").cast("double") / col("n_signup").cast("double"))
+        .as("purchase_rate"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'view' AND ts >= t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'click' AND ts >= t2 GROUP BY e.user_id),
+      |s4 AS (
+      |  SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts >= t3 GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT count(*) FROM s1) AS n_signup,
+      |  (SELECT count(*) FROM s2) AS n_view,
+      |  (SELECT count(*) FROM s3) AS n_click,
+      |  (SELECT count(*) FROM s4) AS n_purchase,
+      |  CAST((SELECT count(*) FROM s2) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS view_rate,
+      |  CAST((SELECT count(*) FROM s4) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS purchase_rate""".stripMargin
+}
