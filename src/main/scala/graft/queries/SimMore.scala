@@ -111,6 +111,42 @@ object SimMore {
        |GROUP BY centroid_id, i
        |ORDER BY centroid_id, i""".stripMargin
 
+  /** Clustering inertia (the k-means objective): per centroid, the summed
+    * cosine DISTANCE (1 − best-sim) of its members — the convergence /
+    * quality metric that closes the Lloyd loop (E-step `annCentroidAssign`,
+    * M-step `annCentroidUpdate`). Distances quantize to 1e-6 longs before
+    * the sum (sims are already round(·,6), so this is exact re-gridding,
+    * and the long sum is reduction-order free); the emitted doubles are
+    * division chains of identical operands. Map-only + one tiny groupBy.
+    */
+  def annInertia(spark: SparkSession, sfDir: String): DataFrame =
+    assignedVectors(spark, sfDir)
+      .withColumn("d_q6",
+        round((lit(1.0) - array_max(col("sims"))) * lit(1e6)).cast("long"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d_q6")).as("inertia_q6"))
+      .select(col("centroid_id"), col("n_members"), col("inertia_q6"),
+        (col("inertia_q6").cast("double") / lit(1e6)).as("inertia"),
+        (col("inertia_q6").cast("double") / lit(1e6)
+          / col("n_members").cast("double")).as("mean_distance"))
+      .orderBy(col("centroid_id"))
+
+  val annInertiaSql: String =
+    s"""$assignedSqlCtes,
+       |d AS (
+       |  SELECT CAST(list_indexof(sims, list_max(sims)) - 1 AS BIGINT)
+       |           AS centroid_id,
+       |    CAST(round((1.0 - list_max(sims)) * 1e6) AS BIGINT) AS d_q6
+       |  FROM sims)
+       |SELECT centroid_id, count(*) AS n_members,
+       |  CAST(sum(d_q6) AS BIGINT) AS inertia_q6,
+       |  CAST(CAST(sum(d_q6) AS BIGINT) AS DOUBLE) / 1e6 AS inertia,
+       |  CAST(CAST(sum(d_q6) AS BIGINT) AS DOUBLE) / 1e6
+       |    / CAST(count(*) AS DOUBLE) AS mean_distance
+       |FROM d
+       |GROUP BY centroid_id
+       |ORDER BY centroid_id""".stripMargin
+
   /** L2-normalize + int8 scalar quantization: q_i = round(127·e_i/‖e‖).
     * Map-only compression pass; emits the quantized vector, its norm and
     * an exact integer checksum. Both engines divide identical doubles and
