@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over relational edge lists. Companion to
+  * `TextQueries.dedupComponents` (label propagation): PageRank adds
+  * weighted mass propagation, in FIXED-POINT integer arithmetic so every
+  * iteration is bit-identical in any engine — rank_q is rank·10⁶ as a
+  * long; one step is rank_q' = 150000 + (85 · Σ rank_q/outdeg) div 100,
+  * all integer ops (the float formulation would drift across engines by
+  * summation order).
+  */
+object GraphQueries {
+
+  /** PageRank (damping 0.85, 5 synchronous iterations) over the
+    * customer–supplier bipartite graph: an undirected edge wherever a
+    * customer's order includes a supplier's line. Node ids namespace the
+    * two key spaces (customer 2k, supplier 2k+1).
+    *
+    * Scale shape: per iteration ONE shuffle on dst for the contribution
+    * sum plus a left join back to the node list — the textbook
+    * Pregel-style step expressed relationally; ranks/outdeg stay (node,
+    * long) pairs, never materializing anything wider. The edge list and
+    * each iteration's ranks are localCheckpoint'd: ranks are re-read by
+    * the next iteration's two references, and lineage would otherwise
+    * double per round.
+    */
+  def pagerankBipartite(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_q"))
+      .localCheckpoint()
+    for (_ <- 1 to 5) {
+      val inc = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank_q div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+      ranks = nodes
+        .join(inc, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_q"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").as("entity_key"),
+        col("rank_q").as("rank_q6"),
+        (col("rank_q").cast("double") / lit(1e6)).as("pagerank"))
+      .orderBy(col("rank_q6").desc, col("node_type"), col("entity_key"))
+      .limit(100)
+  }
+
+  val pagerankBipartiteSql: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node,
+         |    150000 + (85 * coalesce(CAST(s.c AS BIGINT), 0)) // 100 AS rank_q
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank_q // o.outdeg) AS c
+         |    FROM edges e
+         |    JOIN $prev r ON e.src = r.node
+         |    JOIN od o ON e.src = o.src
+         |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, 1000000::BIGINT AS rank_q FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")},
+       |${step("r3", "r4")},
+       |${step("r4", "r5")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  node // 2 AS entity_key,
+       |  rank_q AS rank_q6,
+       |  CAST(rank_q AS DOUBLE) / 1e6 AS pagerank
+       |FROM r5
+       |ORDER BY rank_q6 DESC, node_type, entity_key
+       |LIMIT 100""".stripMargin
+  }
+}
