@@ -77,6 +77,109 @@ object AnalyticsExtra {
       .orderBy(col("a_brand"), col("b_brand"))
   }
 
+  /** Top-3 orders per priority via the bounded mergeable
+    * [[graft.functions.TopKAggregator]] instead of a window sort: partial
+    * buffers cap at k entries per map task and the shuffle carries ≤
+    * k·partitions rows — no full per-group sort anywhere, which is the
+    * 100 TB answer to "top-k per group". The oracle is the row_number()
+    * WINDOW formulation, so the hash match proves heap-top-k ≡ sort-top-k
+    * under the shared total order (score desc, id asc).
+    */
+  def topkAggPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val topK = graft.functions.TopKAggregator.topK(3)
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(topK(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rnk"),
+        col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  val topkAggPerGroupSql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  /** Decayed moving average over each user's purchase sequence: an
+    * 8-term EWMA with α = 1/2, i.e. Σ_{k=0..7} lag_k(value)/2^(k+1).
+    * Halving is EXACT in IEEE doubles and the 8-term sum is written in
+    * one fixed left-to-right order in both engines, so the result is
+    * bit-identical — the general-α EWMA (recursive, α^k powers) is not
+    * cross-engine stable and a 100 TB pipeline wants the replayable
+    * variant anyway. One shuffle (user window); missing lags coalesce
+    * to 0 with the matching weight renormalization left OUT deliberately
+    * (warm-up rows are partial sums, documented behavior).
+    */
+  def eventsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 to 7).map(k =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) / lit(math.pow(2, k + 1)))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ewma", terms.reduceLeft(_ + _))
+      .filter(col("user_id") % 7 === 0)
+      .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val eventsEwmaSql: String = {
+    val terms = (0 to 7).map(k =>
+      s"coalesce(lag(value, $k) OVER w, CAST(0 AS DOUBLE)) / ${1L << (k + 1)}")
+      .mkString("\n      |    + ")
+    s"""SELECT user_id, event_id, value, ewma FROM (
+       |  SELECT user_id, ts, event_id, value,
+       |    ${terms} AS ewma
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |WHERE user_id % 7 = 0
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** Sliding-window distinct: users active in the trailing 7 days, per
+    * day. Spark (like every engine) cannot do COUNT(DISTINCT) over a
+    * moving frame directly; the scale shape is the CONTRIBUTION EXPLODE —
+    * each (day, user) activity row contributes to the 7 window-end days
+    * it is visible from, then one exact distinct-count per day. Work is
+    * 7× the distinct daily actives (tiny vs the event count), all
+    * map-side until a single groupBy.
+    */
+  def rollingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    daily
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("win_end"))
+      // clip to days that exist in the data so every emitted row is a
+      // real calendar day with a full-or-partial trailing window
+      .join(daily.select(col("day").as("win_end")).distinct(), "win_end")
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy(col("win_end"))
+  }
+
+  val rollingDistinctUsersSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |contrib AS (
+      |  SELECT user_id, day + CAST(k AS INTEGER) AS win_end
+      |  FROM daily, (SELECT unnest(range(0, 7)) AS k))
+      |SELECT win_end, count(DISTINCT user_id) AS active_users_7d
+      |FROM contrib
+      |JOIN (SELECT DISTINCT day AS win_end FROM daily) d USING (win_end)
+      |GROUP BY win_end
+      |ORDER BY win_end""".stripMargin
+
   val rangeJoinBucketsSql: String =
     """WITH p AS (
       |  SELECT p_partkey, p_brand,
