@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality audit: the constraint-checking pass a pipeline runs
+  * before trusting a new drop — referential integrity (FK orphans as
+  * anti joins), key uniqueness, domain ranges, and cross-table temporal
+  * sanity, emitted as one (check_name, n_violations, n_checked) report.
+  *
+  * Scale shape: every check is an independent aggregate/anti-join over
+  * one scan of its table(s) — Spark runs the union's branches as
+  * separate stages (a no-op union, no shuffle of its own), dimensions
+  * broadcast in the FK probes, and each branch's output is ONE row.
+  */
+object QualityAudit {
+
+  def dataQualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+
+    def check(name: String, violations: DataFrame, checked: Long): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          lit(checked).as("n_checked"))
+
+    val nOrders = orders.count()
+    val nLines = lineitem.count()
+
+    val fkOrdersCustomer = check("fk_orders_customer",
+      orders.join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti"), nOrders)
+    val fkLineitemOrders = check("fk_lineitem_orders",
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"), nLines)
+    val pkOrdersUnique = check("pk_orders_unique",
+      orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), nOrders)
+    val domainQuantity = check("domain_quantity_positive",
+      lineitem.filter(col("l_quantity") <= 0), nLines)
+    val domainDiscount = check("domain_discount_unit_interval",
+      lineitem.filter(col("l_discount") < 0 || col("l_discount") > 1), nLines)
+    val temporalShipAfterOrder = check("temporal_ship_after_order",
+      lineitem.join(orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate")), nLines)
+
+    fkOrdersCustomer
+      .unionByName(fkLineitemOrders)
+      .unionByName(pkOrdersUnique)
+      .unionByName(domainQuantity)
+      .unionByName(domainDiscount)
+      .unionByName(temporalShipAfterOrder)
+      .orderBy(col("check_name"))
+  }
+
+  /** Exact interpolated percentile bands (p10/p50/p90) of order totals
+    * per priority, long-form. Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate between the SAME two order statistics
+    * with the same weights, so the doubles agree exactly (the pattern
+    * proven on corpus_stats' median). One shuffle; percentiles sort
+    * within each group only.
+    */
+  def percentileBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val bands = Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9))
+    bands.map { case (name, p) =>
+      orders.groupBy(col("o_orderpriority"))
+        .agg(expr(s"percentile(o_totalprice, cast($p as double))").as("band_value"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), lit(name).as("band"),
+          col("band_value"), col("n_orders"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("o_orderpriority"), col("band"))
+  }
+
+  val percentileBandsSql: String =
+    """SELECT o_orderpriority, band, band_value, n_orders FROM (
+      |  SELECT o_orderpriority, 'p10' AS band,
+      |    quantile_cont(o_totalprice, 0.1) AS band_value,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'p50', quantile_cont(o_totalprice, 0.5),
+      |    count(*)
+      |  FROM orders GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'p90', quantile_cont(o_totalprice, 0.9),
+      |    count(*)
+      |  FROM orders GROUP BY o_orderpriority)
+      |ORDER BY o_orderpriority, band""".stripMargin
+
+  /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    * trap, pinned as a gated result. The probe list is customer keys
+    * with an injected NULL: `NOT IN` must then return ZERO rows (x <>
+    * NULL is UNKNOWN for every x — Spark plans a null-aware anti join),
+    * while `NOT EXISTS` ignores the NULL row and returns the true
+    * orphan count. Emitting both counts locks the engines' agreement on
+    * the semantics, not just the plan.
+    */
+  def nullSemanticsAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val probe = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"))
+      .unionByName(
+        Tables.customer(spark, sfDir).limit(1)
+          .select(lit(null).cast("long").as("k")))
+    val notIn = orders
+      .join(probe, col("o_custkey") === col("k")
+        || col("k").isNull || col("o_custkey").isNull, "left_anti")
+    val notExists = orders
+      .join(probe.filter(col("k").isNotNull),
+        col("o_custkey") === col("k"), "left_anti")
+    notIn.agg(count(lit(1)).as("n_not_in"))
+      .crossJoin(notExists.agg(count(lit(1)).as("n_not_exists")))
+  }
+
+  val nullSemanticsAntiJoinSql: String =
+    """WITH probe AS (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(NULL AS BIGINT))
+      |SELECT
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      |  (SELECT count(*) FROM orders
+      |   WHERE NOT EXISTS (SELECT 1 FROM probe
+      |                     WHERE k = o_custkey)) AS n_not_exists""".stripMargin
+
+  val dataQualityReportSql: String =
+    """SELECT 'fk_orders_customer' AS check_name,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |    AS n_violations,
+      |  (SELECT count(*) FROM orders) AS n_checked
+      |UNION ALL
+      |SELECT 'fk_lineitem_orders',
+      |  (SELECT count(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |  (SELECT count(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'pk_orders_unique',
+      |  (SELECT count(*) FROM
+      |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+      |     HAVING count(*) > 1)),
+      |  (SELECT count(*) FROM orders)
+      |UNION ALL
+      |SELECT 'domain_quantity_positive',
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+      |  (SELECT count(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'domain_discount_unit_interval',
+      |  (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1),
+      |  (SELECT count(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'temporal_ship_after_order',
+      |  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |   WHERE l_shipdate < o_orderdate),
+      |  (SELECT count(*) FROM lineitem)
+      |ORDER BY check_name""".stripMargin
+}
