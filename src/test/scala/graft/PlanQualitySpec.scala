@@ -117,6 +117,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("Window"))
   }
 
+  test("rank filters get the native WindowGroupLimit partial/final pushdown") {
+    // Catalyst (3.5+) plans `filter(row_number <= k)` as a bounded
+    // WindowGroupLimit BEFORE and AFTER the shuffle — map tasks forward at
+    // most k rows per group instead of every row, which is why the engine
+    // does NOT ship a custom top-k strategy (don't re-plan what the
+    // optimizer already bounds; TopKAggregator exists for the
+    // no-sort-at-all formulation). This guard pins the pushdown so a
+    // query-shape change that silently loses it (e.g. a filter the
+    // optimizer can no longer prove rank-bounded) fails loudly.
+    val p = plan(Relational.windowTopNPerCustomer(spark, sf0001))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") &&
+      p.contains("Final"),
+      "row_number filter lost the WindowGroupLimit pushdown:\n" + p)
+  }
+
   test("q22: threshold broadcasts and the no-orders check stays LeftAnti") {
     val p = plan(graft.queries.RelationalThird.q22IdleBalances(spark, sf0001))
     assert(p.contains("LeftAnti"))
