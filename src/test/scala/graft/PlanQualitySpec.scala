@@ -132,6 +132,17 @@ class PlanQualitySpec extends SparkTestBase {
       "row_number filter lost the WindowGroupLimit pushdown:\n" + p)
   }
 
+  test("bloom decontamination: probe side is built-ins only, bitset broadcasts") {
+    val p = plan(graft.queries.CorpusMore.decontaminateBloom(spark, sf0001))
+    // the training-side membership probe must be md5/conv/shiftright
+    // built-ins (codegen), with the one-row bitset broadcast — no
+    // SQL-invisible function may touch the big side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bitset must broadcast:\n" + p)
+    assert(p.contains("shiftright") && p.contains("md5"),
+      "probe must be built-in expressions:\n" + p)
+  }
+
   test("q22: threshold broadcasts and the no-orders check stays LeftAnti") {
     val p = plan(graft.queries.RelationalThird.q22IdleBalances(spark, sf0001))
     assert(p.contains("LeftAnti"))

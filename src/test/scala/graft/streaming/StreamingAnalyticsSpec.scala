@@ -203,6 +203,37 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("HyperLogLog sketch aggregates inside a streaming window (bounded state)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Timestamp, String)]
+    val hll = graft.functions.HyperLogLogAggregator.hllSketch
+    val q = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(hll(col("uid")).as("regs"))
+      .select(col("window.start").as("bucket"), col("regs"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 300 distinct users, some repeated — state per window is 64 bytes
+      // of registers regardless of cardinality. (n >> m: the raw-estimate
+      // regime; below ~2.5m the raw formula is biased high and would need
+      // the linear-counting correction the sketch deliberately omits.)
+      mem.addData((1 to 300).map(i => (ts(i % 9), s"user-$i")): _*)
+      mem.addData((ts(3), "user-1"), (ts(4), "user-2")) // duplicates
+      q.processAllAvailable()
+      mem.addData((ts(60), "closer"))
+      q.processAllAvailable()
+      val regs = spark.table("hll_stream")
+        .filter(col("bucket") === ts(0))
+        .collect().head.getSeq[Int](1).toArray.map(_.toByte)
+      val est = graft.functions.HyperLogLogAggregator.estimate(regs)
+      assert(math.abs(est - 300) / 300.0 < 0.4,
+        s"windowed HLL estimate $est too far from 300")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redeliveries within the watermark, state bounded") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
