@@ -77,6 +77,48 @@ object AnalyticsExtra {
       .orderBy(col("a_brand"), col("b_brand"))
   }
 
+  /** Z-order (Morton) clustering key over (user_id, hour-of-stream):
+    * interleaving the low 16 bits of the two dimensions gives a single
+    * sort key under which rows close in EITHER dimension land close in
+    * the file — the layout trick behind multi-dimensional data skipping
+    * (sort-by-z before write ⇒ per-file min/max ranges stay tight on
+    * BOTH columns, so either predicate prunes). Pure integer shifts and
+    * masks, bit-identical everywhere; emitted here as the keyed sample
+    * a writer would sort by.
+    */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    def interleave(x: String, y: String): String =
+      (0 until 16).map(i =>
+        s"(shiftleft(shiftright($x, $i) & 1, ${2 * i})" +
+          s" + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))")
+        .mkString(" + ")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("cast(date_diff(HOUR, timestamp_ntz'1995-01-01 00:00:00', ts) as bigint)")
+          .as("hour_bucket"))
+      .withColumn("zval", expr(interleave("user_id", "hour_bucket")))
+      .filter(col("event_id") % 53 === 0)
+      .select(col("event_id"), col("user_id"), col("hour_bucket"), col("zval"))
+      .orderBy(col("zval"), col("event_id"))
+  }
+
+  val zorderKeySql: String = {
+    def interleave(x: String, y: String): String =
+      (0 until 16).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_id, user_id,
+       |    CAST(date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', ts)
+       |         AS BIGINT) AS hour_bucket
+       |  FROM events)
+       |SELECT event_id, user_id, hour_bucket,
+       |  ${interleave("user_id", "hour_bucket")} AS zval
+       |FROM base
+       |WHERE event_id % 53 = 0
+       |ORDER BY zval, event_id""".stripMargin
+  }
+
   /** Top-3 orders per priority via the bounded mergeable
     * [[graft.functions.TopKAggregator]] instead of a window sort: partial
     * buffers cap at k entries per map task and the shuffle carries ≤

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -91,6 +91,75 @@ object CdcQueries {
       (col("n_purchase").cast("double") / col("n_signup").cast("double"))
         .as("purchase_rate"))
   }
+
+  /** A/B experiment readout: users hash-split 50/50 (md5 — deterministic
+    * assignment, the same primitive as split_train_test), purchase values
+    * compared via Welch's t. Cross-engine exactness: values quantize to
+    * integer cents, so every moment (n, Σx, Σx²) is an order-free exact
+    * long; the final mean/variance/t expressions are division/sqrt chains
+    * over identical operands — and sqrt is IEEE exactly-rounded (unlike
+    * libm ln/exp), so even the t-statistic hash-matches the oracle.
+    */
+  def abTestLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("variant",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)" +
+          " as bigint) % 2"))
+    def m(v: Int, e: String): Column = sum(when(col("variant") === v, expr(e))
+      .otherwise(lit(0L)))
+    assigned.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        m(0, "cents").as("sum_a"), m(1, "cents").as("sum_b"),
+        m(0, "cents * cents").as("ssq_a"), m(1, "cents * cents").as("ssq_b"))
+      .selectExpr(
+        "n_a", "n_b",
+        "cast(sum_a as double) / cast(n_a as double) / 100.0 as mean_a",
+        "cast(sum_b as double) / cast(n_b as double) / 100.0 as mean_b",
+        "cast(sum_b as double) / cast(n_b as double) / 100.0" +
+          " - cast(sum_a as double) / cast(n_a as double) / 100.0 as lift",
+        // Welch t on the cent scale: var = (ssq - sum^2/n)/(n-1)
+        "(cast(sum_b as double) / cast(n_b as double)" +
+          " - cast(sum_a as double) / cast(n_a as double))" +
+          " / sqrt((cast(ssq_a as double) - cast(sum_a as double)" +
+          " * cast(sum_a as double) / cast(n_a as double))" +
+          " / (cast(n_a as double) - 1.0) / cast(n_a as double)" +
+          " + (cast(ssq_b as double) - cast(sum_b as double)" +
+          " * cast(sum_b as double) / cast(n_b as double))" +
+          " / (cast(n_b as double) - 1.0) / cast(n_b as double)) as t_stat")
+  }
+
+  val abTestLiftSql: String =
+    """WITH a AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+      |      AS variant
+      |  FROM events WHERE event_type = 'purchase'),
+      |mo AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS sum_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS sum_b,
+      |    CAST(sum(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ssq_a,
+      |    CAST(sum(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ssq_b
+      |  FROM a)
+      |SELECT n_a, n_b,
+      |  CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,
+      |  CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b,
+      |  CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0
+      |    - CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS lift,
+      |  (CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |    - CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    / sqrt((CAST(ssq_a AS DOUBLE) - CAST(sum_a AS DOUBLE)
+      |    * CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)
+      |    + (CAST(ssq_b AS DOUBLE) - CAST(sum_b AS DOUBLE)
+      |    * CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)) AS t_stat
+      |FROM mo""".stripMargin
 
   val funnelStagesSql: String =
     """WITH s1 AS (

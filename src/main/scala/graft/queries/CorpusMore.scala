@@ -191,6 +191,63 @@ object CorpusMore {
       |ORDER BY priority, doc_id
       |LIMIT 50""".stripMargin
 
+  /** Language-ID confusion matrix: the n-gram-marker classifier
+    * ([[TextFunctions.langId]]) evaluated against the labeled `lang`
+    * column — per (actual, predicted) counts plus per-actual-language
+    * accuracy (a ratio of identical longs, cross-engine exact). The
+    * standard model-eval companion to the langid scorer: one map-only
+    * classification pass, one tiny groupBy.
+    */
+  def langidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("predicted"))
+    val cells = docs.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val totals = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"),
+        sum(when(col("lang") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("predicted"), col("n"),
+        (col("n_correct").cast("double") / col("n_lang").cast("double"))
+          .as("lang_accuracy"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langidConfusionSql: String = {
+    val marker = Seq("en", "es", "de", "fr").map { l =>
+      val ms = TextFunctions.langMarkers(l).map(s => s"'$s'").mkString(", ")
+      l -> s"len(list_filter(t, x -> list_contains([$ms], x)))"
+    }.toMap
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ${marker("en")} AS hit_en, ${marker("es")} AS hit_es,
+       |    ${marker("de")} AS hit_de, ${marker("fr")} AS hit_fr
+       |  FROM (SELECT doc_id, lang,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents)),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN greatest(hit_en, hit_es, hit_de, hit_fr) = 0 THEN 'und'
+       |         WHEN hit_en = greatest(hit_en, hit_es, hit_de, hit_fr) THEN 'en'
+       |         WHEN hit_es = greatest(hit_en, hit_es, hit_de, hit_fr) THEN 'es'
+       |         WHEN hit_de = greatest(hit_en, hit_es, hit_de, hit_fr) THEN 'de'
+       |         ELSE 'fr' END AS predicted
+       |  FROM scored),
+       |cells AS (
+       |  SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT lang, count(*) AS n_lang,
+       |    CAST(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM pred GROUP BY 1)
+       |SELECT cells.lang, predicted, n,
+       |  CAST(n_correct AS DOUBLE) / CAST(n_lang AS DOUBLE) AS lang_accuracy
+       |FROM cells JOIN totals ON cells.lang = totals.lang
+       |ORDER BY cells.lang, predicted""".stripMargin
+  }
+
   /** Trigram language-model count table: every consecutive 3-token window
     * (NOT distinct — LM counts are occurrence counts), aggregated
     * corpus-wide with document frequencies, top 200. The explode→groupBy
