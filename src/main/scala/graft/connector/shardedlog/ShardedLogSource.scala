@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -106,7 +106,22 @@ class ShardedLogScan(streamDir: String, options: Map[String, String])
 }
 
 class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow contract: snapshot the log's end offsets at
+    * query start; every subsequent micro-batch advances toward (and never
+    * past) that frozen bound — still honoring the per-poll admission cap —
+    * and the query self-terminates once the bound is reached. This is the
+    * cron-style batch-catchup mode: drain the backlog with bounded
+    * batches, exactly-once, no always-on cluster. Without this interface
+    * Spark would fall back to ONE Trigger.Once batch, which under an
+    * admission cap silently drops the rest of the backlog.
+    */
+  @volatile private var availableNowBound: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(ShardedLog.endOffsets(streamDir))
 
   private val maxRecordsPerPoll: Long =
     options.getOrElse("maxrecordsperpoll", "200").toLong
@@ -143,7 +158,9 @@ class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String]
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShardedLogOffset].shards
-    val ends = ShardedLog.endOffsets(streamDir)
+    // under AvailableNow the frozen snapshot IS the end of the log: shards
+    // and records appended after prepare() belong to the next run
+    val ends = availableNowBound.getOrElse(ShardedLog.endOffsets(streamDir))
     val parentsOf = ShardedLog.shardMeta(streamDir)
       .map(si => si.name -> si.parents).toMap
     ShardedLogOffset(ends.map { case (shard, end) =>
@@ -160,7 +177,7 @@ class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String]
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def reportLatestOffset(): Offset =
-    ShardedLogOffset(ShardedLog.endOffsets(streamDir))
+    ShardedLogOffset(availableNowBound.getOrElse(ShardedLog.endOffsets(streamDir)))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardedLogOffset].shards

@@ -75,6 +75,28 @@ class ShardedLogSpec extends SparkTestBase {
       s"batch sizes: ${batches.mkString(",")}")
   }
 
+  test("streaming: AvailableNow drains the backlog in capped batches, then stops") {
+    // the batch-catchup mode: process everything currently in the log —
+    // honoring the admission-control cap per micro-batch — and terminate.
+    // This is how a periodic (cron-style) ingest of a Kinesis-like log
+    // runs at scale: no always-on cluster, same exactly-once offsets.
+    val dir = newStream(2)
+    (1 to 30).foreach(i => put(dir, s"k$i", s"p$i"))
+    val q = spark.readStream.format(ShardedLogSource.ShortName)
+      .option("path", dir)
+      .option("startingPosition", "earliest")
+      .option("maxRecordsPerPoll", "5")
+      .load()
+      .writeStream.format("memory").queryName("log_available_now")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query must self-terminate")
+    assert(spark.table("log_available_now").count() == 30)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.forall(_ <= 10),
+      s"admission cap must hold under AvailableNow: ${batches.mkString(",")}")
+  }
+
   test("streaming: latest skips history, sees only new data") {
     val dir = newStream(2)
     (1 to 10).foreach(i => put(dir, s"k$i", s"old$i"))
