@@ -26,6 +26,17 @@ object Verify {
     // it, so the gate always sees the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail loudly on a typo'd name (a silent no-match would produce a
+    // green-looking but partial dump), and make any subset run visibly
+    // non-canonical.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      System.err.println(
+        s"[verify] SUBSET RUN (${names.size}/${SparkEntry.queries.size}): " +
+          names.toSeq.sorted.mkString(", "))
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

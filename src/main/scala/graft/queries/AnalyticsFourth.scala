@@ -32,8 +32,10 @@ object AnalyticsFourth {
       .withColumn("first_dt", min(col("o_orderdate")).over(byCust))
       .select(
         col("o_custkey"),
-        (year(col("first_dt")) * 12 + month(col("first_dt"))).cast("long").as("cm"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("om"))
+        // month-1 so cm decodes cleanly: cm div 12 = calendar year,
+        // cm % 12 = 0-based month (December stays in its own year).
+        (year(col("first_dt")) * 12 + month(col("first_dt")) - 1).cast("long").as("cm"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("om"))
       .select(
         expr("cm div 12").as("cohort_year"),
         expr("cm % 12").as("cohort_month0"),
@@ -49,9 +51,9 @@ object AnalyticsFourth {
       |  SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY 1),
       |b AS (
       |  SELECT o.o_custkey,
-      |    CAST(EXTRACT(YEAR FROM f.fd) * 12 + EXTRACT(MONTH FROM f.fd) AS BIGINT) AS cm,
+      |    CAST(EXTRACT(YEAR FROM f.fd) * 12 + EXTRACT(MONTH FROM f.fd) - 1 AS BIGINT) AS cm,
       |    CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
-      |      + EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS om
+      |      + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS BIGINT) AS om
       |  FROM orders o JOIN f USING (o_custkey))
       |SELECT cm // 12 AS cohort_year, cm % 12 AS cohort_month0,
       |  om - cm AS months_since,
@@ -144,9 +146,18 @@ object AnalyticsFourth {
     * top-20 plans as TakeOrderedAndProject, never a global sort.
     */
   def marketBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    // Hot-basket guard: the pair self-join is quadratic per basket, so a
+    // pathological 10⁴-item basket (a crawler session, a bot cart) would
+    // emit 10⁸ pairs into one key. Cap every basket at its 64
+    // smallest-partkey items — a deterministic truncation mirrored
+    // verbatim in the oracle; TPC-H baskets (≤7 items) are unaffected.
+    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .dropDuplicates("ok", "pk")
+      .withColumn("rn", row_number().over(perOrder))
+      .filter(col("rn") <= 64)
+      .drop("rn")
       .localCheckpoint() // reused 4× below (both join sides, counts, total)
     val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
     val partCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
@@ -169,7 +180,9 @@ object AnalyticsFourth {
 
   val marketBasketLiftSql: String =
     """WITH items AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |  SELECT ok, pk FROM (
+      |    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |  QUALIFY row_number() OVER (PARTITION BY ok ORDER BY pk) <= 64),
       |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
       |pc AS (SELECT pk, count(*) AS c FROM items GROUP BY 1),
       |pairs AS (

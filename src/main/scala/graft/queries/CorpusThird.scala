@@ -110,7 +110,9 @@ object CorpusThird {
       |  SELECT w, count(*) AS freq FROM tok WHERE length(w) >= 2 GROUP BY 1),
       |pairs AS (
       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
-      |  FROM words, generate_series(1, length(w) - 1) AS t(i))
+      |  FROM (SELECT w, freq,
+      |          unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM words))
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq
       |FROM pairs GROUP BY 1
       |ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin
@@ -155,8 +157,9 @@ object CorpusThird {
       |grams AS (
       |  SELECT DISTINCT doc_id,
       |    array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
-      |  FROM toks,
-      |    generate_series(1, greatest(len(t) - 2, 1)) AS s(i)),
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      |        FROM toks)),
       |shared AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
       |  FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id <> y.doc_id

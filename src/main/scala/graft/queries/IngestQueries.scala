@@ -120,8 +120,11 @@ object IngestQueries {
     * achieved ppm in exact integer arithmetic.
     */
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    // try_cast: an unexpected source name (not 'src<N>') must land in the
+    // default 25% bucket, not throw under ANSI mode — NULL % 2 is NULL,
+    // which falls through to the ELSE arm in both engines.
     val targetPpm = expr(
-      "case when cast(substring(source, 4) as int) % 2 = 0" +
+      "case when try_cast(substring(source, 4) as int) % 2 = 0" +
         " then 750000L else 250000L end")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
@@ -139,7 +142,7 @@ object IngestQueries {
   val mixtureSampleSql: String =
     """WITH assigned AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+      |    CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
       |         THEN 750000 ELSE 250000 END AS target_ppm,
       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
       |      AS h

@@ -332,6 +332,11 @@ object RelationalFourth {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      // Reused 3× below (l1 / semi / anti); without a checkpoint the
+      // lineitem⋈orders join re-executes per leg (ReuseExchange does not
+      // cover all three shapes) — store the small (key, suppkey, bool)
+      // projection once instead.
+      .localCheckpoint()
     val l1 = lines.filter(col("late"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
     val others = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
