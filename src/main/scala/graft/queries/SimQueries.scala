@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.Similarity
+import graft.text.Dedup
 
 /** Gated similarity-search queries over `embeddings` (vec_id, embedding
   * float[64], label). Cosine math is sequential-double in both engines
@@ -150,6 +151,63 @@ object SimQueries {
         countDistinct(col("label")).as("n_labels"),
         min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
+
+  /** Semantic dedup: duplicate CLUSTERS in embedding space — the step an
+    * LLM data pipeline runs after lexical dedup (MinHash/SimHash find
+    * copies; this finds paraphrases). Composes the two existing scale
+    * paths end-to-end: LSH bucketing generates candidate pairs (bucket
+    * equi-join, never all-pairs n²), exact cosine ≥ 0.25 verifies them,
+    * and min-label propagation ([[graft.text.Dedup.connectedComponents]])
+    * closes pairs into clusters. At 100 TB every stage is bounded: the
+    * self-join keys on the 2^8-bucket space (skew = bucket occupancy,
+    * tunable via nBits), the pair set carries only (id, id), and each CC
+    * iteration is one shuffle of (id, label).
+    */
+  def dedupSemanticComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
+      .localCheckpoint() // both self-join sides read stored partitions
+    val pairs = v.toDF("id_a", "e_a", "bucket")
+      .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= expr("cast(0.25 as double)"))
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("src").as("vec_id"), col("lbl").as("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticComponentsSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  WHERE round(list_dot_product(a.e, b2.e)
+       |        / (sqrt(list_dot_product(a.e, a.e))
+       |           * sqrt(list_dot_product(b2.e, b2.e))), 6)
+       |    >= CAST(0.25 AS DOUBLE)),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, lbl) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
+       |SELECT src AS vec_id, min(lbl) AS component
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Oracle generated with the SAME Scala-computed hyperplane weights
     * embedded as literal DOUBLE[] arrays.

@@ -80,4 +80,43 @@ object SketchQueries {
       |    AS rel_error
       |FROM s JOIN e ON s.event_type = e.event_type
       |ORDER BY s.event_type""".stripMargin
+
+  /** Price quantiles via the mergeable KLL/MRL sketch
+    * ([[graft.functions.KllQuantileAggregator]]) — the bounded-memory
+    * replacement for exact `percentile` at 100 TB. Gated in the provably
+    * exact regime: k = 65536 > |lineitem @ sf0.01| = 60 000, so no level
+    * ever compacts, the sketch retains every value at weight 1, and the
+    * answer is the exact order statistic at rank ⌊(pct/100)·(n−1)⌋,
+    * reproduced by the oracle's row_number window. Integer cents
+    * end-to-end; the only double is the rank target, computed from
+    * identical operands with identical association in both engines.
+    */
+  def sketchQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val pcts = Seq(1, 5, 25, 50, 75, 95, 99)
+    val kll = graft.functions.KllQuantileAggregator.kllQuantiles(65536, pcts)
+    Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .agg(kll(col("cents")).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("pos", "value_cents")))
+      .select(
+        element_at(typedLit(pcts.map(_.toLong)), col("pos").cast("int") + 1)
+          .as("q_pct"),
+        col("value_cents"))
+      .orderBy(col("q_pct"))
+  }
+
+  val sketchQuantileSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+      |n AS (SELECT count(*) AS n FROM v),
+      |q AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS q_pct),
+      |t AS (
+      |  SELECT CAST(q_pct AS BIGINT) AS q_pct,
+      |    CAST(floor((CAST(q_pct AS DOUBLE) / CAST(100 AS DOUBLE))
+      |      * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rn
+      |  FROM q, n)
+      |SELECT t.q_pct, r.c AS value_cents
+      |FROM t JOIN r USING (rn)
+      |ORDER BY q_pct""".stripMargin
 }
