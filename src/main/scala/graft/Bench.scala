@@ -33,10 +33,29 @@ object Bench {
         }.min
         name -> t
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness captures only a bounded tail of stdout, so the one-line
+    // summary must stay small: 3-decimal times, slowest-first, and only
+    // queries >= 0.05 s (plus any errors, v < 0) inline — the sub-50 ms
+    // rest is summarized by count+sum. The complete per-query map goes to
+    // bench_queries_full.json alongside the repo for offline reads.
+    def f(v: Double): String = "%.3f".format(v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val shown = results.toSeq.filter { case (_, v) => v >= 0.05 || v < 0 }
+      .sortBy(-_._2)
+    val fast = results.toSeq.filter { case (_, v) => v >= 0 && v < 0.05 }
+    val qs = shown.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    try {
+      val full = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_queries_full.json"),
+        s"""{"total":${f(total)},"n":${results.size},"sf":"$sfDir","queries":$full}""")
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+      s""""fast_omitted":${fast.size},"fast_omitted_sec":${f(fast.map(_._2).sum)},""" +
+      s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
