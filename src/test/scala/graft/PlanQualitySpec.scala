@@ -149,4 +149,26 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "1-row threshold must broadcast, not shuffle")
   }
+
+  test("domain cap: per-source rank filter keeps the WindowGroupLimit pushdown") {
+    val p = plan(graft.queries.CorpusFourth.domainCapSample(spark, sf0001))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") &&
+      p.contains("Final"),
+      "per-source cap lost the partial top-k pushdown:\n" + p)
+  }
+
+  test("boilerplate tagging: the boiler set broadcasts onto the gram stream") {
+    val p = plan(graft.queries.CorpusFourth.boilerplateNgrams(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "boiler-gram tag-back must be a broadcast join:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sketch_quantile: one partial/final aggregate pair, no extra exchange") {
+    val p = plan(graft.queries.SketchQueries.sketchQuantile(spark, sf0001))
+    // global agg = single-key hash exchange; anything more means the
+    // sketch stopped map-side combining
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "quantile sketch must map-side combine:\n" + p)
+  }
 }
