@@ -35,14 +35,14 @@ object Bench {
       }
     // The harness captures only a bounded tail of stdout, so the one-line
     // summary must stay small: 3-decimal times, slowest-first, and only
-    // queries >= 0.05 s (plus any errors, v < 0) inline — the sub-50 ms
-    // rest is summarized by count+sum. The complete per-query map goes to
+    // the 40 slowest queries (plus any errors, v < 0) inline — the rest
+    // is summarized by count+sum. The complete per-query map goes to
     // bench_queries_full.json alongside the repo for offline reads.
     def f(v: Double): String = "%.3f".format(v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val shown = results.toSeq.filter { case (_, v) => v >= 0.05 || v < 0 }
-      .sortBy(-_._2)
-    val fast = results.toSeq.filter { case (_, v) => v >= 0 && v < 0.05 }
+    val bySlow = results.toSeq.sortBy(-_._2)
+    val shown = (bySlow.take(40) ++ bySlow.drop(40).filter(_._2 < 0)).distinct
+    val fast = bySlow.drop(40).filter(_._2 >= 0)
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     try {
@@ -54,7 +54,7 @@ object Bench {
         s"""{"total":${f(total)},"n":${results.size},"sf":"$sfDir","queries":$full}""")
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-      s""""fast_omitted":${fast.size},"fast_omitted_sec":${f(fast.map(_._2).sum)},""" +
+      s""""omitted":${fast.size},"omitted_sec":${f(fast.map(_._2).sum)},""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,3 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteMinHashHof)
   }
 }
+
+object GraftExtensions {
+
+  /** Register the engine's typed mergeable sketch aggregators as SQL
+    * functions (udafs need a live session, so they can't ride
+    * `injectFunction`). Names carry their fixed parameters — SQL has no
+    * constructor-argument channel, so each registration is one concrete,
+    * documented instance of the parameterized aggregator:
+    * `SELECT event_type, hll_sketch(user_id) FROM events GROUP BY 1`.
+    */
+  def registerAggregates(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("hll_sketch", HyperLogLogAggregator.hllSketch)
+    spark.udf.register("cm_sketch", CountMinAggregator.cmSketch)
+    spark.udf.register("kll_quartiles_k4096",
+      KllQuantileAggregator.kllQuantiles(4096, Seq(25, 50, 75)))
+    spark.udf.register("topk_16", TopKAggregator.topK(16))
+    spark.udf.register("heavy_hitters_64", HeavyHittersAggregator.heavyHitters(64))
+    spark.udf.register("minhash_merge_128", MinHashAggregator.minhashMerge(128))
+    spark.udf.register("bloom_build_4096", BloomFilterAggregator.bloomBuild(4096))
+  }
+}

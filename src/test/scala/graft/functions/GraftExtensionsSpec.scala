@@ -25,4 +25,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // shared-JVM: don't stop the session (other suites reuse the context)
     }
   }
+
+  test("sketch aggregators are callable from SQL after registerAggregates") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.registerAggregates(spark)
+    import spark.implicits._
+    (1 to 100).map(i => ("g", s"u${i % 7}", i.toLong)).toDF("g", "u", "v")
+      .createOrReplaceTempView("ext_t")
+    // HLL registers: 64 longs, estimate near 7
+    val regs = spark.sql("SELECT hll_sketch(u) FROM ext_t GROUP BY g")
+      .collect().head.getSeq[Long](0)
+    assert(regs.length == 64)
+    // KLL quartiles over 1..100: exact regime (n < 4096) → 25, 50, 75
+    val q = spark.sql("SELECT kll_quartiles_k4096(v) FROM ext_t")
+      .collect().head.getSeq[Long](0)
+    assert(q == Seq(25L, 50L, 75L))
+    // Count-Min: a single repeated token estimates >= its exact count
+    val cms = spark.sql("SELECT cm_sketch(u) FROM ext_t").collect()
+      .head.getSeq[Long](0)
+    assert(cms.length == 4 * 256 && cms.sum == 4L * 100)
+  }
 }
