@@ -119,4 +119,50 @@ object SketchQueries {
       |SELECT t.q_pct, r.c AS value_cents
       |FROM t JOIN r USING (rn)
       |ORDER BY q_pct""".stripMargin
+
+  /** Per-group quantiles via one KLL sketch PER GROUP — the grouped shape
+    * that matters at 100 TB: each map task carries one bounded buffer per
+    * (task, group), partials combine map-side, and the shuffle moves
+    * sketches, not values. Exact regime again: k = 16384 > every
+    * o_orderpriority group (~3k orders at sf0.01), so the per-group
+    * answer is the exact order statistic and the oracle is a per-group
+    * row_number window.
+    */
+  def groupQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pcts = Seq(25, 50, 75)
+    val kll = graft.functions.KllQuantileAggregator.kllQuantiles(16384, pcts)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(kll(col("cents")).as("qv"))
+      .select(col("o_orderpriority"),
+        posexplode(col("qv")).as(Seq("pos", "value_cents")))
+      .select(col("o_orderpriority"),
+        element_at(typedLit(pcts.map(_.toLong)), col("pos").cast("int") + 1)
+          .as("q_pct"),
+        col("value_cents"))
+      .orderBy(col("o_orderpriority"), col("q_pct"))
+  }
+
+  val groupQuantileSketchSql: String =
+    """WITH v AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, c,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM v),
+      |g AS (SELECT DISTINCT o_orderpriority, n FROM r),
+      |q AS (SELECT unnest([25, 50, 75]) AS q_pct),
+      |t AS (
+      |  SELECT o_orderpriority, CAST(q_pct AS BIGINT) AS q_pct,
+      |    CAST(floor((CAST(q_pct AS DOUBLE) / CAST(100 AS DOUBLE))
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rn
+      |  FROM g, q)
+      |SELECT t.o_orderpriority, t.q_pct, r.c AS value_cents
+      |FROM t JOIN r ON r.o_orderpriority = t.o_orderpriority AND r.rn = t.rn
+      |ORDER BY t.o_orderpriority, t.q_pct""".stripMargin
 }
