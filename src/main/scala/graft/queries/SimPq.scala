@@ -119,4 +119,111 @@ object SimPq {
        |ORDER BY approx_dist, vec_id
        |LIMIT 20""".stripMargin
   }
+
+  // ---- IVF-PQ: coarse routing + in-list ADC, the full FAISS-style shape ----
+
+  private val NLists = 8
+
+  /** Coarse (IVF) centroids: 8 integer 64-dim vectors — literals in both
+    * engines, like every codebook in this file.
+    */
+  private def coarseCentroids: Array[Array[Long]] =
+    Similarity.hyperplaneWeights(NLists, M * SubDim)
+
+  /** The query's coarse list: argmin integer L2 against the coarse
+    * centroids — pure integer constants (integer query × integer
+    * centroids), so the probe id embeds as the same literal in both
+    * engines; ties to the lowest list id.
+    */
+  private def queryCoarseDists: Array[Long] = {
+    val q = queryVec
+    coarseCentroids.map { c =>
+      (0 until M * SubDim).map { d =>
+        val diff = q(d) - c(d); diff * diff
+      }.sum
+    }
+  }
+
+  /** ‖e − C_j‖² as a fixed-order column chain over the full 64 dims. */
+  private def coarseDist(c: Array[Long]): Column =
+    (0 until M * SubDim).map { d =>
+      val x = element_at(col("e"), d + 1) - lit(c(d).toDouble)
+      x * x
+    }.reduceLeft(_ + _)
+
+  /** IVF-PQ probe: every corpus vector routes to its nearest coarse
+    * centroid (argmin fixed-order L2, ties → lowest list — map-only; at
+    * cluster scale the list id IS the partition/bucket key, so a probe
+    * touches one partition, not the corpus). The integer query probes
+    * ONLY its own list (nprobe=1) and ADC-scores that list's 8-byte PQ
+    * codes with the exact integer lookup tables — the end-to-end IVF-PQ
+    * read path: coarse prune → code scan → integer ADC → top-10, no
+    * float vector touched at query time.
+    */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = codebook
+    val table = adcTable
+    val qd = queryCoarseDists
+    val probeList = qd.indexOf(qd.min) // exact integer argmin, lowest wins
+    val cDists = array(coarseCentroids.map(coarseDist): _*)
+    val codeCols = (0 until M).map { m =>
+      val dists = array(cb(m).map(c => encDist(m, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+    }
+    val adc = (0 until M).map { m =>
+      val lut = array(table(m).map(v => lit(v)): _*)
+      element_at(lut, col(s"c$m") + 1)
+    }.reduceLeft(_ + _)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("list_id",
+        (array_position(cDists, array_min(cDists)) - 1).cast("long"))
+      .filter(col("list_id") === probeList)
+      .select(col("vec_id") +: col("list_id") +: codeCols: _*)
+      .withColumn("approx_dist", adc)
+      .select(col("vec_id"), col("list_id"), col("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  val simIvfPqSql: String = {
+    val cb = codebook
+    val table = adcTable
+    val qd = queryCoarseDists
+    val probeList = qd.indexOf(qd.min)
+    def coarseDistSql(c: Array[Long]): String =
+      (0 until M * SubDim).map { d =>
+        s"(e[${d + 1}] - ${c(d)}.0) * (e[${d + 1}] - ${c(d)}.0)"
+      }.mkString(" + ")
+    val coarseList = coarseCentroids.map(coarseDistSql)
+      .mkString("[", ",\n      ", "]")
+    def encDistSql(m: Int, c: Array[Long]): String =
+      (0 until SubDim).map { d =>
+        val i = m * SubDim + d + 1
+        s"(e[$i] - ${c(d)}.0) * (e[$i] - ${c(d)}.0)"
+      }.mkString(" + ")
+    val codeExprs = (0 until M).map { m =>
+      val lst = cb(m).map(c => encDistSql(m, c)).mkString("[", ",\n      ", "]")
+      s"CAST(list_indexof($lst, list_min($lst)) - 1 AS INTEGER) AS c$m"
+    }.mkString(",\n    ")
+    val adcExpr = (0 until M).map { m =>
+      val lut = table(m).mkString("[", ", ", "]")
+      s"$lut[c$m + 1]"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |routed AS (
+       |  SELECT vec_id, e,
+       |    CAST(list_indexof($coarseList,
+       |      list_min($coarseList)) - 1 AS BIGINT) AS list_id
+       |  FROM v),
+       |coded AS (
+       |  SELECT vec_id, list_id,
+       |    $codeExprs
+       |  FROM routed WHERE list_id = $probeList)
+       |SELECT vec_id, list_id, CAST($adcExpr AS BIGINT) AS approx_dist
+       |FROM coded
+       |ORDER BY approx_dist, vec_id
+       |LIMIT 10""".stripMargin
+  }
 }
