@@ -117,10 +117,15 @@ object CorpusThird {
       |FROM pairs GROUP BY 1
       |ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin
 
-  /** k-nearest-neighbor document graph by shared word-3-gram count: an
-    * inverted index (gram → postings) self-joined on the gram key, so the
-    * work is Σ posting-list² — never the all-pairs n². The per-doc top-3
-    * is a rank window that Spark 4 plans as native WindowGroupLimit
+  /** k-nearest-neighbor document graph by shared RARE word-3-gram count:
+    * an inverted index (gram → postings) self-joined on the gram key, so
+    * the work is Σ posting-list² — never the all-pairs n². Grams held by
+    * more than 10% of documents are dropped first (df·10 > n_docs): a
+    * stop-gram shared by every document would otherwise pair the whole
+    * corpus through one key (the same unguarded-quadratic class as a hot
+    * market basket), and ubiquitous grams carry no neighbor signal — the
+    * standard stop-term prune every inverted index applies. The per-doc
+    * top-3 is a rank window that Spark 4 plans as native WindowGroupLimit
     * (partial top-k before the shuffle). Grams here are hashed to 64-bit
     * longs for join-key compactness; the string-gram oracle sees identical
     * counts modulo ~1e-18 collision odds.
@@ -130,11 +135,16 @@ object CorpusThird {
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val postings = spread
       .select(col("doc_id"), explode(graft.text.Dedup.ngramSetOfTokens(
         col("toks"), 3)).as("gram"))
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("g"))
       .localCheckpoint() // both self-join sides read stored partitions
     val shared = postings.toDF("a", "g")
       .join(postings.toDF("b", "g"), Seq("g"))
@@ -154,12 +164,16 @@ object CorpusThird {
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |  FROM documents),
-      |grams AS (
+      |grams0 AS (
       |  SELECT DISTINCT doc_id,
       |    array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS gram
       |  FROM (SELECT doc_id, t,
       |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
       |        FROM toks)),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |grams AS (
+      |  SELECT doc_id, gram FROM grams0, n
+      |  QUALIFY count(*) OVER (PARTITION BY gram) * 10 <= n_docs),
       |shared AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
       |  FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id <> y.doc_id

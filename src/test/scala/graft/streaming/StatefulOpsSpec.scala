@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+import StatefulOps.SpendEvent
+
+/** transformWithState (Spark 4 arbitrary-state API): running per-user
+  * totals must accumulate across micro-batches, keep exact integer
+  * cents, and emit only keys that saw input. Requires the RocksDB state
+  * store provider — set per-query via the checkpoint'd session conf.
+  */
+class StatefulOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("running spend accumulates across micro-batches with O(1) state per key") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-tws").toString
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SpendEvent]
+      val out = StatefulOps.runningSpend(mem.toDF())
+      val q = out.writeStream
+        .format("memory").queryName("tws_spend")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        mem.addData(SpendEvent(1L, 100L), SpendEvent(1L, 250L), SpendEvent(2L, 40L))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_spend")
+          .as[StatefulOps.SpendTotal].collect().map(t => t.user_id -> t).toMap
+        assert(b1(1L).n_events == 2 && b1(1L).total_cents == 350L)
+        assert(b1(2L).n_events == 1 && b1(2L).total_cents == 40L)
+
+        // second batch: user 1 continues from stored state; user 3 is new;
+        // user 2 is silent (no re-emission in update mode)
+        mem.addData(SpendEvent(1L, 1L), SpendEvent(3L, 7L))
+        q.processAllAvailable()
+        val rows = spark.table("tws_spend").as[StatefulOps.SpendTotal].collect()
+        val latest1 = rows.filter(_.user_id == 1L).maxBy(_.n_events)
+        assert(latest1.n_events == 3 && latest1.total_cents == 351L)
+        assert(rows.count(_.user_id == 3L) == 1)
+        assert(rows.count(_.user_id == 2L) == 1, "silent key must not re-emit")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
