@@ -165,4 +165,88 @@ object SketchQueries {
       |SELECT t.o_orderpriority, t.q_pct, r.c AS value_cents
       |FROM t JOIN r ON r.o_orderpriority = t.o_orderpriority AND r.rn = t.rn
       |ORDER BY t.o_orderpriority, t.q_pct""".stripMargin
+
+  /** Trailing-7-day distinct users via MERGED daily HLL sketches — the
+    * query that shows WHY sketches exist at 100 TB: each day aggregates
+    * once into 64 registers, and every window answer is a register-wise
+    * MAX over ≤ 7 sketches (64·7 longs), never a re-scan of the raw
+    * events. The union-merge happens in plain SQL (long-form registers +
+    * max), so the oracle replays it exactly; the exact rolling distinct
+    * rides along as the audit column. Contribution-explode pattern as in
+    * `rolling_distinct_users`: each day's registers fan to the 7 windows
+    * that can see them.
+    */
+  def sketchRollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val hll = HyperLogLogAggregator.hllSketch
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val days = ev.select(col("day").as("win_end")).distinct()
+    val merged = ev.groupBy(col("day"))
+      .agg(hll(col("user_id").cast("string")).as("regs"))
+      .select(col("day"), posexplode(col("regs")).as(Seq("j", "rho")))
+      .select(col("day"), col("j"), col("rho"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(date_add(col("day"), col("k")).as("win_end"), col("j"), col("rho"))
+      .join(days, "win_end")
+      .groupBy(col("win_end"), col("j")).agg(max(col("rho")).as("rho"))
+      // all 64 registers exist per window (empty = rho 0 → 2^55 term)
+      .groupBy(col("win_end"))
+      .agg(sum(expr("shiftleft(1L, 55 - rho)")).as("s_dyadic"))
+    val exact = ev.distinct()
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("win_end"))
+      .join(days, "win_end")
+      .groupBy(col("win_end")).agg(countDistinct(col("user_id")).as("exact_7d"))
+    merged.join(exact, "win_end")
+      .withColumn("hll_estimate",
+        expr("cast(0.709 as double) * cast(4096 as double)" +
+          " * cast(36028797018963968 as double) / cast(s_dyadic as double)"))
+      .withColumn("rel_error",
+        expr("(hll_estimate - cast(exact_7d as double)) / cast(exact_7d as double)"))
+      .select(col("win_end"), col("s_dyadic"), col("hll_estimate"),
+        col("exact_7d"), col("rel_error"))
+      .orderBy(col("win_end"))
+  }
+
+  val sketchRollingDistinctSql: String =
+    """WITH h AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+      |    user_id
+      |  FROM events),
+      |r AS (
+      |  SELECT day, hv % 64 AS j,
+      |    max(55 - (CASE WHEN hv // 64 = 0 THEN 0
+      |              ELSE length(printf('%b', hv // 64)) END)) AS rho
+      |  FROM h GROUP BY day, hv % 64),
+      |days AS (SELECT DISTINCT day AS win_end FROM h),
+      |contrib AS (
+      |  SELECT day + CAST(k AS INTEGER) AS win_end, j, rho
+      |  FROM r, (SELECT unnest(range(0, 7)) AS k)),
+      |merged AS (
+      |  SELECT win_end, j, max(rho) AS rho
+      |  FROM contrib JOIN days USING (win_end)
+      |  GROUP BY win_end, j),
+      |s AS (
+      |  SELECT win_end,
+      |    CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+      |      + (64 - count(*)) * (1::BIGINT << 55) AS s_dyadic
+      |  FROM merged GROUP BY win_end),
+      |exact AS (
+      |  SELECT win_end, count(DISTINCT user_id) AS exact_7d
+      |  FROM (SELECT DISTINCT day, user_id FROM h) du,
+      |       (SELECT unnest(range(0, 7)) AS k)
+      |  JOIN days ON du.day + CAST(k AS INTEGER) = win_end
+      |  GROUP BY win_end)
+      |SELECT s.win_end, s_dyadic,
+      |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |    * CAST(36028797018963968 AS DOUBLE) / CAST(s_dyadic AS DOUBLE)
+      |    AS hll_estimate,
+      |  exact_7d,
+      |  (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |    * CAST(36028797018963968 AS DOUBLE) / CAST(s_dyadic AS DOUBLE)
+      |    - CAST(exact_7d AS DOUBLE)) / CAST(exact_7d AS DOUBLE) AS rel_error
+      |FROM s JOIN exact USING (win_end)
+      |ORDER BY win_end""".stripMargin
 }
