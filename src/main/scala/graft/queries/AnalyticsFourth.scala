@@ -242,4 +242,41 @@ object AnalyticsFourth {
       |FROM p JOIN sky USING (price_cents)
       |WHERE p.size = sky.mx_size
       |ORDER BY p.price_cents, p.p_partkey""".stripMargin
+
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE-style path
+    * analysis): each user's history becomes the string of event-type
+    * initials in (ts, event_id) order, and `v[ces]*p` counts
+    * view→purchase conversions with no second view in between. The
+    * pattern is deterministic across regex engines BY CONSTRUCTION: the
+    * repeated class excludes both delimiters, so greedy-vs-lazy
+    * semantics collapse — each match has exactly one possible extent
+    * (Java regex here ≡ RE2 in the oracle). The per-user collect is
+    * bounded by per-user activity; at 100 TB the same query runs per
+    * session (sessionize upstream) to cap the state.
+    */
+  def sequencePatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("e"))),
+          x => substring(x.getField("event_type"), 1, 1)), "").as("path"))
+      .select(col("user_id"), col("n_events"),
+        size(expr("regexp_extract_all(path, 'v[ces]*p', 0)")).cast("long")
+          .as("n_conversions"))
+      .orderBy(col("user_id"))
+  }
+
+  val sequencePatternMatchSql: String =
+    """WITH paths AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |      AS path
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  CAST(len(regexp_extract_all(path, 'v[ces]*p')) AS BIGINT)
+      |    AS n_conversions
+      |FROM paths
+      |ORDER BY user_id""".stripMargin
 }

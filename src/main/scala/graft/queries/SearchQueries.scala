@@ -107,4 +107,93 @@ object SearchQueries {
       |  c AS doc_id, CAST(score AS BIGINT) AS rrf_score
       |FROM ranked WHERE rrf_rank <= 5
       |ORDER BY query_id, rrf_rank""".stripMargin
+
+  /** BM25 ranked retrieval (k1=1.2, b=0.75) over the inverted index, with
+    * the repo's determinism discipline: the real BM25 idf is ln-based —
+    * libm never crosses the gate — so idf is the fixed-point rarity ratio
+    * (N·1e6 div df), the same substitution `tfidf_top_terms` gates; and
+    * each (term, doc) contribution is computed as one double chain over
+    * identical operands then ROUNDED TO AN INTEGER micro-point, so the
+    * per-(query, doc) score is an exact long sum — reduction-order
+    * independent where a raw double Σ would diverge between engines.
+    * Shuffle profile: tf/df aggregations + the term-key probe join; the
+    * top-10 rank filter is WindowGroupLimit partial top-k.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .repartition(par)
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // reused: df aggregation + probe join
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val df = postings.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qTerms = postings.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q"), col("tok")).distinct()
+    val w = Window.partitionBy(col("q")).orderBy(col("score").desc, col("c"))
+    qTerms
+      .join(postings.toDF("c", "dl", "tok", "tf"), Seq("tok"))
+      .filter(col("q") =!= col("c"))
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      // one double chain over identical operands, rounded to micro-points
+      .withColumn("contrib", expr(
+        "cast(round(cast((n_docs * 1000000L) div df as double)" +
+          " * (cast(tf as double) * cast(2.2 as double))" +
+          " / (cast(tf as double) + cast(1.2 as double)" +
+          "    * (cast(0.25 as double) + cast(0.75 as double)" +
+          "       * (cast(dl as double)" +
+          "          / (cast(total_len as double) / cast(n_docs as double)))))" +
+          ") as bigint)"))
+      .groupBy(col("q"), col("c")).agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q").as("query_id"), col("rank"),
+        col("c").as("doc_id"), col("score").as("bm25_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25TopKSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
+      |  FROM toks),
+      |tfp AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf
+      |  FROM postings GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+      |  FROM (SELECT DISTINCT doc_id, dl FROM tfp)),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tfp GROUP BY 1),
+      |q AS (SELECT DISTINCT doc_id AS q, tok FROM tfp WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT q.q, p.doc_id AS c,
+      |    CAST(sum(CAST(round(CAST((n_docs * 1000000) // df.df AS DOUBLE)
+      |      * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |         * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |            * (CAST(dl AS DOUBLE)
+      |               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |      ) AS BIGINT)) AS BIGINT) AS score
+      |  FROM q
+      |  JOIN tfp p ON p.tok = q.tok AND p.doc_id <> q.q
+      |  JOIN df ON df.tok = q.tok
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT q, c, score, row_number() OVER (
+      |    PARTITION BY q ORDER BY score DESC, c) AS rank
+      |  FROM scored)
+      |SELECT q AS query_id, CAST(rank AS BIGINT) AS rank, c AS doc_id,
+      |  score AS bm25_micro
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 }
