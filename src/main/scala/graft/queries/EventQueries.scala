@@ -199,4 +199,89 @@ object EventQueries {
       |FROM numbered
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Per-day peak session concurrency (occupancy sweep): sessions (same
+    * 30-min-gap derivation as `events_sessionize`) become ±1 boundary
+    * points, clipped at midnight so every point belongs to exactly one
+    * day, and the running sum's maximum per day is the peak. The sweep
+    * window partitions BY DAY — never a global order — so each day's
+    * sort is independent; end-points sort before same-instant starts
+    * (delta asc), making session end exclusive. The per-day max is
+    * permutation-invariant within equal (t, delta) keys (all −1s then
+    * all +1s are each monotone), so tie order can't change the answer in
+    * either engine.
+    */
+  def sessionConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val sessions = Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(tsUs, 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          tsUs - col("prev_us") > lit(1800L * 1000000L)).cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val slices = sessions
+      .select(col("s_start"), col("s_end"),
+        explode(sequence(to_date(col("s_start")), to_date(col("s_end"))))
+          .as("day"))
+      .select(col("day"),
+        greatest(unix_micros(col("s_start").cast("timestamp")),
+          unix_micros(col("day").cast("timestamp"))).as("t0"),
+        least(unix_micros(col("s_end").cast("timestamp")),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))).as("t1"))
+    val points = slices.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
+      .union(slices.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    points
+      .withColumn("running", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("peak_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_session_slices"))
+      .orderBy(col("day"))
+  }
+
+  val sessionConcurrencySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_idx,
+      |    min(ts) AS s_start, max(ts) AS s_end
+      |  FROM numbered GROUP BY 1, 2),
+      |slices AS (
+      |  SELECT
+      |    greatest(epoch_us(s_start), epoch_us(CAST(day AS TIMESTAMP))) AS t0,
+      |    least(epoch_us(s_end),
+      |          epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS t1,
+      |    CAST(day AS DATE) AS day
+      |  FROM (SELECT s_start, s_end,
+      |          unnest(generate_series(CAST(s_start AS DATE),
+      |            CAST(s_end AS DATE), INTERVAL 1 DAY)) AS day
+      |        FROM sessions)),
+      |points AS (
+      |  SELECT day, t0 AS t, 1 AS delta FROM slices
+      |  UNION ALL SELECT day, t1, -1 FROM slices),
+      |swept AS (
+      |  SELECT day, delta, sum(delta) OVER (
+      |    PARTITION BY day ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM points)
+      |SELECT day, CAST(max(running) AS BIGINT) AS peak_concurrent,
+      |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_session_slices
+      |FROM swept GROUP BY day ORDER BY day""".stripMargin
 }

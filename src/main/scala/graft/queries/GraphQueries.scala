@@ -98,4 +98,70 @@ object GraphQueries {
        |ORDER BY rank_q6 DESC, node_type, entity_key
        |LIMIT 100""".stripMargin
   }
+
+  /** Triangle count over the co-purchase graph (parts co-ordered in ≥ 2
+    * orders, baskets capped at 64 items as in `market_basket_lift`).
+    * Edges are oriented a < b, so each triangle is counted exactly once
+    * as the wedge a–b–c (a<b<c) closed by edge (a,c): one equi-join
+    * builds wedges, one LEFT SEMI join closes them — never an all-pairs
+    * pass. At production scale the orientation key is (degree, id)
+    * instead of raw id, which bounds per-vertex wedge fan-out by the
+    * degeneracy; id-orientation keeps the oracle 1:1 here. Emits the
+    * graph audit row (nodes, edges, wedges, triangles).
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .dropDuplicates("ok", "pk")
+      .withColumn("rn", row_number().over(perOrder))
+      .filter(col("rn") <= 64)
+      .drop("rn")
+    val edges = items.toDF("ok", "a")
+      .join(items.toDF("ok", "b"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // reused: wedges (both sides) + closing semi join
+    val wedges = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), Seq("b"))
+      .select(col("a"), col("b"), col("c"))
+      .localCheckpoint() // reused: count + semi join
+    val nodes = edges.select(col("a").as("x"))
+      .union(edges.select(col("b").as("x")))
+      .agg(countDistinct(col("x")).as("n_nodes"))
+    val triangles = wedges
+      .join(edges.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    nodes
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges"), col("n_triangles"))
+  }
+
+  val triangleCountSql: String =
+    """WITH items AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |  QUALIFY row_number() OVER (PARTITION BY ok ORDER BY pk) <= 64),
+      |edges AS (
+      |  SELECT a.pk AS a, b.pk AS b
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |wedge AS (
+      |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles FROM wedge w
+      |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = w.a AND e.b = w.c))
+      |SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT a AS x FROM edges UNION SELECT b FROM edges)) AS n_nodes,
+      |  (SELECT count(*) FROM edges) AS n_edges,
+      |  (SELECT count(*) FROM wedge) AS n_wedges,
+      |  n_triangles
+      |FROM tri""".stripMargin
 }
