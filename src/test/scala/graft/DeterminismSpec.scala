@@ -16,7 +16,12 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_minhash_lsh",      // hash dedup + shuffle join
     "sketch_hll_distinct",    // sketch registers
     "pagerank_bipartite",     // iterative fixed point
-    "sample_weighted")        // hash-priority sampling
+    "sample_weighted",        // hash-priority sampling
+    "sketch_quantile",        // KLL compactor (exact regime)
+    "bm25_topk",              // fixed-point retrieval scoring
+    "rrf_hybrid_search",      // full-outer rank fusion
+    "sketch_rolling_distinct", // merged HLL registers
+    "session_concurrency")    // sweep with tie ordering
 
   representatives.foreach { name =>
     test(s"$name reproduces byte-equal results on re-run") {

@@ -164,6 +164,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bm25/rrf: rank filters keep WindowGroupLimit; no cartesian products") {
+    val bm25 = plan(graft.queries.SearchQueries.bm25TopK(spark, sf0001))
+    assert(bm25.contains("WindowGroupLimit"),
+      "bm25 top-10 lost the partial top-k pushdown:\n" + bm25)
+    assert(!bm25.contains("CartesianProduct"))
+    val rrf = plan(graft.queries.SearchQueries.rrfHybridSearch(spark, sf0001))
+    assert(rrf.contains("WindowGroupLimit"))
+    assert(!rrf.contains("CartesianProduct"))
+  }
+
+  test("session concurrency: sweep window partitions by day, never globally") {
+    val p = plan(graft.queries.EventQueries.sessionConcurrency(spark, sf0001))
+    // a global (empty-partition) running sum would funnel every point
+    // through one task — the window exchange must hash on day
+    assert("hashpartitioning\\(day".r.findAllIn(p).nonEmpty,
+      "sweep must partition by day:\n" + p)
+  }
+
   test("sketch_quantile: one partial/final aggregate pair, no extra exchange") {
     val p = plan(graft.queries.SketchQueries.sketchQuantile(spark, sf0001))
     // global agg = single-key hash exchange; anything more means the
