@@ -172,6 +172,49 @@ object SimMore {
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("checksum"))
       .orderBy(col("vec_id"))
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims: the standard
+    * embedding-compression step before ANN indexing (distances preserved
+    * within 1±ε). The projection matrix is 16 deterministic integer
+    * hyperplanes ([[Similarity.hyperplaneWeights]], literals in the
+    * oracle), each output component a fixed-order codegen'd
+    * multiply-add chain — map-only, no shuffle, ~4× smaller vectors.
+    * Components are emitted quantized to 1e-6 fixed point so the gate
+    * compares exact longs.
+    */
+  def embedRandomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Similarity.hyperplaneWeights(16, Dim)
+    val projCols = w.zipWithIndex.map { case (row, j) =>
+      val chain = (0 until Dim).map(d =>
+        element_at(col("e"), d + 1) * lit(row(d).toDouble)).reduceLeft(_ + _)
+      round(chain * lit(1e6)).cast("long").as(s"p$j")
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .select(col("vec_id") +: projCols.toIndexedSeq: _*)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until 16).map(j => col(s"p$j")): _*).as("proj_q6"),
+        (0 until 16).map(j => col(s"p$j")).reduceLeft(_ + _).as("checksum"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedRandomProjectionSql: String = {
+    val w = Similarity.hyperplaneWeights(16, Dim)
+    val comps = w.map { row =>
+      val arr = row.mkString("[", ", ", "]")
+      s"CAST(round(list_dot_product(e, CAST($arr AS DOUBLE[])) * 1000000) AS BIGINT)"
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (SELECT vec_id, ${comps.zipWithIndex
+        .map { case (c, j) => s"$c AS p$j" }.mkString(",\n    ")}
+       |  FROM v)
+       |SELECT vec_id,
+       |  array_to_string([${(0 until 16).map(j => s"p$j").mkString(", ")}], ',')
+       |    AS proj_q6,
+       |  ${(0 until 16).map(j => s"p$j").mkString(" + ")} AS checksum
+       |FROM p
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val embedQuantizeSql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS raw_norm FROM v),
