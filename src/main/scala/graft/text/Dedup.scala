@@ -299,13 +299,28 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
+    // Right-size the iteration parallelism to the EDGE count, not the
+    // session default: candidate-pair graphs are usually tiny relative
+    // to the corpus, and every label-propagation round otherwise pays a
+    // full-width shuffle (32 near-empty partitions per join/agg, ~10
+    // rounds). ~50k edges per partition; the count is free (edges are
+    // already checkpointed).
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edges0.count() / 50000L).toInt + 1))
+    val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
     var labels = edges.select(col("src")).distinct()
       .withColumn("lbl", col("src")).localCheckpoint()
     var iter = 0
     var converged = false
+    // Convergence via the label-sum invariant: min-propagation can only
+    // DECREASE labels, so Σlbl is strictly decreasing until the fixed
+    // point and equal exactly at it — one single-column agg over the
+    // checkpointed result per round, instead of a join-and-count.
+    var prevSum = Option.empty[java.math.BigDecimal]
     while (iter < maxIter && !converged) {
       val next = edges
         .join(labels.select(col("src").as("dst"), col("lbl")), "dst")
@@ -313,11 +328,13 @@ object Dedup {
         .union(labels)
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("src"), col("lbl").as("__old")), "src")
-        .filter(col("lbl") =!= col("__old")).count()
+      // DECIMAL(38,0): a long Σ would overflow (ANSI: throw) at extreme
+      // id×row scale
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     labels
