@@ -316,10 +316,15 @@ object Dedup {
       .withColumn("lbl", col("src")).localCheckpoint()
     var iter = 0
     var converged = false
-    // Convergence via the label-sum invariant: min-propagation can only
-    // DECREASE labels, so Σlbl is strictly decreasing until the fixed
-    // point and equal exactly at it — one single-column agg over the
-    // checkpointed result per round, instead of a join-and-count.
+    // Convergence via the label-sum invariant where labels are numeric
+    // (every gated caller): min-propagation can only DECREASE labels, so
+    // Σlbl — as DECIMAL(38,0), a long Σ would overflow (ANSI: throw) at
+    // extreme id×row scale — is strictly decreasing until the fixed
+    // point and equal exactly at it. One single-column agg over the
+    // checkpointed result per round instead of a join-and-count; the
+    // join-count remains for non-numeric (e.g. string-id) graphs.
+    val numericLbl = labels.schema("lbl").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var prevSum = Option.empty[java.math.BigDecimal]
     while (iter < maxIter && !converged) {
       val next = edges
@@ -328,13 +333,17 @@ object Dedup {
         .union(labels)
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      // DECIMAL(38,0): a long Σ would overflow (ANSI: throw) at extreme
-      // id×row scale
-      val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+      if (numericLbl) {
+        val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+          .head().getDecimal(0)
+        converged = prevSum.contains(s)
+        prevSum = Some(s)
+      } else {
+        converged = next
+          .join(labels.select(col("src"), col("lbl").as("__old")), "src")
+          .filter(col("lbl") =!= col("__old")).isEmpty
+      }
       labels = next
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
       iter += 1
     }
     labels
