@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -170,4 +170,63 @@ object QualityAudit {
       |   WHERE l_shipdate < o_orderdate),
       |  (SELECT count(*) FROM lineitem)
       |ORDER BY check_name""".stripMargin
+
+  /** Snapshot drift report (data observability): compare two snapshot
+    * windows of the event stream (days 1–15 vs 16–30) per event_type —
+    * volumes, distinct users, exact cent sums, and the volume delta in
+    * ppm of the baseline. One scan, conditional aggregation per side
+    * (never two scans or a self-join); all drift arithmetic in integers
+    * so the report is engine-exact. The alerting threshold (|delta| >
+    * x ppm) is a consumer-side filter, deliberately not baked in.
+    */
+  def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    def side(pred: Column, c: Column): Column = when(pred, c)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("day") < lit("2024-01-31").cast("date"))
+    val v1 = col("day") < cut
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(v1, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(!v1, 1L).otherwise(0L)).as("n_v2"),
+        countDistinct(side(v1, col("user_id"))).as("users_v1"),
+        countDistinct(side(!v1, col("user_id"))).as("users_v2"),
+        coalesce(sum(side(v1, col("cents"))), lit(0L)).as("cents_v1"),
+        coalesce(sum(side(!v1, col("cents"))), lit(0L)).as("cents_v2"))
+      .select(col("event_type"), col("n_v1"), col("n_v2"),
+        col("users_v1"), col("users_v2"), col("cents_v1"), col("cents_v2"),
+        expr("((n_v2 - n_v1) * 1000000L) div n_v1").as("volume_delta_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val snapshotDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) < DATE '2024-01-31')
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_v1,
+      |  CAST(sum(CASE WHEN day >= DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_v2,
+      |  count(DISTINCT CASE WHEN day < DATE '2024-01-16' THEN user_id END)
+      |    AS users_v1,
+      |  count(DISTINCT CASE WHEN day >= DATE '2024-01-16' THEN user_id END)
+      |    AS users_v2,
+      |  CAST(coalesce(sum(CASE WHEN day < DATE '2024-01-16' THEN cents END), 0)
+      |    AS BIGINT) AS cents_v1,
+      |  CAST(coalesce(sum(CASE WHEN day >= DATE '2024-01-16' THEN cents END), 0)
+      |    AS BIGINT) AS cents_v2,
+      |  (CAST(sum(CASE WHEN day >= DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT))
+      |    * 1000000
+      |    // CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS volume_delta_ppm
+      |FROM ev
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
