@@ -37,8 +37,12 @@ object GraphQueries {
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // checkpoint once: both are re-read by EVERY iteration's join — left
+    // on lineage they re-shuffle the edge list five times over
     val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
 
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_q"))
       .localCheckpoint()
