@@ -141,7 +141,8 @@ object SimQueries {
   /** LSH bucket histogram (8-bit random-hyperplane signatures): the
     * map-only bucketing step of the ANN scale path, fully oracle-checked.
     */
-  def simLshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+  def simLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")),
@@ -151,6 +152,7 @@ object SimQueries {
         countDistinct(col("label")).as("n_labels"),
         min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
+  }
 
   /** Semantic dedup: duplicate CLUSTERS in embedding space — the step an
     * LLM data pipeline runs after lexical dedup (MinHash/SimHash find

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 
 /** Similarity search over embedding columns (`array<float>`), SURVEY.md
   * §7.2(6): brute-force cosine top-k as the exact baseline and
@@ -21,12 +21,15 @@ object Similarity {
   /** float[] → double[] (widen once; all math is in double). */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Registers the fused [[CosineSimilarity]] expression for this session
-    * (idempotent) and returns a Column-level handle.
+  /** Registers the fused [[CosineSimilarity]] and [[DotProduct]]
+    * expressions for this session (idempotent).
     */
-  def registerCosine(spark: SparkSession): Unit =
+  def registerCosine(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** Fused single-pass cosine (requires [[registerCosine]] on the session). */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -75,14 +78,16 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (nBits-bit signature): bit i is set
     * when the dot product with hyperplane i is positive. Map-only; one
-    * zip_with+fold per bit over literal weights, fully codegen'd.
+    * fused [[DotProduct]] per bit over literal weights (the interpreted
+    * zip_with+fold it replaces cost an allocation + per-element lambda
+    * dispatch per hyperplane per row). Callers must [[registerCosine]]
+    * first.
     */
   def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val weights = hyperplaneWeights(nBits, dim)
     weights.zipWithIndex.map { case (w, i) =>
       val wCol = array(w.toIndexedSeq.map(v => lit(v.toDouble)): _*)
-      val dot = aggregate(zip_with(vec, wCol, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = call_function("dot_product", vec, wCol)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
