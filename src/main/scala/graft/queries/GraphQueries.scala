@@ -128,19 +128,23 @@ object GraphQueries {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("a"), col("b"))
-      .localCheckpoint() // reused: wedges (both sides) + closing semi join
-    val wedges = edges.toDF("a", "b")
-      .join(edges.toDF("b", "c"), Seq("b"))
-      .select(col("a"), col("b"), col("c"))
-      .localCheckpoint() // reused: count + semi join
+      .localCheckpoint() // reused: wedge sides, semi join, degrees, audit
+    // wedge COUNT from degree products (Σ_b in(b)·out(b)) — never by
+    // materializing the Σd²-sized wedge set just to count it
+    val nWedges = edges.groupBy(col("b")).agg(count(lit(1)).as("din"))
+      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("dout")),
+        col("b") === col("a"))
+      .agg(coalesce(sum(col("din") * col("dout")), lit(0L)).as("n_wedges"))
     val nodes = edges.select(col("a").as("x"))
       .union(edges.select(col("b").as("x")))
       .agg(countDistinct(col("x")).as("n_nodes"))
-    val triangles = wedges
+    val triangles = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), Seq("b"))
+      .select(col("a"), col("b"), col("c"))
       .join(edges.toDF("a", "c"), Seq("a", "c"), "left_semi")
     nodes
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
-      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(nWedges))
       .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
       .select(col("n_nodes"), col("n_edges"),
         col("n_wedges"), col("n_triangles"))

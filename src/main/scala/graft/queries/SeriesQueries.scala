@@ -59,6 +59,13 @@ object SeriesQueries {
     * against two broadcast scalars, so the pattern costs two small
     * aggregates regardless of corpus size. Top-100 by deviation plans as
     * TakeOrderedAndProject.
+    *
+    * 100 TB note: exact `percentile` buffers every value per aggregation
+    * buffer — at corpus scale swap both median passes for
+    * [[graft.functions.KllQuantileAggregator]] (gated as
+    * `sketch_quantile` / `group_quantile_sketch`), whose buffers are
+    * bounded at k·log(n/k); MAD tolerates the sketch's ε rank error by
+    * construction (the 3·MAD threshold is itself a heuristic).
     */
   def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.events(spark, sfDir)
