@@ -250,12 +250,18 @@ object AnalyticsFourth {
     * pattern is deterministic across regex engines BY CONSTRUCTION: the
     * repeated class excludes both delimiters, so greedy-vs-lazy
     * semantics collapse — each match has exactly one possible extent
-    * (Java regex here ≡ RE2 in the oracle). The per-user collect is
-    * bounded by per-user activity; at 100 TB the same query runs per
-    * session (sessionize upstream) to cap the state.
+    * (Java regex here ≡ RE2 in the oracle). Hot-key guard: paths are
+    * truncated to each user's EARLIEST 1000 events (WindowGroupLimit
+    * partial top-k, mirrored in the oracle) so one bot account can't
+    * build an unbounded per-key string; real deployments additionally
+    * sessionize upstream.
     */
   def sequencePatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstK = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(firstK))
+      .filter(col("rn") <= 1000)
       .select(col("user_id"),
         struct(col("ts"), col("event_id"), col("event_type")).as("e"))
       .groupBy(col("user_id"))
@@ -269,11 +275,15 @@ object AnalyticsFourth {
   }
 
   val sequencePatternMatchSql: String =
-    """WITH paths AS (
+    """WITH capped AS (
+      |  SELECT user_id, event_id, ts, event_type FROM events
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) <= 1000),
+      |paths AS (
       |  SELECT user_id, count(*) AS n_events,
       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
       |      AS path
-      |  FROM events GROUP BY user_id)
+      |  FROM capped GROUP BY user_id)
       |SELECT user_id, n_events,
       |  CAST(len(regexp_extract_all(path, 'v[ces]*p')) AS BIGINT)
       |    AS n_conversions

@@ -1,0 +1,41 @@
+package graft
+
+/** Partition invariance: a distributed query's answer must not depend on
+  * how the data happens to be split. The DuckDB gate runs at ONE
+  * partitioning; this spec re-runs representative queries under 1 / 3 /
+  * 13 shuffle partitions (prime fan-outs shift every hash boundary) and
+  * asserts identical results — the property that exact-integer sums,
+  * rounded-before-rank scores, and mergeable sketch buffers were built
+  * to provide. A failure here means reduction-order or buffer-merge
+  * sensitivity that WOULD surface as a flaky hash mismatch on a real
+  * cluster.
+  */
+class PartitionInvarianceSpec extends SparkTestBase {
+
+  private val representatives = Seq(
+    "bm25_topk",               // micro-point contributions summed per pair
+    "rfm_segments",            // percentile thresholds + quartile buckets
+    "sketch_rolling_distinct", // HLL register merge across partials
+    "sketch_quantile",         // KLL buffer merge tree varies with splits
+    "incremental_rollup",      // partial-aggregate union merge
+    "market_basket_lift")      // pair counts + double lift off exact ints
+
+  representatives.foreach { name =>
+    test(s"$name is invariant to shuffle fan-out") {
+      val fn = SparkEntry.queries(name)
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.shuffle.partitions")
+      def run(parts: String): Seq[String] = {
+        conf.set("spark.sql.shuffle.partitions", parts)
+        fn(spark, sf0001).collect().map(_.toString).toSeq
+      }
+      try {
+        val one = run("1")
+        val three = run("3")
+        val prime = run("13")
+        assert(one == three, s"$name differs between 1 and 3 partitions")
+        assert(one == prime, s"$name differs between 1 and 13 partitions")
+      } finally conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
