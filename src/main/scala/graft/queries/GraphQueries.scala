@@ -172,4 +172,59 @@ object GraphQueries {
       |  (SELECT count(*) FROM wedge) AS n_wedges,
       |  n_triangles
       |FROM tri""".stripMargin
+
+  /** Degree distribution of the co-purchase graph in log₂ buckets — the
+    * power-law audit that tells you whether a graph workload needs the
+    * skew machinery (`operators/Skew`) before you run it. Undirected
+    * degrees (each a<b edge counts for both endpoints), bucket =
+    * bit_length(degree) so buckets are [2^(b−1), 2^b) — integer shifts
+    * only. Two shuffles: the per-node degree count and the tiny bucket
+    * rollup.
+    */
+  def degreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .dropDuplicates("ok", "pk")
+      .withColumn("rn", row_number().over(perOrder))
+      .filter(col("rn") <= 64)
+      .drop("rn")
+    val edges = items.toDF("ok", "a")
+      .join(items.toDF("ok", "b"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // bit width via binary-string length (deg ≥ 1 always):
+      // Spark length(bin(x)) ≡ DuckDB length(printf('%b', x))
+      .select(expr("cast(length(bin(deg)) as bigint)").as("bucket"), col("deg"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+  }
+
+  val degreeDistributionSql: String =
+    """WITH items AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |  QUALIFY row_number() OVER (PARTITION BY ok ORDER BY pk) <= 64),
+      |edges AS (
+      |  SELECT a.pk AS a, b.pk AS b
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) u
+      |  GROUP BY node)
+      |SELECT CAST(length(printf('%b', deg)) AS BIGINT) AS bucket,
+      |  count(*) AS n_nodes,
+      |  CAST(min(deg) AS BIGINT) AS min_deg,
+      |  CAST(max(deg) AS BIGINT) AS max_deg
+      |FROM deg
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
 }
