@@ -198,7 +198,10 @@ object QualityAudit {
         coalesce(sum(side(!v1, col("cents"))), lit(0L)).as("cents_v2"))
       .select(col("event_type"), col("n_v1"), col("n_v2"),
         col("users_v1"), col("users_v2"), col("cents_v1"), col("cents_v2"),
-        expr("((n_v2 - n_v1) * 1000000L) div n_v1").as("volume_delta_ppm"))
+        // nullif: a type absent from the baseline window must report NULL
+        // drift, not throw DIVIDE_BY_ZERO under ANSI
+        expr("((n_v2 - n_v1) * 1000000L) div nullif(n_v1, 0L)")
+          .as("volume_delta_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -224,7 +227,8 @@ object QualityAudit {
       |  (CAST(sum(CASE WHEN day >= DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
       |    - CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT))
       |    * 1000000
-      |    // CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+      |    // nullif(CAST(sum(CASE WHEN day < DATE '2024-01-16' THEN 1 ELSE 0 END)
+      |             AS BIGINT), 0)
       |    AS volume_delta_ppm
       |FROM ev
       |GROUP BY event_type
