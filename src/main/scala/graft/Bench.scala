@@ -28,8 +28,10 @@ object Bench {
       .map { case (name, fn) =>
         val t = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          if (ok) elapsed else -1.0 // min() below keeps the error marker
         }.min
         name -> t
       }
@@ -38,7 +40,9 @@ object Bench {
     // the 40 slowest queries (plus any errors, v < 0) inline — the rest
     // is summarized by count+sum. The complete per-query map goes to
     // bench_queries_full.json alongside the repo for offline reads.
-    def f(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlow = results.toSeq.sortBy(-_._2)
     val shown = (bySlow.take(40) ++ bySlow.drop(40).filter(_._2 < 0)).distinct

@@ -59,11 +59,24 @@ class KllQuantileAggregator(k: Int, qPcts: Seq[Int])
     buf
   }
 
-  /** Compact level i if over capacity; cascades upward. */
-  private def compactFrom(buf0: Array[Array[Long]], from: Int): Array[Array[Long]] = {
+  /** Compact over-capacity levels from `from` upward. `scanAll = false`
+    * (the per-row reduce path) may stop at the first level within
+    * capacity — valid there because a single push to level 0 can only
+    * have overfilled a contiguous prefix of levels. After `merge`, which
+    * bulk-appends into EVERY level, that early exit would leave higher
+    * levels over capacity forever (buffers growing with the number of
+    * merged partials, breaking the k·log₂(n/k) bound) — merge passes
+    * `scanAll = true` so every level is visited once, ascending
+    * (promotions land on the level checked next).
+    */
+  private def compactFrom(buf0: Array[Array[Long]], from: Int,
+      scanAll: Boolean): Array[Array[Long]] = {
     var buf = buf0
     var i = from
-    while (i < buf.length && buf(i) != null && cnt(buf(i)) > k) {
+    while (i < buf.length && buf(i) != null &&
+        (cnt(buf(i)) > k || scanAll)) {
+      if (cnt(buf(i)) <= k) { i += 1 }
+      else {
       val lv = buf(i)
       val c = cnt(lv)
       val items = java.util.Arrays.copyOfRange(lv, 2, 2 + c)
@@ -78,6 +91,7 @@ class KllQuantileAggregator(k: Int, qPcts: Seq[Int])
       var j = offset
       while (j < even) { buf = push(buf, i + 1, items(j)); j += 2 }
       i += 1
+      }
     }
     buf
   }
@@ -85,7 +99,7 @@ class KllQuantileAggregator(k: Int, qPcts: Seq[Int])
   override def zero: Array[Array[Long]] = Array(new Array[Long](2 + 16))
 
   override def reduce(buf: Array[Array[Long]], v: Long): Array[Array[Long]] =
-    compactFrom(push(buf, 0, v), 0)
+    compactFrom(push(buf, 0, v), 0, scanAll = false)
 
   override def merge(a: Array[Array[Long]], b: Array[Array[Long]]): Array[Array[Long]] = {
     var out = a
@@ -98,7 +112,7 @@ class KllQuantileAggregator(k: Int, qPcts: Seq[Int])
       }
       i += 1
     }
-    compactFrom(out, 0)
+    compactFrom(out, 0, scanAll = true)
   }
 
   /** Weighted order statistics at the requested percents: the value whose

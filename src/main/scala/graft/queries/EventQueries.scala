@@ -233,6 +233,10 @@ object EventQueries {
           unix_micros(col("day").cast("timestamp"))).as("t0"),
         least(unix_micros(col("s_end").cast("timestamp")),
           unix_micros(date_add(col("day"), 1).cast("timestamp"))).as("t1"))
+      // single-event sessions have s_start == s_end; under end-exclusive
+      // tie order a zero-length slice would cancel before it counts, so
+      // give every slice a 1 µs floor — lone sessions DO occupy the peak
+      .withColumn("t1", greatest(col("t1"), col("t0") + 1))
     val points = slices.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
       .union(slices.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
     val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
@@ -263,6 +267,7 @@ object EventQueries {
       |    min(ts) AS s_start, max(ts) AS s_end
       |  FROM numbered GROUP BY 1, 2),
       |slices AS (
+      |  SELECT t0, greatest(t1, t0 + 1) AS t1, day FROM (
       |  SELECT
       |    greatest(epoch_us(s_start), epoch_us(CAST(day AS TIMESTAMP))) AS t0,
       |    least(epoch_us(s_end),
@@ -271,7 +276,7 @@ object EventQueries {
       |  FROM (SELECT s_start, s_end,
       |          unnest(generate_series(CAST(s_start AS DATE),
       |            CAST(s_end AS DATE), INTERVAL 1 DAY)) AS day
-      |        FROM sessions)),
+      |        FROM sessions))),
       |points AS (
       |  SELECT day, t0 AS t, 1 AS delta FROM slices
       |  UNION ALL SELECT day, t1, -1 FROM slices),

@@ -113,7 +113,12 @@ object GraphQueries {
     * degeneracy; id-orientation keeps the oracle 1:1 here. Emits the
     * graph audit row (nodes, edges, wedges, triangles).
     */
-  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Oriented (a < b) co-purchase edges: part pairs co-ordered in ≥ 2
+    * orders, baskets capped at 64 items (the same hot-basket guard and
+    * cap as `AnalyticsFourth.marketBasketLift`). Checkpointed — every
+    * caller reads it several times (wedge sides, semi join, degrees).
+    */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
     val items = Tables.lineitem(spark, sfDir)
@@ -122,13 +127,17 @@ object GraphQueries {
       .withColumn("rn", row_number().over(perOrder))
       .filter(col("rn") <= 64)
       .drop("rn")
-    val edges = items.toDF("ok", "a")
+    items.toDF("ok", "a")
       .join(items.toDF("ok", "b"), Seq("ok"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("a"), col("b"))
-      .localCheckpoint() // reused: wedge sides, semi join, degrees, audit
+      .localCheckpoint()
+  }
+
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir)
     // wedge COUNT from degree products (Σ_b in(b)·out(b)) — never by
     // materializing the Σd²-sized wedge set just to count it
     val nWedges = edges.groupBy(col("b")).agg(count(lit(1)).as("din"))
@@ -182,19 +191,7 @@ object GraphQueries {
     * rollup.
     */
   def degreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .dropDuplicates("ok", "pk")
-      .withColumn("rn", row_number().over(perOrder))
-      .filter(col("rn") <= 64)
-      .drop("rn")
-    val edges = items.toDF("ok", "a")
-      .join(items.toDF("ok", "b"), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val edges = coPurchaseEdges(spark, sfDir)
     edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -46,17 +46,23 @@ object StatefulOps {
 
   /** Streaming per-user running spend: input needs `user_id` and
     * `amount_cents` columns; emits one updated `SpendTotal` row per key
-    * per micro-batch that saw input (Update mode).
+    * per micro-batch that saw input (Update mode). The time mode follows
+    * the TTL: Spark rejects a TTL'd state variable outside
+    * `TimeMode.ProcessingTime` (state expiry needs a clock), so a real
+    * TTL switches modes automatically and `TTLConfig.NONE` keeps the
+    * deterministic clock-free mode.
     */
   def runningSpend(events: DataFrame,
       ttl: TTLConfig = TTLConfig.NONE): Dataset[SpendTotal] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .select(col("user_id").cast("long").as("user_id"),
         col("amount_cents").cast("long").as("amount_cents"))
       .as[SpendEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningSpendProcessor(ttl),
-        TimeMode.None(), OutputMode.Update(), Encoders.product[SpendTotal])
+        timeMode, OutputMode.Update(), Encoders.product[SpendTotal])
   }
 }

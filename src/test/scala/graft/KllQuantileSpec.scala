@@ -65,6 +65,23 @@ class KllQuantileSpec extends SparkTestBase {
     }
   }
 
+  test("merging many compacted partials keeps every level within capacity") {
+    val k = 256
+    val agg = new KllQuantileAggregator(k, pcts)
+    // 16 partials, each past the compaction point so they carry weight
+    // at several levels — the shape reducers see at scale
+    val partials = (0 until 16).map(p => build(agg, stream(3000).map(_ + p)))
+    val merged = partials.reduce(agg.merge)
+    merged.zipWithIndex.foreach { case (lv, i) =>
+      if (lv != null)
+        assert(lv(0) <= k, s"level $i holds ${lv(0)} items after merges (> k)")
+    }
+    val weights = merged.toSeq.zipWithIndex.collect {
+      case (lv, i) if lv != null => lv(0) * (1L << i)
+    }
+    assert(weights.sum == 16L * 3000, "merge must conserve total weight")
+  }
+
   test("empty input yields zeros; single value answers every quantile") {
     val agg = new KllQuantileAggregator(64, pcts)
     assert(agg.finish(agg.zero) == pcts.map(_ => 0L))
