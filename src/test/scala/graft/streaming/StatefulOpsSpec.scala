@@ -56,4 +56,46 @@ class StatefulOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("a TTL'd state variable runs under ProcessingTime mode and accumulates within the TTL") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-tws-ttl").toString
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SpendEvent]
+      // long TTL: expiry never fires inside the test, but the TTL path
+      // (ProcessingTime mode + TTL'd ValueState) must initialize and run
+      val out = StatefulOps.runningSpend(mem.toDF(),
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+      val q = out.writeStream
+        .format("memory").queryName("tws_spend_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        // no processAllAvailable here: a ProcessingTime-mode query with
+        // TTL'd state never quiesces (TTL upkeep counts as pending
+        // work), so poll the sink instead
+        mem.addData(SpendEvent(7L, 10L), SpendEvent(7L, 5L))
+        val deadline = System.currentTimeMillis() + 120000L
+        def rows() = spark.table("tws_spend_ttl")
+          .as[StatefulOps.SpendTotal].collect().filter(_.user_id == 7L)
+        while (System.currentTimeMillis() < deadline &&
+          !rows().exists(_.n_events == 2)) Thread.sleep(250)
+        val latest = rows().maxBy(_.n_events)
+        assert(latest.n_events == 2 && latest.total_cents == 15L,
+          "state inside the TTL window must keep accumulating")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
