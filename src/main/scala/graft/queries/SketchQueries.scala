@@ -209,6 +209,56 @@ object SketchQueries {
       .orderBy(col("win_end"))
   }
 
+  /** Join-size estimation from Count-Min sketches — the planner-side use
+    * of a frequency sketch: |A ⋈_k B| = Σ_k cntA(k)·cntB(k), and the
+    * inner product of two CMS counter rows upper-bounds it (min over the
+    * d rows = the classic estimate). Here the self-join of lineitem on
+    * l_partkey: the exact answer needs only the (key, count) table; the
+    * sketch answer needs 8 KB per side no matter the key cardinality —
+    * what a 100 TB optimizer consults BEFORE committing to a shuffle
+    * plan. All integer arithmetic; the estimate ≥ exact property is
+    * visible in the gated output.
+    */
+  def joinSizeEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val cms = graft.functions.CountMinAggregator.cmSketch
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("string").as("k"))
+    val exact = li.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_pairs"))
+    val sketch = li.agg(cms(col("k")).as("s"))
+      // row-wise inner products of the sketch with itself: for each of
+      // the d=4 rows, sum counter² over that row's 256 buckets; estimate
+      // = min over rows. One row total — the HOF runs once, not per input.
+      .select((0 until graft.functions.CountMinAggregator.D).map { j =>
+        val w = graft.functions.CountMinAggregator.W
+        expr(s"aggregate(slice(s, ${j * w + 1}, $w), 0L, (a, x) -> a + x * x)")
+          .as(s"r$j")
+      }: _*)
+      .select(least((0 until graft.functions.CountMinAggregator.D)
+        .map(j => col(s"r$j")): _*).as("cms_estimate"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("exact_pairs"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_pairs")).as("overestimate"))
+  }
+
+  val joinSizeEstimateSql: String =
+    """WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+      |exact AS (
+      |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs
+      |  FROM (SELECT k, count(*) AS c FROM k GROUP BY 1)),
+      |seeds AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |buck AS (
+      |  SELECT j,
+      |    ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 15))::BIGINT % 256 AS b,
+      |    count(*) AS c
+      |  FROM k, seeds GROUP BY 1, 2),
+      |rows_ AS (
+      |  SELECT j, CAST(sum(c * c) AS BIGINT) AS ip FROM buck GROUP BY j),
+      |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_estimate FROM rows_)
+      |SELECT exact_pairs, cms_estimate,
+      |  cms_estimate - exact_pairs AS overestimate
+      |FROM exact, est""".stripMargin
+
   val sketchRollingDistinctSql: String =
     """WITH h AS (
       |  SELECT CAST(ts AS DATE) AS day,
