@@ -43,7 +43,10 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // errors (-1 markers) stay visible per-query but must not DEDUCT from
+    // the headline total a cross-round reader compares
+    val total = results.values.filter(_ >= 0).sum
+    val nErrors = results.values.count(_ < 0)
     val bySlow = results.toSeq.sortBy(-_._2)
     val shown = (bySlow.take(40) ++ bySlow.drop(40).filter(_._2 < 0)).distinct
     val fast = bySlow.drop(40).filter(_._2 >= 0)
@@ -59,7 +62,7 @@ object Bench {
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
       s""""omitted":${fast.size},"omitted_sec":${f(fast.map(_._2).sum)},""" +
-      s""""n_queries":${results.size},"sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -228,15 +228,19 @@ object EventQueries {
       .select(col("s_start"), col("s_end"),
         explode(sequence(to_date(col("s_start")), to_date(col("s_end"))))
           .as("day"))
-      .select(col("day"),
+      .select(col("s_start"), col("s_end"), col("day"),
         greatest(unix_micros(col("s_start").cast("timestamp")),
           unix_micros(col("day").cast("timestamp"))).as("t0"),
         least(unix_micros(col("s_end").cast("timestamp")),
           unix_micros(date_add(col("day"), 1).cast("timestamp"))).as("t1"))
-      // single-event sessions have s_start == s_end; under end-exclusive
-      // tie order a zero-length slice would cancel before it counts, so
-      // give every slice a 1 µs floor — lone sessions DO occupy the peak
-      .withColumn("t1", greatest(col("t1"), col("t0") + 1))
+      // single-event sessions (s_start == s_end) would cancel before they
+      // count under end-exclusive tie order, so THOSE get a 1 µs floor; a
+      // multi-day session's empty midnight tail slice stays empty
+      // (end-exclusive everywhere else)
+      .withColumn("t1",
+        when(col("s_start") === col("s_end"), greatest(col("t1"), col("t0") + 1))
+          .otherwise(col("t1")))
+      .select(col("day"), col("t0"), col("t1"))
     val points = slices.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
       .union(slices.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
     val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
@@ -267,8 +271,11 @@ object EventQueries {
       |    min(ts) AS s_start, max(ts) AS s_end
       |  FROM numbered GROUP BY 1, 2),
       |slices AS (
-      |  SELECT t0, greatest(t1, t0 + 1) AS t1, day FROM (
-      |  SELECT
+      |  SELECT t0,
+      |    CASE WHEN s_start = s_end THEN greatest(t1, t0 + 1) ELSE t1 END AS t1,
+      |    day
+      |  FROM (
+      |  SELECT s_start, s_end,
       |    greatest(epoch_us(s_start), epoch_us(CAST(day AS TIMESTAMP))) AS t0,
       |    least(epoch_us(s_end),
       |          epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS t1,

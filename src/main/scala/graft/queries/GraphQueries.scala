@@ -103,16 +103,6 @@ object GraphQueries {
        |LIMIT 100""".stripMargin
   }
 
-  /** Triangle count over the co-purchase graph (parts co-ordered in ≥ 2
-    * orders, baskets capped at 64 items as in `market_basket_lift`).
-    * Edges are oriented a < b, so each triangle is counted exactly once
-    * as the wedge a–b–c (a<b<c) closed by edge (a,c): one equi-join
-    * builds wedges, one LEFT SEMI join closes them — never an all-pairs
-    * pass. At production scale the orientation key is (degree, id)
-    * instead of raw id, which bounds per-vertex wedge fan-out by the
-    * degeneracy; id-orientation keeps the oracle 1:1 here. Emits the
-    * graph audit row (nodes, edges, wedges, triangles).
-    */
   /** Oriented (a < b) co-purchase edges: part pairs co-ordered in ≥ 2
     * orders, baskets capped at 64 items (the same hot-basket guard and
     * cap as `AnalyticsFourth.marketBasketLift`). Checkpointed — every
@@ -136,6 +126,15 @@ object GraphQueries {
       .localCheckpoint()
   }
 
+  /** Triangle count over the co-purchase graph. Edges are oriented
+    * a < b, so each triangle is counted exactly once as the wedge a–b–c
+    * (a<b<c) closed by edge (a,c): one equi-join builds wedges, one
+    * LEFT SEMI join closes them — never an all-pairs pass. At production
+    * scale the orientation key is (degree, id) instead of raw id, which
+    * bounds per-vertex wedge fan-out by the degeneracy; id-orientation
+    * keeps the oracle 1:1 here. Emits the graph audit row (nodes,
+    * edges, wedges, triangles).
+    */
   def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, sfDir)
     // wedge COUNT from degree products (Σ_b in(b)·out(b)) — never by

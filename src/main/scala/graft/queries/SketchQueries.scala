@@ -241,15 +241,19 @@ object SketchQueries {
         (col("cms_estimate") - col("exact_pairs")).as("overestimate"))
   }
 
-  val joinSizeEstimateSql: String =
-    """WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+  val joinSizeEstimateSql: String = {
+    // interpolate the sketch geometry from the shared constants so a
+    // D/W retune cannot silently break oracle parity
+    val d = graft.functions.CountMinAggregator.D
+    val w = graft.functions.CountMinAggregator.W
+    s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
       |exact AS (
       |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs
       |  FROM (SELECT k, count(*) AS c FROM k GROUP BY 1)),
-      |seeds AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |seeds AS (SELECT unnest([${(0 until d).mkString(", ")}]) AS j),
       |buck AS (
       |  SELECT j,
-      |    ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 15))::BIGINT % 256 AS b,
+      |    ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 15))::BIGINT % $w AS b,
       |    count(*) AS c
       |  FROM k, seeds GROUP BY 1, 2),
       |rows_ AS (
@@ -258,6 +262,7 @@ object SketchQueries {
       |SELECT exact_pairs, cms_estimate,
       |  cms_estimate - exact_pairs AS overestimate
       |FROM exact, est""".stripMargin
+  }
 
   val sketchRollingDistinctSql: String =
     """WITH h AS (

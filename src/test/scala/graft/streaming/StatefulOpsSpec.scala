@@ -85,6 +85,8 @@ class StatefulOpsSpec extends SparkTestBase {
           .as[StatefulOps.SpendTotal].collect().filter(_.user_id == 7L)
         while (System.currentTimeMillis() < deadline &&
           !rows().exists(_.n_events == 2)) Thread.sleep(250)
+        assert(rows().nonEmpty,
+          s"no output within the deadline; query exception: ${q.exception}")
         val latest = rows().maxBy(_.n_events)
         assert(latest.n_events == 2 && latest.total_cents == 15L,
           "state inside the TTL window must keep accumulating")
