@@ -66,4 +66,66 @@ object AsOfJoin {
       .select((left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col("__match").getField(c).as(s"$prefix$c"))): _*)
   }
+
+  /** Nearest-neighbor-in-time join: for every left row, the right row
+    * (same key) minimizing |right.ts − left.ts|, ties to the PAST —
+    * backward is inclusive (right.ts ≤ left.ts), forward strict
+    * (right.ts > left.ts), and at equal distance the backward match wins.
+    * ONE union + ONE (key, ts)-sorted window pass recovers both
+    * candidates (`last` behind, `first` strictly ahead — the right row
+    * at equal ts sorts before the left row, so it lands on the backward
+    * side at distance 0), then a row-local comparison picks the winner.
+    * Same single-shuffle O(|L|+|R|) scale shape as [[backward]].
+    *
+    * Emits `prefix<c>` payload columns plus `<prefix>direction`
+    * ('backward'/'forward', null if no match) and `<prefix>dist_us`.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], prefix: String = "matched_",
+      tiebreak: Seq[String] = Nil): DataFrame = {
+
+    val payload = struct(
+      (col(ts).as("__rts") +: rightCols.map(c => col(c).as(c))) ++
+        tiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val payloadType = right.select(payload.as("__payload")).schema("__payload").dataType
+
+    val lPrepared = left
+      .withColumn("__ts", col(ts))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val rPrepared = right.select((left.columns.toIndexedSeq.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+      col(ts).as("__ts") :+ lit(1).as("__side") :+ payload.as("__payload")): _*)
+
+    val order: Seq[Column] =
+      (col("__ts").asc +: col("__side").desc +:
+        tiebreak.map(c => col("__payload").getField(s"__tb_$c").asc))
+    val base = Window.partitionBy(col(key)).orderBy(order: _*)
+    val behind = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ahead = base.rowsBetween(1, Window.unboundedFollowing)
+
+    val distB = expr("unix_micros(cast(__ts as timestamp))") -
+      expr("unix_micros(cast(__b.__rts as timestamp))")
+    val distF = expr("unix_micros(cast(__f.__rts as timestamp))") -
+      expr("unix_micros(cast(__ts as timestamp))")
+    val pickB = col("__f").isNull || (col("__b").isNotNull && distB <= distF)
+
+    lPrepared.unionByName(rPrepared)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(behind))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(ahead))
+      .filter(col("__side") === 0)
+      .withColumn("__win", when(col("__b").isNull && col("__f").isNull,
+          lit(null).cast(payloadType))
+        .otherwise(when(pickB, col("__b")).otherwise(col("__f"))))
+      .withColumn(s"${prefix}direction",
+        when(col("__win").isNull, lit(null).cast("string"))
+          .otherwise(when(pickB, lit("backward")).otherwise(lit("forward"))))
+      .withColumn(s"${prefix}dist_us",
+        when(col("__win").isNull, lit(null).cast("long"))
+          .otherwise(when(pickB, distB).otherwise(distF)))
+      .select((left.columns.toIndexedSeq.map(col) ++
+        rightCols.map(c => col("__win").getField(c).as(s"$prefix$c")) ++
+        Seq(col(s"${prefix}direction"), col(s"${prefix}dist_us"))): _*)
+  }
 }

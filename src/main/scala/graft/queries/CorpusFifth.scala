@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TopKAggregator
+
+/** Fifth-wave corpus/pipeline operators: rational-arithmetic lexical
+  * diversity scoring, exact-substring duplicate spans (the suffix-array
+  * dedup shape re-expressed as an inverted gram index), and a
+  * deterministic bounded per-key reservoir sample.
+  *
+  * Determinism contract (same as the rest of the corpus surface): all
+  * scores stay in integer/rational arithmetic until one final division
+  * of identical operands, hashes are md5-derived, so the DuckDB oracle
+  * reproduces every row bit-for-bit.
+  */
+object CorpusFifth {
+
+  /** Per-document lexical-diversity metrics WITHOUT transcendentals:
+    * type-token ratio and the token-collision probability Σc²/n² (the
+    * chance two uniformly drawn tokens are equal — Simpson index; the
+    * rational-arithmetic stand-in for entropy, which would hinge on
+    * cross-engine log() ulps). Flags the repetitive tail. Map-side
+    * explode + one (doc_id, token) shuffle + one doc_id shuffle —
+    * both keyed on the doc, so at 100 TB this is two well-partitioned
+    * aggregations with map-side combine, no global state.
+    */
+  def lexicalDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("collision_p",
+        col("sum_sq").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"))
+      .withColumn("repetitive", col("collision_p") > expr("cast(0.08 as double)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
+        col("ttr"), col("collision_p"), col("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tc AS (
+      |  SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+      |  FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types, sum_sq,
+      |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |  CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+      |    AS collision_p,
+      |  CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+      |    > CAST(0.08 AS DOUBLE) AS repetitive
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  /** Character-level gram length for [[suffixDupSpans]]. */
+  private val G = 30
+
+  /** Exact-substring duplicate spans: for every document, the fraction of
+    * character positions whose G=30-char gram appears verbatim in at
+    * least one OTHER document — the distributed re-expression of
+    * suffix-array training-data dedup (find verbatim copied spans, not
+    * just near-identical whole docs). Never pairs documents: positions
+    * explode map-side, the inverted index shuffles on the gram, and a
+    * gram's doc-spread (count distinct doc) marks its positions. At
+    * 100 TB the shuffle carries (gram, doc, positions) postings — Σ|doc|
+    * rows total, the same asymptotics as tokenizing the corpus — versus
+    * the n² of any pairwise approach.
+    */
+  def suffixDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .filter(col("n_chars") >= G)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))
+      .withColumn("g", expr(s"substring(text, cast(p as int), $G)"))
+      .drop("text")
+    // doc-spread per gram; grams in >= 2 docs mark duplicated positions
+    val spread = pos.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    pos.join(spread, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_pos"))
+      .withColumn("dup_frac",
+        col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
+      .select(col("doc_id"), col("n_pos"), col("n_dup_pos"), col("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val suffixDupSpansSql: String =
+    s"""WITH pos0 AS (
+      |  SELECT doc_id, text, unnest(range(1, n_chars - ${G - 2})) AS p
+      |  FROM documents WHERE n_chars >= $G),
+      |pos AS (
+      |  SELECT doc_id, p, substr(text, CAST(p AS INTEGER), $G) AS g
+      |  FROM pos0),
+      |spread AS (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_pos,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_frac
+      |FROM pos JOIN spread USING (g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Composite C4-style corpus filter audit: every hygiene signal in ONE
+    * scan-and-aggregate pass — length, language, token-collision
+    * repetition ([[lexicalDiversity]] semantics), dominant-token share —
+    * each as a flag column plus the first-failing `drop_reason` in a
+    * fixed priority order (the audit trail a data pipeline keeps so
+    * "why did my doc disappear?" is answerable). All thresholds are
+    * rational-arithmetic comparisons of exact integers, so the gate
+    * hashes every verdict. One (doc_id, token) shuffle + one doc_id
+    * aggregation — the same two-shuffle shape as lexicalDiversity, with
+    * the verdict logic map-side after it.
+    */
+  def corpusFilterReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("text"))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val stats = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    docs.drop("text").join(stats, "doc_id")
+      .withColumn("collision_p",
+        col("sum_sq").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"))
+      .withColumn("max_share",
+        col("max_c").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("f_too_short", col("n_chars") < 120)
+      .withColumn("f_non_en", col("lang") =!= "en")
+      .withColumn("f_repetitive", col("collision_p") > expr("cast(0.08 as double)"))
+      .withColumn("f_dominated", col("max_share") > expr("cast(0.15 as double)"))
+      .withColumn("keep",
+        !col("f_too_short") && !col("f_non_en") && !col("f_repetitive")
+          && !col("f_dominated"))
+      .withColumn("drop_reason",
+        when(col("f_too_short"), "too_short")
+          .when(col("f_non_en"), "non_en")
+          .when(col("f_repetitive"), "repetitive")
+          .when(col("f_dominated"), "dominated")
+          .otherwise(lit(null).cast("string")))
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("n_tokens"),
+        col("collision_p"), col("max_share"), col("f_too_short"),
+        col("f_non_en"), col("f_repetitive"), col("f_dominated"),
+        col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusFilterReportSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tc AS (
+      |  SELECT doc_id, t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(max(c) AS BIGINT) AS max_c,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+      |  FROM tc GROUP BY doc_id),
+      |r AS (
+      |  SELECT d.doc_id, d.n_chars, d.lang, s.n_tokens,
+      |    CAST(s.sum_sq AS DOUBLE) / CAST(s.n_tokens * s.n_tokens AS DOUBLE)
+      |      AS collision_p,
+      |    CAST(s.max_c AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS max_share,
+      |    d.n_chars < 120 AS f_too_short,
+      |    d.lang <> 'en' AS f_non_en,
+      |    CAST(s.sum_sq AS DOUBLE) / CAST(s.n_tokens * s.n_tokens AS DOUBLE)
+      |      > CAST(0.08 AS DOUBLE) AS f_repetitive,
+      |    CAST(s.max_c AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+      |      > CAST(0.15 AS DOUBLE) AS f_dominated
+      |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id)
+      |SELECT doc_id, n_chars, lang, n_tokens, collision_p, max_share,
+      |  f_too_short, f_non_en, f_repetitive, f_dominated,
+      |  NOT (f_too_short OR f_non_en OR f_repetitive OR f_dominated) AS keep,
+      |  CASE WHEN f_too_short THEN 'too_short'
+      |       WHEN f_non_en THEN 'non_en'
+      |       WHEN f_repetitive THEN 'repetitive'
+      |       WHEN f_dominated THEN 'dominated'
+      |       ELSE NULL END AS drop_reason
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many DISTINCT 30-char grams they share verbatim — the provenance
+    * audit that tells you which crawl sources copy from which (mirror
+    * sites, syndication, templating) before you decide dedup survivor
+    * priorities. Same inverted gram index as [[suffixDupSpans]]; the
+    * pair expansion happens per gram over its ≤20 distinct sources
+    * (bounded by the source vocabulary, NOT by corpus size), so the
+    * 100 TB cost is the gram shuffle, and the output is |sources|²
+    * rows regardless of scale.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .filter(col("n_chars") >= G)
+      .select(col("source"), col("text"),
+        explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))
+      .select(col("source"),
+        expr(s"substring(text, cast(p as int), $G)").as("g"))
+      .distinct()
+    grams.toDF("src_a", "g")
+      .join(grams.toDF("src_b", "g"), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapMatrixSql: String =
+    s"""WITH pos0 AS (
+      |  SELECT source, text, unnest(range(1, n_chars - ${G - 2})) AS p
+      |  FROM documents WHERE n_chars >= $G),
+      |grams AS (
+      |  SELECT DISTINCT source, substr(text, CAST(p AS INTEGER), $G) AS g
+      |  FROM pos0)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(count(*) AS BIGINT) AS shared_grams
+      |FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin
+
+  private val ReservoirK = 8
+
+  /** Deterministic bounded "reservoir" sample: the k=8 documents with the
+    * smallest md5-derived keys per source — a uniform-without-replacement
+    * per-key sample that any executor can recompute (no RNG state).
+    * Implemented with the mergeable bounded [[TopKAggregator]] (score =
+    * negated 52-bit hash), so each map task holds ≤ k entries per source
+    * and the shuffle moves k-row buffers, never the corpus — the scale
+    * contrast to the oracle's window row_number, which must sort every
+    * group. 52-bit keys (13 hex chars) stay exact in the aggregator's
+    * double score.
+    */
+  def reservoirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = TopKAggregator.topK(ReservoirK)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy(col("source"))
+      .agg(topk(-col("h").cast("double"), col("doc_id")).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "sd")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("sd._2").as("doc_id"),
+        (-col("sd._1")).cast("long").as("sample_key"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val reservoirSampleSql: String =
+    s"""WITH h AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+      |      AS rank
+      |  FROM h)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, h AS sample_key
+      |FROM r
+      |WHERE rank <= $ReservoirK
+      |ORDER BY source, rank""".stripMargin
+}

@@ -296,4 +296,63 @@ object EventQueries {
       |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_session_slices
       |FROM swept GROUP BY day ORDER BY day""".stripMargin
+
+  /** Nearest-in-time join ([[AsOfJoin.nearest]]): each click/view paired
+    * with the CLOSEST purchase by the same user in either direction,
+    * ties to the past — the attribution variant where "the purchase just
+    * after the click" counts too. One union + one (user, ts)-sorted
+    * window recovers both temporal neighbors; no theta-join, no row
+    * explosion (the oracle needs TWO asof joins to express the same
+    * thing). Output carries direction + signed distance so downstream
+    * can window it.
+    */
+  def asofNearestEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val probes = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    AsOfJoin.nearest(probes, purchases, key = "user_id", ts = "ts",
+      rightCols = Seq("purchase_id"))
+      .select(col("event_id"), col("user_id"), col("matched_purchase_id"),
+        col("matched_direction"), col("matched_dist_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofNearestEventSql: String =
+    """WITH probes AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |b AS (
+      |  SELECT e.event_id, p.purchase_id AS b_id, p.ts AS b_ts
+      |  FROM probes e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts >= p.ts),
+      |f AS (
+      |  SELECT e.event_id, p.purchase_id AS f_id, p.ts AS f_ts
+      |  FROM probes e ASOF LEFT JOIN p
+      |    ON e.user_id = p.user_id AND e.ts < p.ts),
+      |j AS (
+      |  SELECT pr.event_id, pr.user_id, pr.ts, b_id, b_ts, f_id, f_ts,
+      |    (f_ts IS NULL OR (b_ts IS NOT NULL
+      |       AND epoch_us(pr.ts) - epoch_us(b_ts)
+      |           <= epoch_us(f_ts) - epoch_us(pr.ts))) AS pick_b
+      |  FROM probes pr
+      |  LEFT JOIN b ON b.event_id = pr.event_id
+      |  LEFT JOIN f ON f.event_id = pr.event_id)
+      |SELECT event_id, user_id,
+      |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+      |       WHEN pick_b THEN b_id ELSE f_id END AS matched_purchase_id,
+      |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+      |       WHEN pick_b THEN 'backward' ELSE 'forward' END
+      |    AS matched_direction,
+      |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+      |       WHEN pick_b THEN epoch_us(ts) - epoch_us(b_ts)
+      |       ELSE epoch_us(f_ts) - epoch_us(ts) END AS matched_dist_us
+      |FROM j
+      |ORDER BY event_id""".stripMargin
 }

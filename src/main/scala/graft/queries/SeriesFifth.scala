@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fifth-wave time-series / distribution operators: two-sample
+  * Kolmogorov-Smirnov drift detection in pure integer arithmetic, a
+  * Markov transition matrix over per-user event sequences, and linear
+  * interpolation resampling onto an hourly grid.
+  */
+object SeriesFifth {
+
+  /** Two-sample KS statistic between the length distributions of two
+    * document populations (sources src0-src9 vs src10-src19) — the
+    * standard ingest-time drift test ("does the new crawl look like the
+    * old one?"). The ECDF gap is kept integer-exact: at every distinct
+    * value v, |cumA(v)·nB − cumB(v)·nA| is a BIGINT, the max over v is
+    * the KS numerator, and the statistic divides it by nA·nB once at the
+    * end. The cumulative window runs over the ~500-value DISTINCT length
+    * domain (pre-aggregated — never the raw corpus), the one global sort
+    * every ECDF needs; everything before it is a map-side tag + one
+    * value-keyed aggregation, so at 100 TB the narrow waist is
+    * |distinct values|, not |rows|.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = Tables.documents(spark, sfDir)
+      .select(
+        when(expr("try_cast(substring(source, 4) as int)") < 10, 1L)
+          .otherwise(0L).as("is_a"),
+        col("n_chars").as("v"))
+    val per = tagged.groupBy(col("v"))
+      .agg(sum(col("is_a")).as("ca"),
+        (count(lit(1)) - sum(col("is_a"))).as("cb"))
+    val totals = tagged.agg(sum(col("is_a")).as("n_a"),
+      (count(lit(1)) - sum(col("is_a"))).as("n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = per
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    gaps
+      .withColumn("max_gap", max(col("gap")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("gap") === col("max_gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("gap")).as("ks_num"), min(col("v")).as("ks_at_value"))
+      .withColumn("ks_stat",
+        col("ks_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+      .select(col("n_a"), col("n_b"), col("ks_num"), col("ks_at_value"),
+        col("ks_stat"))
+  }
+
+  val ksDriftSql: String =
+    """WITH tagged AS (
+      |  SELECT CASE WHEN try_cast(substr(source, 4, 9) AS INTEGER) < 10
+      |              THEN 1 ELSE 0 END AS is_a,
+      |         n_chars AS v
+      |  FROM documents),
+      |per AS (
+      |  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+      |    CAST(count(*) - sum(is_a) AS BIGINT) AS cb
+      |  FROM tagged GROUP BY v),
+      |totals AS (
+      |  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+      |    CAST(count(*) - sum(is_a) AS BIGINT) AS n_b
+      |  FROM tagged),
+      |cum AS (
+      |  SELECT v,
+      |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+      |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      |  FROM per),
+      |gaps AS (
+      |  SELECT v, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+      |  FROM cum, totals)
+      |SELECT n_a, n_b,
+      |  CAST(max(gap) AS BIGINT) AS ks_num,
+      |  min(v) FILTER (gap = (SELECT max(gap) FROM gaps)) AS ks_at_value,
+      |  CAST(max(gap) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_stat
+      |FROM gaps
+      |GROUP BY n_a, n_b""".stripMargin
+
+  /** Rolling 7-point OLS slope of daily order revenue — trend detection
+    * as a window aggregate. Every sufficient statistic (Σx, Σy, Σxy,
+    * Σx², n) is an exact BIGINT window sum over integer day indexes and
+    * revenue cents, and the slope is ONE final division — so a
+    * regression coefficient hash-gates across engines. Day domain is
+    * pre-aggregated (~2.4k rows) before the global-ordered window, the
+    * same small-domain pattern as `cusum_daily_revenue`. Slope is null
+    * until 2 points exist (den = 0 guard).
+    */
+  def rollingSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1992-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_cents_per_day",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / col("den").cast("double")))
+      .select(col("day"), col("y").as("revenue_cents"), col("n"),
+        col("slope_cents_per_day"))
+      .orderBy(col("day"))
+  }
+
+  val rollingSlopeSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y,
+      |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+      |      AS x
+      |  FROM orders GROUP BY o_orderdate),
+      |s AS (
+      |  SELECT day, y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, y AS revenue_cents, n,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / CAST(n * sxx - sx * sx AS DOUBLE) END
+      |    AS slope_cents_per_day
+      |FROM s
+      |ORDER BY day""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type), with counts. The sequence
+    * order is (ts, event_id) per user — a per-user window (shuffles once
+    * on user_id, the natural key), then a 25-cell aggregation. The model
+    * behind session simulation and anomalous-flow detection; at 100 TB
+    * the per-user sort is the only cost and it partitions perfectly.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total_out",
+        sum(col("cnt")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("prob",
+        col("cnt").cast("double") / col("total_out").cast("double"))
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        col("total_out"), col("prob"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS prev_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, cnt,
+      |  CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS total_out,
+      |  CAST(cnt AS DOUBLE)
+      |    / CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+      |FROM counts
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  /** Linear-interpolation resampling: per event type, the event `value`
+    * series resampled onto an exact hourly grid, v(t) = v0 + (v1−v0) ·
+    * (t−t0)/(t1−t0) between the surrounding observations. The irregular
+    * series and the grid union into ONE per-type ordered stream, and two
+    * frames (last-non-null behind, first-non-null ahead) recover both
+    * neighbors without any join — the standard gap-bridging trick. Time
+    * deltas are integer epoch-µs; the interpolation is three IEEE ops on
+    * identical operands in both engines, so the gate hashes it exactly.
+    * Partitioned by event_type: at 100 TB this is a per-key ordered scan
+    * (and with finer keys — per sensor, per user — it parallelizes to
+    * match).
+    */
+  def interpolateLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+    val grid = ev.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("event_type"),
+        explode(sequence(date_trunc("hour", col("t0")),
+          date_trunc("hour", col("t1")), expr("interval 1 hour"))).as("ts0"))
+      .select(col("event_type"), col("ts0").cast("timestamp_ntz").as("ts"))
+    val unioned = ev
+      .select(col("event_type"), col("ts"), col("value"),
+        lit(0).as("tag"), col("event_id"))
+      .unionByName(grid.select(col("event_type"), col("ts"),
+        lit(null).cast("double").as("value"), lit(1).as("tag"),
+        lit(0L).as("event_id")))
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+    val behind = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ahead = ord.rowsBetween(1, Window.unboundedFollowing)
+    val obsTs = when(col("tag") === 0, col("ts"))
+    val obsV = when(col("tag") === 0, col("value"))
+    unioned
+      .withColumn("pts", last(obsTs, ignoreNulls = true).over(behind))
+      .withColumn("pv", last(obsV, ignoreNulls = true).over(behind))
+      .withColumn("nts", first(obsTs, ignoreNulls = true).over(ahead))
+      .withColumn("nv", first(obsV, ignoreNulls = true).over(ahead))
+      .filter(col("tag") === 1 && col("pts").isNotNull && col("nts").isNotNull)
+      .withColumn("value_interp",
+        col("pv") + (col("nv") - col("pv"))
+          * (expr("cast(unix_micros(cast(ts as timestamp)) - unix_micros(cast(pts as timestamp)) as double)")
+             / expr("cast(unix_micros(cast(nts as timestamp)) - unix_micros(cast(pts as timestamp)) as double)")))
+      .select(col("event_type"), col("ts"), col("value_interp"))
+      .orderBy(col("event_type"), col("ts"))
+  }
+
+  val interpolateLinearSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type, date_trunc('hour', min(ts)) AS t0,
+      |    date_trunc('hour', max(ts)) AS t1
+      |  FROM ev GROUP BY event_type),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+      |    AS ts
+      |  FROM bounds),
+      |unioned AS (
+      |  SELECT event_type, ts, value, 0 AS tag, event_id FROM ev
+      |  UNION ALL
+      |  SELECT event_type, ts, NULL, 1, 0 FROM grid),
+      |n AS (
+      |  SELECT event_type, ts, tag,
+      |    last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY ts, tag, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS pts,
+      |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY ts, tag, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS pv,
+      |    first_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY ts, tag, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts,
+      |    first_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY ts, tag, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM unioned)
+      |SELECT event_type, ts,
+      |  pv + (nv - pv) * (CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE)
+      |                    / CAST(epoch_us(nts) - epoch_us(pts) AS DOUBLE))
+      |    AS value_interp
+      |FROM n
+      |WHERE tag = 1 AND pts IS NOT NULL AND nts IS NOT NULL
+      |ORDER BY event_type, ts""".stripMargin
+}

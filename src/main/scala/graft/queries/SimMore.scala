@@ -226,4 +226,45 @@ object SimMore {
       |  CAST(list_sum(q) AS BIGINT) AS checksum
       |FROM qz
       |ORDER BY vec_id""".stripMargin
+
+  /** Per-label centroid components in FIXED-POINT arithmetic: each
+    * embedding coordinate is floored to 2^20ths, summed exactly as
+    * BIGINTs per (label, dim), and divided once at the end — the
+    * class-prototype computation (mean embedding per label) made
+    * reduction-order-proof. The naive float mean would hash-diverge
+    * under any repartition; this is the pattern for EVERY
+    * vector-averaging step at 100 TB (k-means M-step ships the same
+    * trick in `ann_centroid_update`). One posexplode (map-side) + one
+    * (label, dim) aggregation with map-side combine.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1048576L)).cast("long").as("fp"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("sum_fp"))
+      .withColumn("centroid",
+        col("sum_fp").cast("double")
+          / (col("n") * lit(1048576L)).cast("double"))
+      .select(col("label"), col("dim"), col("n"), col("sum_fp"),
+        col("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH v AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |comp AS (
+      |  SELECT label, CAST(i AS BIGINT) AS dim,
+      |    CAST(floor(e[CAST(i AS INTEGER)] * 1048576) AS BIGINT) AS fp
+      |  FROM v, (SELECT unnest(range(1, 65)) AS i)),
+      |s AS (
+      |  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(fp) AS BIGINT) AS sum_fp
+      |  FROM comp GROUP BY label, dim)
+      |SELECT label, dim, n, sum_fp,
+      |  CAST(sum_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS centroid
+      |FROM s
+      |ORDER BY label, dim""".stripMargin
 }

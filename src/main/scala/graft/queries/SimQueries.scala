@@ -211,6 +211,77 @@ object SimQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** ANN quality audit: recall@3 of the single-probe LSH path against
+    * the exact brute-force top-3, per query — the metric that decides
+    * whether an ANN index is production-ready, computed inside the
+    * engine (no external eval harness). Both sides tie-break
+    * deterministically (sim rounded to 6, then corpus_id), so recall is
+    * exact and gate-able. Scale: the expensive side is the exact top-k,
+    * which at 100 TB runs over a SAMPLE of queries (here: 20) — the
+    * standard recall-estimation protocol; the LSH side is the production
+    * bucket-join path already gated by `sim_lsh_topk`.
+    */
+  def annRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus = emb, queries = queries, k = 3)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.lshTopK(corpus = emb, queries = queries, k = 3,
+        nBits = LshBits, dim = Dim)
+      .select(col("query_id"), col("corpus_id"))
+    val matched = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .withColumn("recall_at_3",
+        col("n_match").cast("double") / expr("cast(3 as double)"))
+      .select(col("query_id"), col("n_match"), col("recall_at_3"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallAuditSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
+       |exact AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.e, c.e)
+       |              / (sqrt(list_dot_product(q.e, q.e))
+       |                 * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+       |        c.vec_id) AS rank
+       |    FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |approx AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.e, c.e)
+       |              / (sqrt(list_dot_product(q.e, q.e))
+       |                 * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+       |        c.vec_id) AS rank
+       |    FROM b q JOIN b c ON q.bucket = c.bucket
+       |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |m AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_match
+       |  FROM exact JOIN approx USING (query_id, corpus_id)
+       |  GROUP BY query_id)
+       |SELECT q.vec_id AS query_id,
+       |  coalesce(m.n_match, 0) AS n_match,
+       |  CAST(coalesce(m.n_match, 0) AS DOUBLE) / CAST(3 AS DOUBLE)
+       |    AS recall_at_3
+       |FROM (SELECT vec_id FROM v WHERE vec_id < 20) q
+       |LEFT JOIN m ON m.query_id = q.vec_id
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** Oracle generated with the SAME Scala-computed hyperplane weights
     * embedded as literal DOUBLE[] arrays.
     */

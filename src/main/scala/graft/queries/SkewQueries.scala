@@ -49,4 +49,68 @@ object SkewQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** The DECISION side of the skew machinery: per candidate join key,
+    * the distribution stats a planner consults before choosing between a
+    * plain shuffle join, a broadcast, or [[Skew.saltedJoin]] — row
+    * count, distinct keys, the heaviest key's count, and the
+    * max/average ratio that IS the skew factor. `recommend_salt` fires
+    * when one key carries > 4× the average (the rule of thumb behind
+    * AQE's skewedPartitionFactor). One aggregation per key column, all
+    * exact integers until the final ratio — at 100 TB the same stats
+    * come from a sampled scan or the Count-Min row already gated by
+    * `join_size_estimate`.
+    */
+  def skewAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    def stats(df: DataFrame, keyCol: String, name: String): DataFrame =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(name).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"))
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    stats(li, "l_partkey", "lineitem.l_partkey")
+      .unionByName(stats(li, "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(stats(ord, "o_custkey", "orders.o_custkey"))
+      .withColumn("avg_key_rows",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew_ratio",
+        (col("max_key_rows") * col("n_keys")).cast("double")
+          / col("n_rows").cast("double"))
+      .withColumn("recommend_salt", col("skew_ratio") > expr("cast(4 as double)"))
+      .select(col("key_name"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"), col("avg_key_rows"), col("skew_ratio"),
+        col("recommend_salt"))
+      .orderBy(col("key_name"))
+  }
+
+  val skewAdvisorSql: String =
+    """WITH pk AS (
+      |  SELECT 'lineitem.l_partkey' AS key_name, count(*) AS c
+      |  FROM lineitem GROUP BY l_partkey),
+      |sk AS (
+      |  SELECT 'lineitem.l_suppkey' AS key_name, count(*) AS c
+      |  FROM lineitem GROUP BY l_suppkey),
+      |ck AS (
+      |  SELECT 'orders.o_custkey' AS key_name, count(*) AS c
+      |  FROM orders GROUP BY o_custkey),
+      |u AS (
+      |  SELECT * FROM pk UNION ALL SELECT * FROM sk UNION ALL
+      |  SELECT * FROM ck),
+      |s AS (
+      |  SELECT key_name,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(max(c) AS BIGINT) AS max_key_rows
+      |  FROM u GROUP BY key_name)
+      |SELECT key_name, n_rows, n_keys, max_key_rows,
+      |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_key_rows,
+      |  CAST(max_key_rows * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |    AS skew_ratio,
+      |  CAST(max_key_rows * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |    > CAST(4 AS DOUBLE) AS recommend_salt
+      |FROM s
+      |ORDER BY key_name""".stripMargin
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layout observability: zone-map (block min/max) statistics and
+  * the pruning decisions a scan planner would take from them. Companion
+  * to the layout queries `zorder_key`, `compaction_bins`, `table_stats`.
+  */
+object StorageOps {
+
+  /** Zone-map pruning audit over a month-clustered lineitem layout: for
+    * each ship-month "block", the min/max of the clustered column
+    * (l_shipdate) AND of an unclustered one (l_orderkey), plus whether a
+    * planner consulting only those zone maps could skip the block for
+    * (a) a date predicate `l_shipdate >= 1997-06-01` and (b) an orderkey
+    * predicate `l_orderkey < 2000`. The output shows the whole lesson of
+    * zone maps in one table: the clustered column's blocks prune exactly
+    * (skip ⟺ month before the cutoff) while the random column's min/max
+    * straddle every block, pruning nothing — WHY `zorder_key` exists.
+    * One scan + one small groupBy; at 100 TB these stats come from
+    * parquet footers, and this query IS the footer aggregation.
+    */
+  def zoneMapPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("blk"),
+        col("l_shipdate"), col("l_orderkey"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"))
+      .withColumn("skip_by_date", col("max_ship") < lit("1997-06-01").cast("date"))
+      .withColumn("skip_by_okey", col("min_okey") >= 2000L)
+      .select(col("blk"), col("n_rows"), col("min_ship"), col("max_ship"),
+        col("min_okey"), col("max_okey"), col("skip_by_date"),
+        col("skip_by_okey"))
+      .orderBy(col("blk"))
+  }
+
+  val zoneMapPruningSql: String =
+    """WITH b AS (
+      |  SELECT CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+      |              AS BIGINT) AS blk,
+      |         l_shipdate, l_orderkey
+      |  FROM lineitem)
+      |SELECT blk, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+      |  max(l_shipdate) < DATE '1997-06-01' AS skip_by_date,
+      |  min(l_orderkey) >= 2000 AS skip_by_okey
+      |FROM b
+      |GROUP BY blk
+      |ORDER BY blk""".stripMargin
+}

@@ -21,7 +21,11 @@ class DeterminismSpec extends SparkTestBase {
     "bm25_topk",              // fixed-point retrieval scoring
     "rrf_hybrid_search",      // full-outer rank fusion
     "sketch_rolling_distinct", // merged HLL registers
-    "session_concurrency")    // sweep with tie ordering
+    "session_concurrency",    // sweep with tie ordering
+    "ks_drift",               // integer ECDF gap + argmax tie-break
+    "kcore_parts",            // iterative peeling loop
+    "interpolate_linear",     // union + ignore-nulls window frames
+    "asof_nearest_event")     // dual-frame nearest match + tie-to-past
 
   representatives.foreach { name =>
     test(s"$name reproduces byte-equal results on re-run") {

@@ -18,7 +18,9 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "sketch_rolling_distinct", // HLL register merge across partials
     "sketch_quantile",         // KLL buffer merge tree varies with splits
     "incremental_rollup",      // partial-aggregate union merge
-    "market_basket_lift")      // pair counts + double lift off exact ints
+    "market_basket_lift",      // pair counts + double lift off exact ints
+    "reservoir_sample",        // bounded top-k buffer merge order
+    "suffix_dup_spans")        // inverted gram index + distinct-doc spread
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {

@@ -189,4 +189,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       "quantile sketch must map-side combine:\n" + p)
   }
+
+  test("reservoir_sample: prunes text column; no window sort of the corpus") {
+    val p = plan(graft.queries.CorpusFifth.reservoirSample(spark, sf0001))
+    // the whole point of the bounded aggregator: the corpus is never
+    // sorted, and the scan reads only (source, doc_id) — reading `text`
+    // for a key sample would be a 100 TB I/O regression
+    assert(!p.contains("text:"), "reservoir sample must not read text:\n" + p)
+    assert(!p.contains("Window"), "must aggregate, not window-sort:\n" + p)
+  }
+
+  test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
+    val sfx = plan(graft.queries.CorpusFifth.suffixDupSpans(spark, sf0001))
+    assert(!sfx.contains("CartesianProduct") &&
+      !sfx.contains("BroadcastNestedLoopJoin"),
+      "gram index must join on the gram key:\n" + sfx)
+    val interp = plan(graft.queries.SeriesFifth.interpolateLinear(spark, sf0001))
+    assert(!interp.contains("SortMergeJoin") &&
+      !interp.contains("BroadcastHashJoin"),
+      "interpolation must be union+window, not an asof join pair:\n" + interp)
+  }
 }

@@ -142,6 +142,31 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension; unmatched rows keep nulls") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val q = StreamingAnalytics.enrichWithDimension(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((1L, 10.0), (3L, 7.0))
+      q.processAllAvailable()
+      mem.addData((2L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 3)
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[String]("segment") == "gold"))
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 2L &&
+        r.getAs[String]("segment") == "silver"))
+      // unmatched user passes through with a null segment, not dropped
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 3L &&
+        r.getAs[String]("segment") == null))
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join emits unmatched clicks with nulls") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
