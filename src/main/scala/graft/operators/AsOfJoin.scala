@@ -103,7 +103,19 @@ object AsOfJoin {
         tiebreak.map(c => col("__payload").getField(s"__tb_$c").asc))
     val base = Window.partitionBy(col(key)).orderBy(order: _*)
     val behind = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ahead = base.rowsBetween(1, Window.unboundedFollowing)
+    // Forward lookup as a GROWING frame over the REVERSED order — a
+    // `first(...) OVER (1 FOLLOWING, UNBOUNDED FOLLOWING)` shrinking
+    // frame makes Spark recompute the non-invertible aggregate per row,
+    // O(n²) in a key's row count (a hot key detonates). Reversed tie
+    // layout (side asc, tiebreak desc) keeps semantics identical: right
+    // rows at equal ts land BEHIND the left row in DESC order (still
+    // backward matches), and `last` over the reversed frame picks the
+    // smallest-ts strictly-forward right row with the smallest tiebreak.
+    val orderRev: Seq[Column] =
+      (col("__ts").desc +: col("__side").asc +:
+        tiebreak.map(c => col("__payload").getField(s"__tb_$c").desc))
+    val aheadRev = Window.partitionBy(col(key)).orderBy(orderRev: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
 
     val distB = expr("unix_micros(cast(__ts as timestamp))") -
       expr("unix_micros(cast(__b.__rts as timestamp))")
@@ -113,7 +125,7 @@ object AsOfJoin {
 
     lPrepared.unionByName(rPrepared)
       .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(behind))
-      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(ahead))
+      .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(aheadRev))
       .filter(col("__side") === 0)
       .withColumn("__win", when(col("__b").isNull && col("__f").isNull,
           lit(null).cast(payloadType))

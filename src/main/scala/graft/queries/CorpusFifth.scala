@@ -88,13 +88,18 @@ object CorpusFifth {
         explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))
       .withColumn("g", expr(s"substring(text, cast(p as int), $G)"))
       .drop("text")
-    // doc-spread per gram; grams in >= 2 docs mark duplicated positions
-    val spread = pos.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    pos.join(spread, "g")
+    // "gram appears in >= 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
+    // over the gram's postings — two invertible window aggregates on ONE
+    // gram-keyed shuffle, instead of a countDistinct + join-back (which
+    // shuffles the posting list twice). Same trick an inverted index
+    // uses to tag singleton terms.
+    val wg = Window.partitionBy(col("g"))
+    pos
+      .withColumn("dup",
+        min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pos"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_pos"))
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos"))
       .withColumn("dup_frac",
         col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
       .select(col("doc_id"), col("n_pos"), col("n_dup_pos"), col("dup_frac"))
@@ -212,18 +217,37 @@ object CorpusFifth {
     * rows regardless of scale.
     */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    // Each gram's source membership as a BITMASK (sources are 'src0'..
+    // 'src19' by data contract — the same invariant mixture_sample keys
+    // on): ONE gram-keyed bit_or of codegen'd longs — no per-group set
+    // objects — then the mask HISTOGRAM (≤ 2^20 but practically a few
+    // hundred rows) pair-expands against a broadcast 190-row pair table.
+    // The only data-sized shuffle carries (gram, long); everything after
+    // is driver-trivial. This is the bitmap-index formulation of
+    // "which sources share content" — the 100 TB answer to a
+    // posting-list self-join.
+    val masks = Tables.documents(spark, sfDir)
       .filter(col("n_chars") >= G)
-      .select(col("source"), col("text"),
+      .select(expr("cast(substring(source, 4) as int)").as("si"),
+        col("text"),
         explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))
-      .select(col("source"),
-        expr(s"substring(text, cast(p as int), $G)").as("g"))
-      .distinct()
-    grams.toDF("src_a", "g")
-      .join(grams.toDF("src_b", "g"), "g")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("shared_grams"))
+      .select(col("si"), expr(s"substring(text, cast(p as int), $G)").as("g"))
+      .groupBy(col("g"))
+      .agg(expr("bit_or(shiftleft(1L, si))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val pairs = (for { a <- 0 until 20; b <- a + 1 until 20 } yield (a, b))
+      .toDF("a", "b")
+    masks.crossJoin(broadcast(pairs))
+      .filter(expr("shiftright(mask, a) % 2 = 1 and shiftright(mask, b) % 2 = 1"))
+      // pair labels in STRING order ('src12' < 'src4') to match the
+      // oracle's a.source < b.source comparison on the raw names
+      .groupBy(
+        least(concat(lit("src"), col("a")), concat(lit("src"), col("b")))
+          .as("src_a"),
+        greatest(concat(lit("src"), col("a")), concat(lit("src"), col("b")))
+          .as("src_b"))
+      .agg(sum(col("cnt")).as("shared_grams"))
       .orderBy(col("src_a"), col("src_b"))
   }
 

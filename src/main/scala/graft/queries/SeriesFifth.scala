@@ -210,17 +210,27 @@ object SeriesFifth {
       .unionByName(grid.select(col("event_type"), col("ts"),
         lit(null).cast("double").as("value"), lit(1).as("tag"),
         lit(0L).as("event_id")))
-    val ord = Window.partitionBy(col("event_type"))
+    val ordAsc = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("tag"), col("event_id"))
-    val behind = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ahead = ord.rowsBetween(1, Window.unboundedFollowing)
+    val behind = ordAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The forward neighbor via a GROWING frame over the reversed order,
+    // not `first(...) OVER (1 FOLLOWING, UNBOUNDED FOLLOWING)`: Spark
+    // recomputes non-invertible aggregates on shrinking frames, which is
+    // O(n²) per partition (measured 38 s on 20k-row partitions at sf0.1);
+    // the reversed growing frame is the O(n) incremental scan. Tie
+    // layout mirrors exactly: at equal ts the grid row (tag 1) sorts
+    // BEFORE the observations in DESC (tag desc), so "rows before me"
+    // are strictly-later observations only.
+    val ordDesc = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc)
+    val aheadRev = ordDesc.rowsBetween(Window.unboundedPreceding, -1)
     val obsTs = when(col("tag") === 0, col("ts"))
     val obsV = when(col("tag") === 0, col("value"))
     unioned
       .withColumn("pts", last(obsTs, ignoreNulls = true).over(behind))
       .withColumn("pv", last(obsV, ignoreNulls = true).over(behind))
-      .withColumn("nts", first(obsTs, ignoreNulls = true).over(ahead))
-      .withColumn("nv", first(obsV, ignoreNulls = true).over(ahead))
+      .withColumn("nts", last(obsTs, ignoreNulls = true).over(aheadRev))
+      .withColumn("nv", last(obsV, ignoreNulls = true).over(aheadRev))
       .filter(col("tag") === 1 && col("pts").isNotNull && col("nts").isNotNull)
       .withColumn("value_interp",
         col("pv") + (col("nv") - col("pv"))
