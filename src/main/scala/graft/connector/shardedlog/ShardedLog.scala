@@ -249,20 +249,42 @@ object ShardedLog {
     }
   }
 
+  /** (length, mtime) → line-count memo: the streaming source polls
+    * `endOffsets` every trigger (2 s in the topology), and an idle shard
+    * would otherwise be fully re-read on every poll. Any append changes
+    * the file length, so a stale hit requires an external writer that
+    * leaves length AND mtime identical — not a supported topology (the
+    * log is single-writer-per-shard by design, like the sequence
+    * numbering itself). The entry is only stored when length/mtime are
+    * unchanged across the count, so a mid-count append can never cache
+    * a torn value.
+    */
+  private val lineCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
   private def countLines(file: File): Long = {
     if (!file.exists() || file.length() == 0) return 0L
+    val key = file.getCanonicalPath
+    val len = file.length()
+    val mtime = file.lastModified()
+    val cached = lineCountCache.get(key)
+    if (cached != null && cached._1 == len && cached._2 == mtime)
+      return cached._3
     val in = Files.newInputStream(file.toPath)
-    try {
-      var count = 0L
+    val count = try {
+      var n = 0L
       val buf = new Array[Byte](1 << 16)
       var read = in.read(buf)
       while (read > 0) {
         var i = 0
-        while (i < read) { if (buf(i) == '\n') count += 1; i += 1 }
+        while (i < read) { if (buf(i) == '\n') n += 1; i += 1 }
         read = in.read(buf)
       }
-      count
+      n
     } finally in.close()
+    if (file.length() == len && file.lastModified() == mtime)
+      lineCountCache.put(key, (len, mtime, count))
+    count
   }
 
   /** Current end sequence (exclusive) per shard. */

@@ -235,4 +235,57 @@ object CdcQueries {
       |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS view_rate,
       |  CAST((SELECT count(*) FROM s4) AS DOUBLE)
       |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS purchase_rate""".stripMargin
+
+  /** Time-to-convert distribution: whole days from each user's FIRST
+    * signup to their first purchase at-or-after it, bucketed — the
+    * survival-curve input behind activation dashboards. Users who signed
+    * up but never purchased afterward land in the `days = -1` bucket
+    * (right-censored), so the histogram accounts for every signup. Two
+    * per-user min-aggregations and one tiny groupBy — integer day
+    * arithmetic off epoch-µs, no timezone dependence.
+    */
+  def signupToPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") >= col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(col("ts")).as("t_purchase"))
+    signup.join(converted.select(col("user_id"), col("t_purchase")),
+        Seq("user_id"), "left")
+      .withColumn("days",
+        when(col("t_purchase").isNull, lit(-1L))
+          .otherwise(
+            expr("(unix_micros(cast(t_purchase as timestamp))" +
+              " - unix_micros(cast(t_signup as timestamp))) div 86400000000")))
+      .groupBy(col("days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("days"))
+  }
+
+  val signupToPurchaseSql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, s.t_signup,
+      |    min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(e.ts AS TIMESTAMP) >= s.t_signup
+      |  GROUP BY e.user_id, s.t_signup),
+      |d AS (
+      |  SELECT s.user_id,
+      |    CASE WHEN c.t_purchase IS NULL THEN -1
+      |         ELSE (epoch_us(c.t_purchase) - epoch_us(s.t_signup))
+      |              // 86400000000 END AS days
+      |  FROM s LEFT JOIN c ON c.user_id = s.user_id)
+      |SELECT CAST(days AS BIGINT) AS days,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM d
+      |GROUP BY days
+      |ORDER BY days""".stripMargin
 }

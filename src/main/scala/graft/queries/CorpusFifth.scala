@@ -264,6 +264,66 @@ object CorpusFifth {
       |GROUP BY 1, 2
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Class-distinctive terms (c-TF-IDF flavor): for each language, the
+    * top-5 tokens by integer-fixed-point LIFT — how over-represented the
+    * token is in that language vs the whole corpus:
+    * lift = (c_lang_tok / n_lang) / (c_tok / N), scaled ×10⁶ and kept in
+    * BIGINT division so the RANKING is pure integer arithmetic (the same
+    * trick as `tfidf_top_terms` — no double comparisons anywhere near a
+    * rank). The curation use: what vocabulary defines each class/slice
+    * of a corpus. Two token-keyed aggregations + a per-class top-5
+    * window over the (class, token) domain — at 100 TB the window input
+    * is vocabulary-sized, not corpus-sized.
+    */
+  def classTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val byLangTok = tok.groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c_lt"))
+    val byTok = byLangTok.groupBy(col("t")).agg(sum(col("c_lt")).as("c_t"))
+    val byLang = byLangTok.groupBy(col("lang")).agg(sum(col("c_lt")).as("n_l"))
+    val totals = byTok.agg(sum(col("c_t")).as("n_total"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lift_fp").desc, col("t"))
+    byLangTok
+      .join(byTok, "t").join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(totals))
+      .filter(col("c_lt") >= 5) // drop noise terms before ranking
+      .withColumn("lift_fp",
+        expr("(c_lt * n_total * 1000000L) div (n_l * c_t)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("t").as("token"), col("c_lt"),
+        col("c_t"), col("lift_fp"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val classTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |lt AS (
+      |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c_lt
+      |  FROM tok WHERE t <> '' GROUP BY lang, t),
+      |bt AS (SELECT t, CAST(sum(c_lt) AS BIGINT) AS c_t FROM lt GROUP BY t),
+      |bl AS (SELECT lang, CAST(sum(c_lt) AS BIGINT) AS n_l
+      |       FROM lt GROUP BY lang),
+      |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM bt),
+      |scored AS (
+      |  SELECT lt.lang, lt.t, lt.c_lt, bt.c_t,
+      |    (lt.c_lt * n_total * 1000000) // (bl.n_l * bt.c_t) AS lift_fp
+      |  FROM lt JOIN bt USING (t) JOIN bl USING (lang), n
+      |  WHERE lt.c_lt >= 5),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY lift_fp DESC, t) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT lang, rnk, t AS token, c_lt, c_t, CAST(lift_fp AS BIGINT)
+      |  AS lift_fp
+      |FROM ranked
+      |WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
   private val ReservoirK = 8
 
   /** Deterministic bounded "reservoir" sample: the k=8 documents with the

@@ -264,6 +264,101 @@ object SketchQueries {
       |FROM exact, est""".stripMargin
   }
 
+  /** HLL SET ALGEBRA: estimated audience overlap |A ∩ B| between two
+    * event types by inclusion–exclusion over MERGED registers —
+    * est(A) + est(B) − est(A ∪ B), where the union sketch is the
+    * register-wise max (the merge law the streaming spec proves). This
+    * is why HLL beats exact sets at 100 TB: the overlap of two
+    * billion-user audiences is three 64-register estimates, no set
+    * intersection anywhere. Exact intersection rides along as the
+    * sf-scale audit; all estimate math is the same fixed operand order
+    * as `sketch_hll_distinct`, so the oracle reproduces it bit-for-bit.
+    */
+  def hllOverlapEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val hll = HyperLogLogAggregator.hllSketch
+    val ev = Tables.events(spark, sfDir)
+    def regsOf(etype: String) = ev.filter(col("event_type") === etype)
+      .agg(hll(col("user_id").cast("string")).as(s"regs"))
+    def estOf(regsCol: String) =
+      expr(s"cast(0.709 as double) * cast(4096 as double)" +
+        s" * cast(36028797018963968 as double) / cast(s_$regsCol as double)")
+    val exact = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).as("exact_intersection"))
+    regsOf("purchase").toDF("regs_a")
+      .crossJoin(broadcast(regsOf("click").toDF("regs_b")))
+      .withColumn("regs_u",
+        expr("zip_with(regs_a, regs_b, (x, y) -> greatest(x, y))"))
+      .withColumn("s_a",
+        expr("aggregate(regs_a, 0L, (a, r) -> a + shiftleft(1L, 55 - r))"))
+      .withColumn("s_b",
+        expr("aggregate(regs_b, 0L, (a, r) -> a + shiftleft(1L, 55 - r))"))
+      .withColumn("s_u",
+        expr("aggregate(regs_u, 0L, (a, r) -> a + shiftleft(1L, 55 - r))"))
+      .withColumn("est_a", estOf("a"))
+      .withColumn("est_b", estOf("b"))
+      .withColumn("est_union", estOf("u"))
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+      .crossJoin(broadcast(exact))
+      .withColumn("rel_error",
+        (col("est_intersection") - col("exact_intersection").cast("double"))
+          / col("exact_intersection").cast("double"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersection"), col("exact_intersection"), col("rel_error"))
+  }
+
+  val hllOverlapEstimateSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv,
+      |    user_id
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |r AS (
+      |  SELECT event_type, hv % 64 AS j,
+      |    max(55 - (CASE WHEN hv // 64 = 0 THEN 0
+      |              ELSE length(printf('%b', hv // 64)) END)) AS rho
+      |  FROM h GROUP BY event_type, hv % 64),
+      |ru AS (SELECT j, max(rho) AS rho FROM r GROUP BY j),
+      |sa AS (
+      |  SELECT CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+      |    + (64 - count(*)) * (1::BIGINT << 55) AS s
+      |  FROM r WHERE event_type = 'purchase'),
+      |sb AS (
+      |  SELECT CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+      |    + (64 - count(*)) * (1::BIGINT << 55) AS s
+      |  FROM r WHERE event_type = 'click'),
+      |su AS (
+      |  SELECT CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT)
+      |    + (64 - count(*)) * (1::BIGINT << 55) AS s
+      |  FROM ru),
+      |ex AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+      |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |    a JOIN (
+      |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+      |    b USING (user_id)),
+      |e AS (
+      |  SELECT
+      |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |      * CAST(36028797018963968 AS DOUBLE) / CAST(sa.s AS DOUBLE)
+      |      AS est_a,
+      |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |      * CAST(36028797018963968 AS DOUBLE) / CAST(sb.s AS DOUBLE)
+      |      AS est_b,
+      |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+      |      * CAST(36028797018963968 AS DOUBLE) / CAST(su.s AS DOUBLE)
+      |      AS est_union
+      |  FROM sa, sb, su)
+      |SELECT est_a, est_b, est_union,
+      |  est_a + est_b - est_union AS est_intersection,
+      |  exact_intersection,
+      |  (est_a + est_b - est_union - CAST(exact_intersection AS DOUBLE))
+      |    / CAST(exact_intersection AS DOUBLE) AS rel_error
+      |FROM e, ex""".stripMargin
+
   val sketchRollingDistinctSql: String =
     """WITH h AS (
       |  SELECT CAST(ts AS DATE) AS day,

@@ -97,4 +97,54 @@ object StatsQueries {
       |FROM binned
       |GROUP BY bin, mx
       |ORDER BY bin""".stripMargin
+
+  /** EQUI-DEPTH histogram (the optimizer's histogram, vs
+    * [[valueHistogram]]'s equi-width): decile bin edges come from the
+    * mergeable KLL sketch — in its provably-exact regime at gate scale,
+    * like `sketch_quantile` — broadcast as one 9-value row, and each row
+    * buckets by counting edges it exceeds (nine codegen'd comparisons,
+    * no per-row HOF). Two scans + one tiny broadcast: at 100 TB the
+    * edge pass is the sketch aggregation and the bucket pass is
+    * map-side arithmetic — never a global sort.
+    */
+  def equiDepthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val pcts = (1 to 9).map(_ * 10)
+    val kll = graft.functions.KllQuantileAggregator.kllQuantiles(65536, pcts)
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val edges = cents.agg(kll(col("cents")).as("qv"))
+    cents.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        (1 to 9).map(i =>
+          when(col("cents") > element_at(col("qv"), i), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("bin"))
+  }
+
+  val equiDepthHistogramSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM v),
+      |n AS (SELECT count(*) AS n FROM v),
+      |q AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q_pct),
+      |t AS (
+      |  SELECT CAST(floor((CAST(q_pct AS DOUBLE) / CAST(100 AS DOUBLE))
+      |    * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rn
+      |  FROM q, n),
+      |edges AS (SELECT r.cents AS e FROM t JOIN r USING (rn)),
+      |binned AS (
+      |  SELECT cents,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM edges WHERE cents > e)
+      |      AS bin
+      |  FROM v)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM binned
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
 }

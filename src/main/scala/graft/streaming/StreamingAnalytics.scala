@@ -183,4 +183,19 @@ object StreamingAnalytics {
   def enrichWithDimension(events: DataFrame, dim: DataFrame,
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Pipeline observability via `observe()`: named metrics (row count,
+    * value sum, null-key count) computed ON the stream inside the
+    * existing plan — no second scan, no extra query — and surfaced per
+    * micro-batch in `StreamingQueryProgress.observedMetrics`. This is
+    * how a production ingest reports throughput and data-quality
+    * counters at 100 TB: the metrics ride the same tasks that do the
+    * work. Decimal sum so the reported aggregate is exact.
+    */
+  def withIngestMetrics(events: DataFrame, name: String = "ingest",
+      valueCol: String = "value", keyCol: String = "user_id"): DataFrame =
+    events.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol).cast("decimal(18,2)")).as("sum_value"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"))
 }

@@ -25,7 +25,8 @@ class DeterminismSpec extends SparkTestBase {
     "ks_drift",               // integer ECDF gap + argmax tie-break
     "kcore_parts",            // iterative peeling loop
     "interpolate_linear",     // union + ignore-nulls window frames
-    "asof_nearest_event")     // dual-frame nearest match + tie-to-past
+    "asof_nearest_event",     // dual-frame nearest match + tie-to-past
+    "hll_overlap_estimate")   // register-wise merge + inclusion-exclusion
 
   representatives.foreach { name =>
     test(s"$name reproduces byte-equal results on re-run") {

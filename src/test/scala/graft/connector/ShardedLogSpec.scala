@@ -18,6 +18,24 @@ class ShardedLogSpec extends SparkTestBase {
   private def put(dir: String, key: String, s: String, at: Long = 1000L) =
     ShardedLog.putRecord(dir, key, s.getBytes("UTF-8"), at)
 
+  test("endOffsets stays exact across repeated polls and interleaved appends") {
+    // exercises the (length, mtime) line-count memo: poll (miss), poll
+    // (hit), append (invalidate), poll (recount) — the steady-state
+    // trigger loop must never serve a stale offset
+    val dir = newStream(1)
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 0L)
+    (1 to 7).foreach(i => put(dir, s"k-$i", s"v-$i"))
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 7L)
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 7L) // cached poll
+    (1 to 3).foreach(i => put(dir, s"k2-$i", s"w-$i"))      // same-ms append
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 10L)
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 10L)
+    // sequence numbering continues from the cached count
+    val (_, seq) = put(dir, "k-last", "z")
+    assert(seq == 10L)
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 11L)
+  }
+
   test("putRecord assigns md5 hash-range shards; batch read sees all records") {
     val dir = newStream(2)
     (1 to 50).foreach(i => put(dir, s"key-$i", s"payload-$i"))

@@ -167,6 +167,26 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("observe() metrics report per-batch counters in query progress") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.lang.Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val q = StreamingAnalytics.withIngestMetrics(events)
+      .writeStream.format("memory").queryName("observed")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((1L, 10.5), (null, 2.5), (3L, 7.0))
+      q.processAllAvailable()
+      val progress = q.recentProgress.reverse
+        .find(p => !p.observedMetrics.isEmpty)
+        .getOrElse(fail("no batch reported observed metrics"))
+      val m = progress.observedMetrics.get("ingest")
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[java.math.BigDecimal]("sum_value").doubleValue() == 20.0)
+      assert(m.getAs[Long]("null_keys") == 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join emits unmatched clicks with nulls") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
