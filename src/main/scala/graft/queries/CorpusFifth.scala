@@ -324,6 +324,46 @@ object CorpusFifth {
       |WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  /** K-anonymity release audit: per (lang, source) cell, release the
+    * count only if ≥ 5 documents share the cell, else suppress — plus
+    * the released flag and the cell's share of the corpus. The
+    * governance step before publishing per-slice statistics of a
+    * training corpus: no cell small enough to identify a contributor
+    * leaves the system. One scan + one tiny groupBy; the suppression
+    * rule is a pure integer comparison, so the release decision itself
+    * is oracle-gated.
+    */
+  def kanonReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(sum(col("n_docs")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("released", col("n_docs") >= 5)
+      .withColumn("released_count",
+        when(col("released"), col("n_docs")).otherwise(lit(null).cast("long")))
+      .withColumn("share",
+        when(col("released"),
+          col("n_docs").cast("double") / col("n_total").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select(col("lang"), col("source"), col("released"),
+        col("released_count"), col("share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val kanonReportSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY lang, source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cells)
+      |SELECT lang, source,
+      |  n_docs >= 5 AS released,
+      |  CASE WHEN n_docs >= 5 THEN n_docs ELSE NULL END AS released_count,
+      |  CASE WHEN n_docs >= 5
+      |       THEN CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |       ELSE NULL END AS share
+      |FROM cells, t
+      |ORDER BY lang, source""".stripMargin
+
   private val ReservoirK = 8
 
   /** Deterministic bounded "reservoir" sample: the k=8 documents with the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -10,21 +11,22 @@ import graft.Tables
   */
 object GraphMore {
 
-  private val K = 90
+  private val Pct = 0.15
   private val Rounds = 3
 
-  /** k-core decomposition, FIXED 3 peeling rounds (documented semantics,
-    * like the fixed-iteration PageRank): repeatedly drop nodes of degree
-    * < 90 together with their edges, and report the surviving nodes with
-    * their degree in the surviving subgraph. At sf0.01 the cascade is
-    * real (2000 → 1745 → 1534 → 1221 nodes), so the gate exercises every
-    * round. Scale shape: each round is one degree aggregation plus two
-    * semi-joins keyed on the endpoints — no node set, edge list, or
-    * degree table ever leaves the cluster, and `localCheckpoint` caps
-    * the lineage exactly as the PageRank/CC loops do. Per-order pair
-    * expansion is bounded by TPC-H's ≤7 lineitems/order; the
-    * market-basket guard pattern (cap items per basket) applies verbatim
-    * if a pathological basket appears.
+  /** k-core decomposition with a SELF-CALIBRATING threshold and FIXED 3
+    * peeling rounds (documented semantics, like the fixed-iteration
+    * PageRank): k is the 15th-percentile initial degree — computed from
+    * the data, so the peeling bites at every scale factor instead of
+    * going inert when density shifts (measured cascade: 2000 → 1705 →
+    * 1420 → 901 at sf0.01 with k=92; 20000 → 17196 → 14649 → 10547 at
+    * sf0.1 with k=94). Each round is one degree aggregation plus two
+    * semi-joins keyed on the endpoints; the threshold is one rank lookup
+    * over the aggregated degree domain (|nodes| rows, never the edge
+    * list), broadcast into every round. `localCheckpoint` caps lineage
+    * exactly as the PageRank/CC loops do. Per-order pair expansion is
+    * bounded by TPC-H's ≤7 lineitems/order; the market-basket guard
+    * pattern applies verbatim if a pathological basket appears.
     */
   def kcoreParts(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Tables.lineitem(spark, sfDir)
@@ -36,44 +38,67 @@ object GraphMore {
       .select(col("pa"), col("pb"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to Rounds) {
-      val deg = edges.select(col("pa").as("u"))
-        .unionAll(edges.select(col("pb").as("u")))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("pa").as("u"))
+        .unionAll(e.select(col("pb").as("u")))
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val alive = deg.filter(col("deg") >= K).select(col("u"))
+    val d0 = degrees(edges)
+    val n = d0.agg(count(lit(1)).as("n"))
+    val thr = d0
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("deg"), col("u"))).cast("long"))
+      .crossJoin(broadcast(n))
+      .filter(col("rn") ===
+        expr(s"cast(floor(cast($Pct as double) * cast(n - 1 as double)) as bigint) + 1"))
+      .select(col("deg").as("k_thr"))
+      .localCheckpoint()
+    for (_ <- 1 to Rounds) {
+      val alive = degrees(edges)
+        .crossJoin(broadcast(thr))
+        .filter(col("deg") >= col("k_thr")).select(col("u"))
       edges = edges
         .join(alive.toDF("pa"), "pa")
         .join(alive.toDF("pb"), "pb")
         .select(col("pa"), col("pb"))
         .localCheckpoint()
     }
-    edges.select(col("pa").as("u"))
-      .unionAll(edges.select(col("pb").as("u")))
-      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    degrees(edges)
       .select(col("u").as("part_key"), col("deg"))
       .orderBy(col("part_key"))
   }
 
+  /** The oracle marks every round's CTE `AS MATERIALIZED`: without the
+    * hint DuckDB inlines chained CTEs, so round N re-evaluates the
+    * (DISTINCT, self-joined) edge list O(3^N) times — fine at sf0.01,
+    * a temp-disk blowup at sf0.1. MATERIALIZED is a DuckDB-only planner
+    * hint; result semantics are untouched.
+    */
   val kcorePartsSql: String = {
     val rounds = (1 to Rounds).map { i =>
-      s"""a$i AS (SELECT u FROM d${i - 1} WHERE deg >= $K),
-         |e$i AS (
+      s"""a$i AS MATERIALIZED (SELECT u FROM d${i - 1}, thr WHERE deg >= k_thr),
+         |e$i AS MATERIALIZED (
          |  SELECT pa, pb FROM e${i - 1}
          |  WHERE pa IN (SELECT u FROM a$i) AND pb IN (SELECT u FROM a$i)),
-         |d$i AS (
+         |d$i AS MATERIALIZED (
          |  SELECT u, CAST(count(*) AS BIGINT) AS deg
          |  FROM (SELECT pa AS u FROM e$i UNION ALL SELECT pb FROM e$i)
          |  GROUP BY u)""".stripMargin
     }.mkString(",\n")
-    s"""WITH items AS (
+    s"""WITH items AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
-       |d0 AS (
+       |d0 AS MATERIALIZED (
        |  SELECT u, CAST(count(*) AS BIGINT) AS deg
        |  FROM (SELECT pa AS u FROM e0 UNION ALL SELECT pb FROM e0)
        |  GROUP BY u),
+       |rk AS (SELECT deg, row_number() OVER (ORDER BY deg, u) AS rn FROM d0),
+       |nn AS (SELECT count(*) AS n FROM d0),
+       |thr AS (
+       |  SELECT deg AS k_thr FROM rk, nn
+       |  WHERE rn = CAST(floor(CAST($Pct AS DOUBLE)
+       |                        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1),
        |$rounds
        |SELECT u AS part_key, deg FROM d$Rounds
        |ORDER BY part_key""".stripMargin

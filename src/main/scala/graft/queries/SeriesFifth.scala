@@ -183,6 +183,52 @@ object SeriesFifth {
       |FROM counts
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** Top event-type TRIGRAMS across user journeys — the second-order
+    * companion to [[markovTransitions]] (common 3-step paths, the input
+    * to funnel design and anomalous-flow detection). Same per-user
+    * window shuffle; the path space is |types|³ ≤ 125 cells, so the
+    * global top-10 ranks a tiny aggregated domain. Ranking is pure
+    * integers (count desc, path asc).
+    */
+  def pathTrigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    tri
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("path"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
+  val pathTrigramsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |paths AS (
+      |  SELECT e1 || '>' || e2 || '>' || e3 AS path,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE e3 IS NOT NULL
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT path, n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+      |  FROM paths)
+      |SELECT rnk, path, n FROM ranked
+      |WHERE rnk <= 10
+      |ORDER BY rnk""".stripMargin
+
   /** Linear-interpolation resampling: per event type, the event `value`
     * series resampled onto an exact hourly grid, v(t) = v0 + (v1−v0) ·
     * (t−t0)/(t1−t0) between the surrounding observations. The irregular

@@ -199,6 +199,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), "must aggregate, not window-sort:\n" + p)
   }
 
+  test("class_tfidf: top-5 rank filter keeps the WindowGroupLimit pushdown") {
+    val p = plan(graft.queries.CorpusFifth.classTfidf(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      "per-class top-5 lost the partial top-k pushdown:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
     val sfx = plan(graft.queries.CorpusFifth.suffixDupSpans(spark, sf0001))
     assert(!sfx.contains("CartesianProduct") &&

@@ -57,6 +57,48 @@ class StatefulOpsSpec extends SparkTestBase {
     }
   }
 
+  test("statestore reader audits transformWithState state offline") {
+    // Spark 4 state data source: after the streaming query stops, the
+    // checkpoint is directly queryable — the ops path for "what does the
+    // store hold for key X" without replaying the stream.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-tws-read").toString
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SpendEvent]
+      val q = StatefulOps.runningSpend(mem.toDF()).writeStream
+        .format("memory").queryName("tws_audit")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        mem.addData(SpendEvent(1L, 100L), SpendEvent(2L, 40L))
+        q.processAllAvailable()
+        mem.addData(SpendEvent(1L, 11L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val state = spark.read.format("statestore")
+        .option("path", s"$dir/ckpt")
+        .option("stateVarName", "spend")
+        .load()
+      val totals = state.selectExpr("value.user_id", "value.n_events",
+          "value.total_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(totals == Set((1L, 2L, 111L), (2L, 1L, 40L)),
+        s"unexpected state contents: $totals")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("a TTL'd state variable runs under ProcessingTime mode and accumulates within the TTL") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
