@@ -282,6 +282,50 @@ object SimQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** Contrastive hard-negative mining: pairs that COLLIDE in LSH space
+    * yet are dissimilar (cosine < 0.1) — exactly the negatives a
+    * contrastive embedding trainer wants (hash-confusable, semantically
+    * far), and the dual of [[dedupSemanticComponents]] (same candidate
+    * generation, opposite filter). Never all-pairs: the bucket equi-join
+    * bounds candidates by bucket occupancy, the mining filter is a
+    * map-side comparison on the joined rows, and the output carries only
+    * (bucket, id, id, sim).
+    */
+  def hardNegativePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
+      .localCheckpoint() // both self-join sides read stored partitions
+    v.toDF("id_a", "e_a", "bucket")
+      .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") < expr("cast(0.1 as double)"))
+      .select(col("bucket"), col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("bucket"), col("id_a"), col("id_b"))
+  }
+
+  val hardNegativePairsSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v)
+       |SELECT a.bucket, a.vec_id AS id_a, b2.vec_id AS id_b,
+       |  round(list_dot_product(a.e, b2.e)
+       |        / (sqrt(list_dot_product(a.e, a.e))
+       |           * sqrt(list_dot_product(b2.e, b2.e))), 6) AS sim
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE round(list_dot_product(a.e, b2.e)
+       |      / (sqrt(list_dot_product(a.e, a.e))
+       |         * sqrt(list_dot_product(b2.e, b2.e))), 6)
+       |  < CAST(0.1 AS DOUBLE)
+       |ORDER BY a.bucket, id_a, id_b""".stripMargin
+  }
+
   /** Oracle generated with the SAME Scala-computed hyperplane weights
     * embedded as literal DOUBLE[] arrays.
     */
