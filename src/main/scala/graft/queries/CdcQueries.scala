@@ -236,6 +236,45 @@ object CdcQueries {
       |  CAST((SELECT count(*) FROM s4) AS DOUBLE)
       |    / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS purchase_rate""".stripMargin
 
+  /** SCD1 compaction / CDC latest-snapshot: one row per user carrying
+    * the LATEST event's attributes — via `max(struct(ts, event_id, …))`,
+    * whose lexicographic comparison makes "latest by (ts, event_id)" a
+    * plain mergeable aggregate: ONE hash shuffle, partial combine on the
+    * map side, no per-key window sort anywhere (the window formulation
+    * the oracle uses must sort every key's history). This is the
+    * compaction step every CDC consumer runs to turn a change stream
+    * into current state, and (ts, event_id) uniqueness makes the winner
+    * deterministic under any merge order.
+    */
+  def cdcLatestSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+      .select(col("user_id"), col("n_events"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcLatestSnapshotSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |    value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      |  ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM ranked
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** Time-to-convert distribution: whole days from each user's FIRST
     * signup to their first purchase at-or-after it, bucketed — the
     * survival-curve input behind activation dashboards. Users who signed

@@ -183,6 +183,70 @@ object SeriesFifth {
       |FROM counts
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** 7-day rolling Pearson correlation between the daily purchase-value
+    * and daily click-count series — "do clicks track revenue this
+    * week?" as a window aggregate. Every moment (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) is an exact BIGINT window sum; the correlation is divisions
+    * and IEEE-exact sqrt over identical operands (the `ab_test_lift`
+    * argument), so a rolling correlation hash-gates. Day domain is
+    * pre-aggregated before the ordered window — the small-domain
+    * pattern shared with `rolling_slope`.
+    */
+  def rollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("varx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr7",
+        when(col("varx") === 0 || col("vary") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt(col("varx").cast("double"))
+               * sqrt(col("vary").cast("double")))))
+      .select(col("day"), col("x").as("purchase_cents"), col("y").as("clicks"),
+        col("n"), col("corr7"))
+      .orderBy(col("day"))
+  }
+
+  val rollingCorrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(round(value * 100) AS BIGINT)
+      |             ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT day, x, y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy,
+      |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, x AS purchase_cents, y AS clicks, n,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr7
+      |FROM s
+      |ORDER BY day""".stripMargin
+
   /** Top event-type TRIGRAMS across user journeys — the second-order
     * companion to [[markovTransitions]] (common 3-step paths, the input
     * to funnel design and anomalous-flow detection). Same per-user

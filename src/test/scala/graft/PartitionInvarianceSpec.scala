@@ -20,7 +20,8 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "incremental_rollup",      // partial-aggregate union merge
     "market_basket_lift",      // pair counts + double lift off exact ints
     "reservoir_sample",        // bounded top-k buffer merge order
-    "suffix_dup_spans")        // inverted gram index + distinct-doc spread
+    "suffix_dup_spans",        // inverted gram index + distinct-doc spread
+    "label_centroids")         // fixed-point vector mean vs float sum order
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {

@@ -206,6 +206,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cdc_latest_snapshot: latest-wins is an aggregate, not a window sort") {
+    val p = plan(graft.queries.CdcQueries.cdcLatestSnapshot(spark, sf0001))
+    assert(!p.contains("Window"),
+      "max(struct) compaction must not fall back to a window sort:\n" + p)
+    // one hash exchange (the groupBy) + the final sort's range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "latest-snapshot must map-side combine:\n" + p)
+  }
+
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
     val sfx = plan(graft.queries.CorpusFifth.suffixDupSpans(spark, sf0001))
     assert(!sfx.contains("CartesianProduct") &&
