@@ -57,6 +57,56 @@ class StatefulOpsSpec extends SparkTestBase {
     }
   }
 
+  test("event-time timers close gap sessions and emit the MapState digest") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-tws-timer").toString
+      implicit val sqlCtx = spark.sqlContext
+      def ts(min: Int): java.sql.Timestamp =
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+      val mem = MemoryStream[StatefulOps.DigestEvent]
+      val q = StatefulOps.sessionDigest(mem.toDF(), gapSeconds = 300,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("tws_digest")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        // user 1: three events within one session (2 clicks, 1 purchase)
+        mem.addData(
+          StatefulOps.DigestEvent(1L, ts(0), "click", 10L),
+          StatefulOps.DigestEvent(1L, ts(2), "purchase", 500L),
+          StatefulOps.DigestEvent(1L, ts(3), "click", 7L))
+        q.processAllAvailable()
+        assert(spark.table("tws_digest").isEmpty,
+          "session must stay open until the watermark passes end + gap")
+        // far-future event advances the watermark past end (10:03) + 5 min
+        mem.addData(StatefulOps.DigestEvent(2L, ts(120), "view", 1L))
+        q.processAllAvailable()
+        // one more batch so the new watermark fires the timer
+        mem.addData(StatefulOps.DigestEvent(2L, ts(121), "view", 1L))
+        q.processAllAvailable()
+        val rows = spark.table("tws_digest")
+          .as[StatefulOps.SessionDigest].collect()
+        assert(rows.length == 1, s"expected one closed session, got ${rows.toSeq}")
+        val d = rows.head
+        assert(d.user_id == 1L && d.n_events == 3L && d.total_cents == 517L)
+        assert(d.session_start == ts(0) && d.session_end == ts(3))
+        assert(d.type_counts == "click:2,purchase:1")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("statestore reader audits transformWithState state offline") {
     // Spark 4 state data source: after the streaming query stops, the
     // checkpoint is directly queryable — the ops path for "what does the
