@@ -130,6 +130,68 @@ object TextQueries {
       |FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash ACCURACY audit: for every LSH candidate pair, the
+    * signature-estimated Jaccard next to the exact token-set Jaccard and
+    * the absolute error — the third sketch-vs-truth audit (with
+    * `ann_recall_audit` and the HLL/CMS rel_error columns) that tells
+    * you whether k=16 signatures are tight enough before trusting the
+    * dedup threshold. Exact sets are only computed FOR THE CANDIDATES
+    * (bounded by the LSH join, never all pairs), via a per-pair
+    * array_intersect on distinct-token arrays — at 100 TB this is the
+    * standard "verify stage" cost of an LSH dedup pipeline.
+    */
+  def minhashAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cand = Dedup.minhashCandidates(docs, k = 16, bands = 2)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+    cand
+      .join(sets.toDF("id_a", "ts_a"), "id_a")
+      .join(sets.toDF("id_b", "ts_b"), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("na", size(col("ts_a")).cast("long"))
+      .withColumn("nb", size(col("ts_b")).cast("long"))
+      .withColumn("exact_jaccard",
+        col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("exact_jaccard"), col("abs_err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val minhashAccuracySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), sigs AS (
+      |  SELECT id, [list_min([md5(s::VARCHAR || ':' || x) for x in t])
+      |              for s in range(0, 16)] AS sig
+      |  FROM toks
+      |), bands AS (
+      |  SELECT id, sig, b, md5(array_to_string(sig[b*8+1:b*8+8], '|')) AS bucket
+      |  FROM sigs, range(0, 2) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0
+      |      AS est_jaccard
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |    AND a.id < b.id
+      |), sets AS (SELECT id, list_distinct(t) AS ts FROM toks)
+      |SELECT id_a, id_b, est_jaccard,
+      |  CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+      |    / CAST(len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))
+      |           AS DOUBLE) AS exact_jaccard,
+      |  abs(est_jaccard
+      |    - CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+      |      / CAST(len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))
+      |             AS DOUBLE)) AS abs_err
+      |FROM cand
+      |JOIN sets sa ON sa.id = cand.id_a
+      |JOIN sets sb ON sb.id = cand.id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash 60-bit signatures per document. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
