@@ -364,6 +364,93 @@ object CorpusFifth {
       |FROM cells, t
       |ORDER BY lang, source""".stripMargin
 
+  /** Prefix dedup: documents sharing their normalized leading 8-token
+    * span — the boilerplate-lead detector (template intros, syndicated
+    * headers) that whole-document hashing misses entirely (this corpus
+    * has ZERO exact dups but 23 shared-prefix groups at sf0.01). Same
+    * one-shuffle hash-group shape as `dedup_exact_groups`, keyed on the
+    * md5 of the prefix; survivor = min doc_id, and the distinct-source
+    * count shows whether the copying crosses source boundaries.
+    */
+  def dedupPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(array_join(slice(split(col("text"), " "), 1, 8), " "))
+          .as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .select(col("prefix_hash"), col("n_docs"), col("n_sources"),
+        col("keep_doc_id"))
+      .orderBy(col("prefix_hash"))
+  }
+
+  val dedupPrefixSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      |      AS prefix_hash
+      |  FROM documents)
+      |SELECT prefix_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  min(doc_id) AS keep_doc_id
+      |FROM h
+      |GROUP BY prefix_hash
+      |HAVING count(*) >= 2
+      |ORDER BY prefix_hash""".stripMargin
+
+  /** Vocabulary-concentration (Zipf) audit: what share of all token
+    * OCCURRENCES the top-3 / top-10 / top-25 most frequent types cover
+    * (ranks sized to this corpus's 31-type vocabulary) — the number that sizes a tokenizer vocabulary and predicts
+    * how far a stopword list reaches. Ranking and cumulative sums are
+    * exact BIGINTs over the aggregated VOCABULARY domain (never the
+    * corpus); one final division per row. Ties rank (count desc, token
+    * asc) in both engines.
+    */
+  def zipfCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val ranked = counts
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("t"))).cast("long"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("c").desc, col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .filter(col("rnk").isin(3L, 10L, 25L))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage",
+        col("cum").cast("double") / col("n_total").cast("double"))
+      .select(col("rnk").as("top_k"), col("cum").as("occurrences_covered"),
+        col("n_total"), col("coverage"))
+      .orderBy(col("top_k"))
+  }
+
+  val zipfCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |counts AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok WHERE t <> '' GROUP BY t),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+      |ranked AS (
+      |  SELECT c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rnk,
+      |    CAST(sum(c) OVER (ORDER BY c DESC, t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM counts)
+      |SELECT rnk AS top_k, cum AS occurrences_covered, n_total,
+      |  CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+      |FROM ranked, tot
+      |WHERE rnk IN (3, 10, 25)
+      |ORDER BY top_k""".stripMargin
+
   private val ReservoirK = 8
 
   /** Deterministic bounded "reservoir" sample: the k=8 documents with the
