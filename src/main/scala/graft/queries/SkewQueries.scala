@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Skew
+import graft.storage.Bucketing
 
 /** Oracle-gated exercise of the skew machinery ([[graft.operators.Skew]]):
   * the lineitem⋈orders join runs SALTED (lineitem's per-orderkey rows are
@@ -85,6 +86,41 @@ object SkewQueries {
         col("recommend_salt"))
       .orderBy(col("key_name"))
   }
+
+  /** The BUCKETED twin of [[skewSaltedJoinAgg]]: both sides of the
+    * lineitem⋈orders join are first persisted as managed tables bucketed
+    * 8 ways on the order key ([[Bucketing.writeBucketed]]), then joined
+    * exchange-free (BucketingSpec pins the no-Exchange plan) and
+    * aggregated. Same oracle semantics as the salted variant, so the
+    * driver's hash compare proves a THIRD physical strategy (plain
+    * shuffle = oracle, salted, bucketed) produces identical exact
+    * decimal sums — the write-once/join-many layout that amortizes the
+    * fact-table shuffle into the ingest path at 100 TB. The write cost
+    * is charged to this query by design; tables overwrite idempotently.
+    */
+  def bucketedJoinParity(spark: SparkSession, sfDir: String): DataFrame = {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority")),
+      "g_orders_bucketed", "o_orderkey", 8, Seq("o_orderkey"))
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty")),
+      "g_lineitem_bucketed", "l_orderkey", 8, Seq("l_orderkey"))
+    Bucketing.coLocatedJoin(spark, "g_lineitem_bucketed", "g_orders_bucketed",
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("qty")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bucketedJoinParitySql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   val skewAdvisorSql: String =
     """WITH pk AS (

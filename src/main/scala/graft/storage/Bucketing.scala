@@ -11,9 +11,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed managed table (overwrite). */
+  /** Persist `df` as a bucketed managed table (overwrite). Also clears a
+    * LEFTOVER warehouse directory from a previous JVM: the in-memory
+    * catalog forgets tables across sessions but their managed locations
+    * survive on disk, and `saveAsTable` refuses to adopt an existing
+    * location (LOCATION_ALREADY_EXISTS) — so a re-run would fail without
+    * the sweep.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
