@@ -21,9 +21,9 @@ object GraphMore {
     * going inert when density shifts (measured cascade: 2000 → 1705 →
     * 1420 → 901 at sf0.01 with k=92; 20000 → 17196 → 14649 → 10547 at
     * sf0.1 with k=94). Each round is one degree aggregation plus two
-    * semi-joins keyed on the endpoints; the threshold is one rank lookup
-    * over the aggregated degree domain (|nodes| rows, never the edge
-    * list), broadcast into every round. `localCheckpoint` caps lineage
+    * semi-joins keyed on the endpoints; the threshold is a histogram
+    * rank lookup (see [[kcoreThreshold]] — ≤ 2·√|E| rows, never |V| and
+    * never the edge list), broadcast into every round. `localCheckpoint` caps lineage
     * exactly as the PageRank/CC loops do. Per-order pair expansion is
     * bounded by TPC-H's ≤7 lineitems/order; the market-basket guard
     * pattern applies verbatim if a pathological basket appears.
@@ -44,14 +44,7 @@ object GraphMore {
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val d0 = degrees(edges)
     val n = d0.agg(count(lit(1)).as("n"))
-    val thr = d0
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("deg"), col("u"))).cast("long"))
-      .crossJoin(broadcast(n))
-      .filter(col("rn") ===
-        expr(s"cast(floor(cast($Pct as double) * cast(n - 1 as double)) as bigint) + 1"))
-      .select(col("deg").as("k_thr"))
-      .localCheckpoint()
+    val thr = kcoreThreshold(d0, n).localCheckpoint()
     for (_ <- 1 to Rounds) {
       val alive = degrees(edges)
         .crossJoin(broadcast(thr))
@@ -66,6 +59,28 @@ object GraphMore {
       .select(col("u").as("part_key"), col("deg"))
       .orderBy(col("part_key"))
   }
+
+  /** Exact rank-r degree (r = floor(Pct·(n−1))+1 under (deg, u) ASC)
+    * WITHOUT a |V|-row single-partition sort. Rows with equal deg are
+    * contiguous in that order regardless of u, so the deg at any rank is
+    * a function of the degree HISTOGRAM alone: aggregate to per-degree
+    * counts (mergeable, map-side combined), then pick the cumulative
+    * bucket containing r. The global cumulative window orders a provably
+    * bounded domain: if D distinct degree values occur, each needs ≥1
+    * node, so Σ of the distinct values ≥ 1+2+…+D = D(D+1)/2, and that Σ
+    * ≤ Σ all degrees = 2|E| — hence D ≤ 2·√|E| (~2e6 rows at 1e12
+    * edges; one trivial task, vs |V| raw rows through one WindowExec
+    * before). [[PlanQualitySpec]] pins that every empty-partition window
+    * in this sub-plan sits above an aggregate.
+    */
+  private[graft] def kcoreThreshold(d0: DataFrame, n: DataFrame): DataFrame =
+    d0.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("deg"))))
+      .crossJoin(broadcast(n))
+      .withColumn("r",
+        expr(s"cast(floor(cast($Pct as double) * cast(n - 1 as double)) as bigint) + 1"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("deg").as("k_thr"))
 
   /** The oracle marks every round's CTE `AS MATERIALIZED`: without the
     * hint DuckDB inlines chained CTEs, so round N re-evaluates the

@@ -215,6 +215,40 @@ class PlanQualitySpec extends SparkTestBase {
       "latest-snapshot must map-side combine:\n" + p)
   }
 
+  test("kcore threshold: every global window orders an aggregated bounded domain") {
+    // The 15th-percentile degree must come from the degree HISTOGRAM
+    // (≤ 2·√|E| rows), never a row_number over all |V| nodes — an
+    // unpartitioned WindowExec over an unbounded domain is the one named
+    // scale-killer for this query. Assert structurally: any WindowExec
+    // with an empty partition spec in the threshold sub-plan must have an
+    // aggregate below it (the histogram), so a refactor can't silently
+    // move the sort back onto raw nodes.
+    // checked on the optimized LOGICAL plan: the physical tree hides
+    // inside AdaptiveSparkPlanExec until materialization, so a physical
+    // collect() would vacuously pass
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.functions._
+    val items = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.toDF("ok", "pa").join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb")).select(col("pa"), col("pb")).distinct()
+    val d0 = edges.select(col("pa").as("u"))
+      .unionAll(edges.select(col("pb").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val thr = graft.queries.GraphMore.kcoreThreshold(
+      d0, d0.agg(count(lit(1)).as("n")))
+    val lp = thr.queryExecution.optimizedPlan
+    val globalWindows = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.nonEmpty, "threshold should use the histogram window")
+    globalWindows.foreach { w =>
+      val aggsBelow = w.child.collect { case a: Aggregate => a }
+      assert(aggsBelow.nonEmpty,
+        "global window must sit above the degree histogram aggregate, " +
+          "not raw nodes:\n" + lp)
+    }
+    assert(thr.count() == 1L, "threshold must resolve to exactly one degree")
+  }
+
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
     val sfx = plan(graft.queries.CorpusFifth.suffixDupSpans(spark, sf0001))
     assert(!sfx.contains("CartesianProduct") &&
