@@ -249,43 +249,121 @@ object ShardedLog {
     }
   }
 
-  /** (length, mtime) → line-count memo: the streaming source polls
-    * `endOffsets` every trigger (2 s in the topology), and an idle shard
-    * would otherwise be fully re-read on every poll. Any append changes
-    * the file length, so a stale hit requires an external writer that
-    * leaves length AND mtime identical — not a supported topology (the
-    * log is single-writer-per-shard by design, like the sequence
-    * numbering itself). The entry is only stored when length/mtime are
-    * unchanged across the count, so a mid-count append can never cache
-    * a torn value.
+  /** Per-shard seq→byte-offset index, maintained INCREMENTALLY: the
+    * streaming source polls `endOffsets` every trigger (2 s in the
+    * topology) and then `read`s from where the last batch stopped. The
+    * index makes both O(delta), not O(file):
+    *
+    *  - `lines`/`len` memoize the last scan; a poll over a grown file
+    *    resumes counting at the previous end-of-scan byte (the log is
+    *    append-only per shard), so only the appended tail is ever read
+    *    again — previously every poll re-streamed the shard from byte 0.
+    *  - `anchors` maps line number → byte offset at every [[IndexStep]]-th
+    *    line plus each scan boundary, so `read(startSeq)` opens the file
+    *    AT the floor anchor (an OS-level seek via `skip`) instead of
+    *    `drop(startSeq)` from byte 0 — the round-4 quadratic-over-stream-
+    *    lifetime seek.
+    *
+    * Staleness rules: same (length, mtime) → cached; longer file →
+    * incremental resume (any append bumps both); shorter or missing →
+    * full invalidation (deleted/recreated streams no longer pin stale
+    * entries for the JVM lifetime). The one undetectable case —
+    * delete-and-recreate with IDENTICAL byte length within the same
+    * mtime millisecond — is outside the supported single-writer-per-
+    * shard topology, same as the sequence numbering itself. Entries are
+    * only stored when length/mtime are unchanged across the scan, so a
+    * mid-scan append can never cache a torn value.
     */
-  private val lineCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+  private final case class ShardIndex(len: Long, mtime: Long, lines: Long,
+      anchors: java.util.NavigableMap[Long, Long])
 
-  private def countLines(file: File): Long = {
-    if (!file.exists() || file.length() == 0) return 0L
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardIndex]()
+
+  /** Lines per byte-offset anchor: a read skips at most this many lines
+    * after the seek; the index stays ~16 B per 256 lines (~0.02% of a
+    * 20 KB/record shard).
+    */
+  private val IndexStep = 256L
+
+  /** Bytes actually read from shard files by the scan/read paths —
+    * observability hook for [[ShardedLogSpec]]'s no-re-read proof (a
+    * second poll must cost O(appended bytes), not O(file)).
+    */
+  private[graft] val bytesScanned =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private val EmptyIndex =
+    ShardIndex(0L, 0L, 0L, new java.util.TreeMap[Long, Long]())
+
+  private def refreshIndex(file: File): ShardIndex = {
     val key = file.getCanonicalPath
+    if (!file.exists()) { indexCache.remove(key); return EmptyIndex }
     val len = file.length()
     val mtime = file.lastModified()
-    val cached = lineCountCache.get(key)
-    if (cached != null && cached._1 == len && cached._2 == mtime)
-      return cached._3
+    if (len == 0) { indexCache.remove(key); return EmptyIndex }
+    val cached = indexCache.get(key)
+    if (cached != null && cached.len == len && cached.mtime == mtime)
+      return cached
+    // Append-only resume: the previous scan boundary is always anchored,
+    // so a grown file is scanned from its old end. Anything else (shrunk,
+    // or same length with a different mtime) is a rewrite → full rescan.
+    val resume = cached != null && len > cached.len &&
+      cached.anchors.containsKey(cached.lines)
+    val (startByte, startLines) =
+      if (resume) (cached.anchors.get(cached.lines).longValue(), cached.lines)
+      else (0L, 0L)
+    val anchors = new java.util.TreeMap[Long, Long]()
+    if (resume) {
+      anchors.putAll(cached.anchors)
+      // drop the old scan-boundary anchor unless it sits on the grid, so
+      // the map stays ~lines/IndexStep entries over any number of polls
+      if (cached.lines % IndexStep != 0L) anchors.remove(cached.lines)
+    }
+    anchors.put(0L, 0L)
     val in = Files.newInputStream(file.toPath)
+    var lineStart = startByte // byte where line `n` starts
     val count = try {
-      var n = 0L
+      var skipped = 0L
+      while (skipped < startByte) {
+        val s = in.skip(startByte - skipped)
+        if (s <= 0) throw new java.io.IOException(s"cannot seek $key to $startByte")
+        skipped += s
+      }
+      var n = startLines
+      var pos = startByte
       val buf = new Array[Byte](1 << 16)
       var read = in.read(buf)
       while (read > 0) {
+        bytesScanned.addAndGet(read)
         var i = 0
-        while (i < read) { if (buf(i) == '\n') n += 1; i += 1 }
+        while (i < read) {
+          if (buf(i) == '\n') {
+            n += 1
+            lineStart = pos + i + 1
+            if (n % IndexStep == 0L) anchors.put(n, lineStart)
+          }
+          i += 1
+        }
+        pos += read
         read = in.read(buf)
       }
       n
     } finally in.close()
+    // Boundary anchor — where line `count` starts — is recorded only when
+    // it is the exact file end (appendLines always newline-terminates).
+    // A trailing unterminated line (external writer) leaves the boundary
+    // unanchored, which forces the next refresh into a full rescan
+    // instead of resuming past the partial bytes.
+    if (lineStart == len) anchors.put(count, len)
+    val idx = ShardIndex(len, mtime, count,
+      java.util.Collections.unmodifiableNavigableMap(anchors))
     if (file.length() == len && file.lastModified() == mtime)
-      lineCountCache.put(key, (len, mtime, count))
-    count
+      indexCache.put(key, idx)
+    idx
   }
+
+  private def countLines(file: File): Long = refreshIndex(file).lines
 
   /** Current end sequence (exclusive) per shard. */
   def endOffsets(streamDir: String): Map[String, Long] =
@@ -293,21 +371,38 @@ object ShardedLog {
       s -> countLines(new File(streamDir, s))
     }.toMap
 
-  /** Read records of one shard in [startSeq, endSeq). The underlying
-    * `Files.lines` stream is closed when the iterator is exhausted (the
-    * streaming source calls this per shard per micro-batch — relying on GC
-    * to release the handle would leak file descriptors on 2 s triggers).
+  /** Read records of one shard in [startSeq, endSeq). Opens the file AT
+    * the floor byte-anchor for `startSeq` (OS-level `skip`, ≤ [[IndexStep]]
+    * lines of residual decode) instead of line-dropping from byte 0 — a
+    * long-running 2 s-trigger stream pays O(batch), not O(shard-so-far),
+    * per micro-batch. The stream is closed when the iterator is exhausted
+    * (the streaming source calls this per shard per micro-batch — relying
+    * on GC to release the handle would leak file descriptors).
     */
   def read(streamDir: String, shard: String, startSeq: Long,
       endSeq: Long): Iterator[Record] = {
-    val path = Paths.get(streamDir, shard)
-    if (!Files.exists(path)) return Iterator.empty
-    val stream = Files.lines(path, UTF_8)
-    val base = stream.iterator().asScala
-      .drop(startSeq.toInt).take((endSeq - startSeq).toInt)
+    val file = new File(streamDir, shard)
+    if (!file.exists() || endSeq <= startSeq) return Iterator.empty
+    val anchor = refreshIndex(file).anchors.floorEntry(startSeq)
+    val (anchorLine, anchorByte) =
+      if (anchor == null) (0L, 0L) else (anchor.getKey.longValue(), anchor.getValue.longValue())
+    val in = Files.newInputStream(file.toPath)
+    val reader = try {
+      var skipped = 0L
+      while (skipped < anchorByte) {
+        val s = in.skip(anchorByte - skipped)
+        if (s <= 0) throw new java.io.IOException(
+          s"cannot seek $shard to byte $anchorByte")
+        skipped += s
+      }
+      new java.io.BufferedReader(new java.io.InputStreamReader(
+        countingStream(in), UTF_8))
+    } catch { case e: Throwable => in.close(); throw e }
+    val base = reader.lines().iterator().asScala
+      .drop((startSeq - anchorLine).toInt).take((endSeq - startSeq).toInt)
     new Iterator[Record] {
       private var open = true
-      private def closeOnce(): Unit = if (open) { open = false; stream.close() }
+      private def closeOnce(): Unit = if (open) { open = false; reader.close() }
       override def hasNext: Boolean = {
         val h = open && base.hasNext
         if (!h) closeOnce()
@@ -322,6 +417,21 @@ object ShardedLog {
       }
     }
   }
+
+  /** Counts bytes actually read (skips are seeks, not reads) into
+    * [[bytesScanned]].
+    */
+  private def countingStream(in: java.io.InputStream): java.io.InputStream =
+    new java.io.FilterInputStream(in) {
+      override def read(): Int = {
+        val b = super.read(); if (b >= 0) bytesScanned.incrementAndGet(); b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = super.read(b, off, len)
+        if (n > 0) bytesScanned.addAndGet(n)
+        n
+      }
+    }
 
   /** First sequence at-or-after a timestamp (≙ AT_TIMESTAMP iterator). */
   def seqAtTimestamp(streamDir: String, shard: String, millis: Long): Long = {

@@ -36,6 +36,33 @@ class ShardedLogSpec extends SparkTestBase {
     assert(ShardedLog.endOffsets(dir)("shard-00000") == 11L)
   }
 
+  test("second poll + tail read cost O(appended bytes), not O(file)") {
+    // The seq→byte-offset index must make the steady-state trigger loop
+    // incremental: after a first full scan, appending a few records and
+    // polling again may only touch the appended tail (plus bounded
+    // read-ahead), never re-stream the shard from byte 0 — the round-4
+    // O(file)-per-poll seek was quadratic over a stream's lifetime.
+    val dir = newStream(1)
+    val big = "x" * 200
+    (1 to 5000).foreach(i => put(dir, s"k-$i", s"$big-$i"))
+    val fileBytes = new java.io.File(dir, "shard-00000").length()
+    assert(fileBytes > 1000000L, "fixture must dwarf reader buffers")
+    ShardedLog.endOffsets(dir) // build the index (full scan)
+    // first read consumes the whole shard — entitled to O(file)
+    assert(ShardedLog.read(dir, "shard-00000", 0L, 5000L).size == 5000)
+    (1 to 10).foreach(i => put(dir, s"t-$i", s"tail-$i"))
+    val before = ShardedLog.bytesScanned.get()
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == 5010L)
+    val tail = ShardedLog.read(dir, "shard-00000", 5000L, 5010L).toSeq
+    assert(tail.map(_.sequenceNumber) == (5000L to 5009L))
+    assert(new String(tail.head.data, "UTF-8") == "tail-1")
+    val delta = ShardedLog.bytesScanned.get() - before
+    // appended tail ~3 KB; anchor residual ≤ 256 lines ≈ 75 KB; buffered
+    // read-ahead ≤ 8 KB — all far below the 1 MB+ shard
+    assert(delta < fileBytes / 4,
+      s"poll+read re-read the shard: $delta of $fileBytes bytes")
+  }
+
   test("putRecord assigns md5 hash-range shards; batch read sees all records") {
     val dir = newStream(2)
     (1 to 50).foreach(i => put(dir, s"key-$i", s"payload-$i"))
