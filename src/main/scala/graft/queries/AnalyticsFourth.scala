@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,7 +159,7 @@ object AnalyticsFourth {
       .withColumn("rn", row_number().over(perOrder))
       .filter(col("rn") <= 64)
       .drop("rn")
-      .localCheckpoint() // reused 4× below (both join sides, counts, total)
+      .stableCheckpoint() // reused 4× below (both join sides, counts, total)
     val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
     val partCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
     val a = items.toDF("ok", "pa")

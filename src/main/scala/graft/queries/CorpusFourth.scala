@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,7 +37,7 @@ object CorpusFourth {
   def boilerplateNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = toks(spark, sfDir)
       .select(col("doc_id"), explode(Dedup.ngramSetOfTokens(col("toks"), 5)).as("gram"))
-      .localCheckpoint() // reused: df aggregation + per-doc tagging
+      .stableCheckpoint() // reused: df aggregation + per-doc tagging
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val boiler = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -121,7 +122,7 @@ object CorpusFourth {
         explode(transform(
           sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bg"))
-      .localCheckpoint() // reused: corpus counts + per-doc tagging
+      .stableCheckpoint() // reused: corpus counts + per-doc tagging
     val cf = bi.groupBy(col("bg")).agg(count(lit(1)).as("cf"))
     bi.join(cf, Seq("bg"))
       .groupBy(col("doc_id"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -145,7 +146,7 @@ object CorpusThird {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("g"))
-      .localCheckpoint() // both self-join sides read stored partitions
+      .stableCheckpoint() // both self-join sides read stored partitions
     val shared = postings.toDF("a", "g")
       .join(postings.toDF("b", "g"), Seq("g"))
       .filter(col("a") =!= col("b"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,7 +24,7 @@ object GraphMore {
     * sf0.1 with k=94). Each round is one degree aggregation plus two
     * semi-joins keyed on the endpoints; the threshold is a histogram
     * rank lookup (see [[kcoreThreshold]] — ≤ 2·√|E| rows, never |V| and
-    * never the edge list), broadcast into every round. `localCheckpoint` caps lineage
+    * never the edge list), broadcast into every round. `stableCheckpoint` (localCheckpoint, or reliable via [[graft.Checkpoints]]) caps lineage
     * exactly as the PageRank/CC loops do. Per-order pair expansion is
     * bounded by TPC-H's ≤7 lineitems/order; the market-basket guard
     * pattern applies verbatim if a pathological basket appears.
@@ -37,14 +38,14 @@ object GraphMore {
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb"))
       .distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     def degrees(e: DataFrame): DataFrame =
       e.select(col("pa").as("u"))
         .unionAll(e.select(col("pb").as("u")))
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val d0 = degrees(edges)
     val n = d0.agg(count(lit(1)).as("n"))
-    val thr = kcoreThreshold(d0, n).localCheckpoint()
+    val thr = kcoreThreshold(d0, n).stableCheckpoint()
     for (_ <- 1 to Rounds) {
       val alive = degrees(edges)
         .crossJoin(broadcast(thr))
@@ -53,7 +54,7 @@ object GraphMore {
         .join(alive.toDF("pa"), "pa")
         .join(alive.toDF("pb"), "pb")
         .select(col("pa"), col("pb"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
     degrees(edges)
       .select(col("u").as("part_key"), col("deg"))

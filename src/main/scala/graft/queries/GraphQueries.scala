@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -23,7 +24,7 @@ object GraphQueries {
     * sum plus a left join back to the node list — the textbook
     * Pregel-style step expressed relationally; ranks/outdeg stay (node,
     * long) pairs, never materializing anything wider. The edge list and
-    * each iteration's ranks are localCheckpoint'd: ranks are re-read by
+    * each iteration's ranks are stableCheckpoint'd (graft.Checkpoints): ranks are re-read by
     * the next iteration's two references, and lineage would otherwise
     * double per round.
     */
@@ -36,16 +37,16 @@ object GraphQueries {
       .distinct()
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .stableCheckpoint()
     // checkpoint once: both are re-read by EVERY iteration's join — left
     // on lineage they re-shuffle the edge list five times over
     val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .stableCheckpoint()
 
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_q"))
-      .localCheckpoint()
+      .stableCheckpoint()
     for (_ <- 1 to 5) {
       val inc = edges
         .join(ranks, col("src") === col("node"))
@@ -57,7 +58,7 @@ object GraphQueries {
         .join(inc, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_q"))
-        .localCheckpoint()
+        .stableCheckpoint()
     }
     ranks
       .select(
@@ -123,7 +124,7 @@ object GraphQueries {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("a"), col("b"))
-      .localCheckpoint()
+      .stableCheckpoint()
   }
 
   /** Triangle count over the co-purchase graph. Edges are oriented

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -28,7 +29,7 @@ object IngestQueries {
       .repartition(par)
       .select(col("id"),
         Dedup.minhashSignatureOfTokens(col("toks"), k).as("sig"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(Dedup.lshBuckets(col("sig"), bandCount, rowsPerBand))
         .as(Seq("b", "bucket")))
@@ -81,7 +82,7 @@ object IngestQueries {
           countDistinct(col(c)).as(s"__ndv_$c")))
       // one row; checkpoint so the per-column union branches read it
       // instead of re-running the whole-table aggregate per column
-      val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val one = df.agg(aggs.head, aggs.tail: _*).stableCheckpoint()
       cols.map { c =>
         one.select(lit(table).as("table_name"), lit(c).as("column_name"),
           col("__n").as("n_rows"), col(s"__nulls_$c").as("n_nulls"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -336,7 +337,7 @@ object RelationalFourth {
       // lineitem⋈orders join re-executes per leg (ReuseExchange does not
       // cover all three shapes) — store the small (key, suppkey, bool)
       // projection once instead.
-      .localCheckpoint()
+      .stableCheckpoint()
     val l1 = lines.filter(col("late"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
     val others = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))

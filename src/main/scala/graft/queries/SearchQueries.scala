@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object SearchQueries {
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .repartition(par)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
-      .localCheckpoint() // both index sides read stored partitions
+      .stableCheckpoint() // both index sides read stored partitions
     val lexW = Window.partitionBy(col("q")).orderBy(col("shared").desc, col("c"))
     val lex = postings.toDF("q", "tok").filter(col("q") < 5)
       .join(postings.toDF("c", "tok"), Seq("tok"))
@@ -129,7 +130,7 @@ object SearchQueries {
         explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // reused: df aggregation + probe join
+      .stableCheckpoint() // reused: df aggregation + probe join
     val stats = postings.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val df = postings.groupBy(col("tok"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -170,7 +171,7 @@ object SimQueries {
     val v = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
-      .localCheckpoint() // both self-join sides read stored partitions
+      .stableCheckpoint() // both self-join sides read stored partitions
     val pairs = v.toDF("id_a", "e_a", "bucket")
       .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -296,7 +297,7 @@ object SimQueries {
     val v = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
-      .localCheckpoint() // both self-join sides read stored partitions
+      .stableCheckpoint() // both self-join sides read stored partitions
     v.toDF("id_a", "e_a", "bucket")
       .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -289,7 +290,7 @@ object TextQueries {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .repartition(par)
-      .localCheckpoint()
+      .stableCheckpoint()
     val gramStats = toks.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       greatest(size(col("toks")) - 2, lit(1)).cast("long").as("n_grams"),

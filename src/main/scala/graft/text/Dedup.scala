@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -71,7 +72,7 @@ object Dedup {
     // md5 calls) is the dominant map cost, and a single-file parquet
     // source arrives as one partition.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // Materialize signatures ONCE (localCheckpoint truncates lineage): the
+    // Materialize signatures ONCE (stableCheckpoint truncates lineage): the
     // self-join's two sides below would otherwise each recompute the full
     // k·tokens md5 signature pass (exchange reuse does not fire across the
     // renamed sides). Signatures are k×32 B per doc (orders smaller than
@@ -84,7 +85,7 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(par)
       .select(col("id"), minhashSignatureOfTokens(col("toks"), k).as("sig"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(lshBuckets(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -159,7 +160,7 @@ object Dedup {
       .select(col("id"), substring(col("txt"), 1, 40).as("prefix"),
         simhash(col("txt")).as("sh"))
       .withColumn("block", shiftright(col("sh"), 60 - prefixBits))
-      .localCheckpoint()
+      .stableCheckpoint()
     val a = sh.toDF("id_a", "prefix_a", "sh_a", "block")
     val b = sh.toDF("id_b", "prefix_b", "sh_b", "block")
     a.join(b, "block")
@@ -233,7 +234,7 @@ object Dedup {
     // side and single-file sources arrive as one partition.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = docs.repartition(par)
-    // Materialize ONE gram-set array per document (localCheckpoint — the
+    // Materialize ONE gram-set array per document (stableCheckpoint — the
     // arrays are ~n_grams×8 B/doc, orders smaller than the text), for two
     // reasons measured on this corpus: (a) referencing the gram array from
     // both `size` and `explode` in one projection re-evaluates the whole
@@ -247,7 +248,7 @@ object Dedup {
       .select((blockCols.map(col) :+ col("id") :+
         array_distinct(transform(ngramSetOfTokens(col("toks"), n), g => xxhash64(g)))
           .as("ngrams")): _*)
-      .localCheckpoint()
+      .stableCheckpoint()
     // Carry the set size ON the posting rows: |A| and |B| then arrive with
     // the join, so no separate size-aggregate and no join-back is needed.
     val allPostings = withSet.select(
@@ -291,7 +292,7 @@ object Dedup {
     *
     * Iterative min-label propagation: each round every node takes the min
     * of its own label and its neighbors' labels (one join + one groupBy,
-    * both distributed; `localCheckpoint` truncates the growing lineage).
+    * both distributed; `stableCheckpoint` truncates the growing lineage).
     * Rounds needed = graph diameter — near-dup components are shallow
     * chains, so convergence is fast; the driver-side loop only ever pulls
     * a scalar convergence count, never data. Deterministic: min over ids,
@@ -301,7 +302,7 @@ object Dedup {
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
+      .stableCheckpoint()
     // Right-size the iteration parallelism to the EDGE count, not the
     // session default: candidate-pair graphs are usually tiny relative
     // to the corpus, and every label-propagation round otherwise pays a
@@ -311,9 +312,9 @@ object Dedup {
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (edges0.count() / 50000L).toInt + 1))
-    val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
+    val edges = edges0.repartition(parts, col("dst")).stableCheckpoint()
     var labels = edges.select(col("src")).distinct()
-      .withColumn("lbl", col("src")).localCheckpoint()
+      .withColumn("lbl", col("src")).stableCheckpoint()
     var iter = 0
     var converged = false
     // Convergence via the label-sum invariant where labels are numeric
@@ -332,7 +333,7 @@ object Dedup {
         .select(col("src"), col("lbl"))
         .union(labels)
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .stableCheckpoint()
       if (numericLbl) {
         val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
           .head().getDecimal(0)
