@@ -125,6 +125,42 @@ object StatsQueries {
       .orderBy(col("bin"))
   }
 
+  /** Approximate-regime gate for [[equiDepthHistogram]] (VERDICT r4 item
+    * 4, third leg): with k = 512 the decile edges compact at every gate
+    * scale, so bin populations are merge-order-dependent and cannot be
+    * hash-compared — but the equi-depth CONTRACT can: every decile must
+    * hold 10% ± 5pp of the rows. Edge rank error ≤ ε bounds each bin's
+    * share within 2ε of nominal; the pinned ±5pp tolerance is ~10× the
+    * empirical error at this depth, so the verdict row flips (and the
+    * hash gate fails) on real drift only. Oracle supplies the expected
+    * all-true deciles.
+    */
+  def equiDepthBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val pcts = (1 to 9).map(_ * 10)
+    val kll = graft.functions.KllQuantileAggregator.kllQuantiles(512, pcts)
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val edges = cents.agg(kll(col("cents")).as("qv"))
+    val bins = cents.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        (1 to 9).map(i =>
+          when(col("cents") > element_at(col("qv"), i), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val tot = bins.agg(sum(col("n")).as("total"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .between(0.05d, 0.15d).as("balanced"))
+      .orderBy(col("bin"))
+  }
+
+  val equiDepthBalanceSql: String =
+    """SELECT CAST(bin AS BIGINT) AS bin, TRUE AS balanced
+      |FROM (SELECT unnest(range(0, 10)) AS bin) b
+      |ORDER BY bin""".stripMargin
+
   val equiDepthHistogramSql: String =
     """WITH v AS (
       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
