@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * so a real decoder would amortize model/codec setup per batch, not per
   * row).
   *
-  * The decode itself is a STUB — this container has no image/audio codecs —
-  * implemented as a DETERMINISTIC FAKE: all "decoded" properties are
-  * md5-arithmetic over the payload bytes, so the Spark-side plumbing
-  * (schema, Encoders, partitioning, batch shape) is real AND the output is
-  * exactly reproducible by the DuckDB oracle. Swapping `StubCodec` for a
-  * real codec changes no plumbing.
+  * Two codec backends behind one [[Multimodal.MediaCodec]] seam:
+  * [[Multimodal.StubCodec]] (default; gate path) is a DETERMINISTIC FAKE —
+  * all "decoded" properties are md5-arithmetic over the payload bytes, so
+  * the Spark-side plumbing (schema, Encoders, partitioning, batch shape)
+  * is real AND the output is exactly reproducible by the DuckDB oracle.
+  * [[Multimodal.ImageIoCodec]] is the honest image path over the JDK's
+  * built-in `javax.imageio` (real pixel dimensions + luminance features;
+  * audio/video still have no JVM codec and dead-letter). Select with
+  * `spark.graft.multimodal.codec=imageio`; swapping changes no plumbing.
   */
 object Multimodal {
 
@@ -27,8 +30,21 @@ object Multimodal {
   final case class DecodedMedia(media_id: Long, kind: String,
       width: Long, height: Long, n_frames: Long, feat: Array[Double])
 
+  /** Pluggable decode backend. Implementations must be deterministic for
+    * a given payload (retries/speculative tasks must agree) and
+    * serializable (the instance ships inside the `mapPartitions`
+    * closure). Failure contract: undecodable payloads return
+    * `(-1, -1, 0)` / empty features — rows stay in the Dataset with the
+    * failure marker so downstream can dead-letter them (log-and-skip,
+    * reference §1.4), never throw inside an executor task.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(content: Array[Byte], kind: String): (Long, Long, Long)
+    def features(content: Array[Byte], kind: String, dim: Int = 8): Array[Double]
+  }
+
   /** ======== STUB CODEC (deterministic fake — see scaladoc above) ======= */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     private def md5hex(bytes: Array[Byte]): String = {
       val md = MessageDigest.getInstance("MD5")
       md.digest(bytes).map("%02x".format(_)).mkString
@@ -36,7 +52,7 @@ object Multimodal {
     private def h60(hex: String): Long = BigInt(hex.take(15), 16).toLong
 
     /** "Decode" dimensions and frame count from the payload hash. */
-    def decode(content: Array[Byte], kind: String): (Long, Long, Long) = {
+    override def decode(content: Array[Byte], kind: String): (Long, Long, Long) = {
       val h = h60(md5hex(content))
       val frames = kind match {
         case "video" => 1L + h % 32
@@ -47,12 +63,71 @@ object Multimodal {
     }
 
     /** 8-dim "embedding" of the payload: per-component md5 in [-1, 1]. */
-    def features(content: Array[Byte], dim: Int = 8): Array[Double] = {
+    override def features(content: Array[Byte], kind: String,
+        dim: Int = 8): Array[Double] = {
       val hex = md5hex(content)
       Array.tabulate(dim) { j =>
         (h60(md5hex(s"$j:$hex".getBytes("UTF-8"))) % 2001 - 1000) / 1000.0
       }
     }
+  }
+
+  /** ======== REAL CODEC: JDK ImageIO (PNG/JPEG/GIF/BMP) ========
+    * The honest image path — `javax.imageio` ships in the JVM, so the
+    * `image` kind needs no external codec: real pixel dimensions, and an
+    * 8-dim feature of per-vertical-strip mean luminance scaled to
+    * [-1, 1] (a deterministic, rotation-sensitive fingerprint — the
+    * shape a real embedding model would slot into). Audio/video kinds
+    * have no JVM-built-in codec and return the failure marker, exactly
+    * the dead-letter contract a missing system codec produces in a real
+    * pipeline.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def readImage(content: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+
+    override def decode(content: Array[Byte], kind: String): (Long, Long, Long) =
+      if (kind != "image") (-1L, -1L, 0L)
+      else {
+        val img = readImage(content)
+        if (img == null) (-1L, -1L, 0L)
+        else (img.getWidth.toLong, img.getHeight.toLong, 1L)
+      }
+
+    override def features(content: Array[Byte], kind: String,
+        dim: Int = 8): Array[Double] = {
+      if (kind != "image") return Array.empty
+      val img = readImage(content)
+      if (img == null) return Array.empty
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) /
+            (3.0d * 255.0d)
+          val strip = math.min(dim - 1, x * dim / w)
+          sums(strip) += lum
+          counts(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(j =>
+        if (counts(j) == 0) 0.0d else 2.0d * sums(j) / counts(j) - 1.0d)
+    }
+  }
+
+  /** Codec registry for the session-conf knob
+    * `spark.graft.multimodal.codec` (`stub` default / `imageio`).
+    */
+  def codecFor(name: String): MediaCodec = name.toLowerCase match {
+    case "imageio" => ImageIoCodec
+    case _         => StubCodec
   }
 
   /** Synthesize a deterministic media table from `documents` (no media
@@ -73,17 +148,26 @@ object Multimodal {
 
   /** Batched decode + feature extraction: iterator-of-batches inside each
     * partition (`grouped(BatchSize)`), one codec "session" per batch.
+    * Codec defaults to the session conf `spark.graft.multimodal.codec`
+    * (stub unless overridden), so the oracle gate stays deterministic
+    * while a real deployment flips one conf to decode with ImageIO.
     */
-  def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+  def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedMedia] =
+    decodeAndFeaturize(media,
+      codecFor(media.sparkSession.conf
+        .getOption("spark.graft.multimodal.codec").getOrElse("stub")))
+
+  def decodeAndFeaturize(media: Dataset[MediaRow],
+      codec: MediaCodec): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
         // a real pipeline would init the codec/model HERE, once per batch
         batch.iterator.map { m =>
-          val (w, h, f) = StubCodec.decode(m.content, m.kind)
+          val (w, h, f) = codec.decode(m.content, m.kind)
           DecodedMedia(m.media_id, m.kind, w, h, f,
-            StubCodec.features(m.content))
+            codec.features(m.content, m.kind))
         }
       }
     }
