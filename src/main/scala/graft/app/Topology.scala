@@ -34,8 +34,9 @@ object Topology {
   def startEtlConsumer(spark: SparkSession, sourceStream: String,
       destStreams: Map[String, String], errorsDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
-    val source = readStream(spark, sourceStream)
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      maxRecordsPerPoll: Int = 200): StreamingQuery = {
+    val source = readStream(spark, sourceStream, maxRecordsPerPoll = maxRecordsPerPoll)
     source.writeStream
       .queryName("graft-etl-consumer")
       .trigger(trigger)
