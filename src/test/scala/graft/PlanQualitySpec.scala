@@ -249,6 +249,37 @@ class PlanQualitySpec extends SparkTestBase {
     assert(thr.count() == 1L, "threshold must resolve to exactly one degree")
   }
 
+  test("bounded-domain global windows only ever order aggregated domains") {
+    // skyline_parts / zipf_coverage / ks_drift each run an unpartitioned
+    // window — acceptable ONLY because the windowed input is an
+    // aggregated bounded domain (distinct cents / vocabulary types /
+    // distinct lengths), not raw rows. Pin that structurally: in the
+    // optimized logical plan, every empty-partition Window must have an
+    // Aggregate below it, so a refactor can't silently move the sort
+    // back onto the raw table. (Same guard family as the kcore
+    // threshold above.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val targets = Seq(
+      "skyline_parts" ->
+        graft.queries.AnalyticsFourth.skylineParts(spark, sf0001),
+      "zipf_coverage" ->
+        graft.queries.CorpusFifth.zipfCoverage(spark, sf0001),
+      "ks_drift" -> graft.queries.SeriesFifth.ksDrift(spark, sf0001))
+    targets.foreach { case (name, df) =>
+      val lp = df.queryExecution.optimizedPlan
+      val globalWindows = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.nonEmpty,
+        s"$name should still use its bounded-domain global window")
+      globalWindows.foreach { w =>
+        assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"$name: global window must order an aggregated domain, " +
+            s"not raw rows:\n$lp")
+      }
+    }
+  }
+
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
     val sfx = plan(graft.queries.CorpusFifth.suffixDupSpans(spark, sf0001))
     assert(!sfx.contains("CartesianProduct") &&
