@@ -79,6 +79,9 @@ object AsOfJoin {
     *
     * Emits `prefix<c>` payload columns plus `<prefix>direction`
     * ('backward'/'forward', null if no match) and `<prefix>dist_us`.
+    * Among right rows sharing (key, ts), the one sorting LAST by
+    * `tiebreak` wins — in BOTH directions, the same convention as
+    * [[backward]].
     */
   def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], prefix: String = "matched_",
@@ -106,14 +109,19 @@ object AsOfJoin {
     // Forward lookup as a GROWING frame over the REVERSED order — a
     // `first(...) OVER (1 FOLLOWING, UNBOUNDED FOLLOWING)` shrinking
     // frame makes Spark recompute the non-invertible aggregate per row,
-    // O(n²) in a key's row count (a hot key detonates). Reversed tie
-    // layout (side asc, tiebreak desc) keeps semantics identical: right
-    // rows at equal ts land BEHIND the left row in DESC order (still
-    // backward matches), and `last` over the reversed frame picks the
-    // smallest-ts strictly-forward right row with the smallest tiebreak.
+    // O(n²) in a key's row count (a hot key detonates). Reversed ts/side
+    // layout (ts desc, side asc) keeps semantics identical: right rows
+    // at equal ts land BEHIND the left row in DESC order (still backward
+    // matches), and `last` over the reversed frame picks the smallest-ts
+    // strictly-forward right row. The tiebreak component stays ASC —
+    // same direction as the backward ordering — so BOTH directions
+    // resolve equal-(key, ts) right-row ties to the row sorting LAST by
+    // `tiebreak`, the documented [[backward]] convention (tiebreak
+    // direction never affects frame membership; the __side term
+    // dominates at equal ts).
     val orderRev: Seq[Column] =
       (col("__ts").desc +: col("__side").asc +:
-        tiebreak.map(c => col("__payload").getField(s"__tb_$c").desc))
+        tiebreak.map(c => col("__payload").getField(s"__tb_$c").asc))
     val aheadRev = Window.partitionBy(col(key)).orderBy(orderRev: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
 

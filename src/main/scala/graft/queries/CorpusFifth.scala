@@ -267,10 +267,11 @@ object CorpusFifth {
   /** Class-distinctive terms (c-TF-IDF flavor): for each language, the
     * top-5 tokens by integer-fixed-point LIFT — how over-represented the
     * token is in that language vs the whole corpus:
-    * lift = (c_lang_tok / n_lang) / (c_tok / N), scaled ×10⁶ and kept in
-    * BIGINT division so the RANKING is pure integer arithmetic (the same
-    * trick as `tfidf_top_terms` — no double comparisons anywhere near a
-    * rank). The curation use: what vocabulary defines each class/slice
+    * lift = (c_lang_tok / n_lang) / (c_tok / N), scaled ×10⁶ in 128-bit
+    * integer arithmetic (DECIMAL(38,0) / HUGEINT — a 1e13-token corpus
+    * would wrap the naive BIGINT product) so the RANKING is pure integer
+    * arithmetic at any corpus size (the same trick as `tfidf_top_terms`
+    * — no double comparisons anywhere near a rank). The curation use: what vocabulary defines each class/slice
     * of a corpus. Two token-keyed aggregations + a per-class top-5
     * window over the (class, token) domain — at 100 TB the window input
     * is vocabulary-sized, not corpus-sized.
@@ -290,8 +291,14 @@ object CorpusFifth {
       .join(byTok, "t").join(broadcast(byLang), "lang")
       .crossJoin(broadcast(totals))
       .filter(col("c_lt") >= 5) // drop noise terms before ranking
+      // 128-bit-wide fixed point: c_lt·n_total·10⁶ tops out near 1e32 at
+      // a 1e13-token corpus — silent Long wrap in non-ANSI Spark, a bind
+      // error in DuckDB. DECIMAL(38,0) here / HUGEINT in the oracle keep
+      // the integer ranking exact at every scale; IntegralDivide then
+      // returns the BIGINT lift both engines hash.
       .withColumn("lift_fp",
-        expr("(c_lt * n_total * 1000000L) div (n_l * c_t)"))
+        expr("(cast(c_lt as decimal(38,0)) * cast(n_total as decimal(38,0))" +
+          " * 1000000) div (cast(n_l as decimal(38,0)) * cast(c_t as decimal(38,0)))"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("rnk"), col("t").as("token"), col("c_lt"),
@@ -311,7 +318,8 @@ object CorpusFifth {
       |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM bt),
       |scored AS (
       |  SELECT lt.lang, lt.t, lt.c_lt, bt.c_t,
-      |    (lt.c_lt * n_total * 1000000) // (bl.n_l * bt.c_t) AS lift_fp
+      |    (CAST(lt.c_lt AS HUGEINT) * CAST(n_total AS HUGEINT) * 1000000)
+      |      // (CAST(bl.n_l AS HUGEINT) * CAST(bt.c_t AS HUGEINT)) AS lift_fp
       |  FROM lt JOIN bt USING (t) JOIN bl USING (lang), n
       |  WHERE lt.c_lt >= 5),
       |ranked AS (

@@ -22,8 +22,13 @@ object Bucketing {
       buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // resolve the managed location through the CATALOG, not by string
+    // concat under warehouse.dir: a qualified name (db.tbl) or a
+    // non-default current database would otherwise sweep the wrong path
+    // (and still die with LOCATION_ALREADY_EXISTS on the real one)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
