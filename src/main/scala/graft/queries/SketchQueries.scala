@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HyperLogLogAggregator
@@ -453,6 +454,71 @@ object SketchQueries {
       |  TRUE AS within_bound
       |FROM orders, (SELECT unnest([25, 50, 75]) AS q_pct) q
       |ORDER BY o_orderpriority, q_pct""".stripMargin
+
+  /** KMV (bottom-k / k-minimum-values) distinct-count sketch — the
+    * third leg of the sketch family next to HLL and KLL: hash each
+    * member into the 60-bit md5 space, keep the k smallest distinct
+    * hashes, estimate |D| ≈ (k−1)·2⁶⁰ / h_k. Fully SQL-expressible —
+    * the per-group bottom-k is a rank filter (WindowGroupLimit partial
+    * top-k at scale: map tasks forward ≤ k hashes per group, the exact
+    * shape a mergeable KMV aggregator would shuffle) — so unlike HLL/KLL
+    * the ESTIMATE itself is deterministic and the oracle replays it
+    * bit-for-bit, exact-count audit and relative error alongside.
+    * k adapts to min(64, |group|) so the estimator stays defined at
+    * every gate scale.
+    */
+  def sketchKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val two60 = "1152921504606846976"
+    val h = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    val nDist = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    h.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))).cast("long"))
+      .filter(col("rn") <= 64)
+      .join(broadcast(nDist), "event_type")
+      .withColumn("k", least(lit(64L), col("n_exact")))
+      .filter(col("rn") === col("k"))
+      .select(col("event_type"), col("n_exact"), col("k"),
+        col("h").as("h_k"))
+      .withColumn("est_kmv",
+        (col("k") - 1).cast("double") * expr(s"cast($two60 as double)")
+          / col("h_k").cast("double"))
+      .withColumn("rel_error",
+        (col("est_kmv") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchKmvSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM u),
+      |r AS (
+      |  SELECT event_type, h,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+      |      AS BIGINT) AS rn
+      |  FROM h),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      |      FROM h GROUP BY event_type),
+      |kth AS (
+      |  SELECT r.event_type, n.n_exact, least(64, n.n_exact) AS k, r.h AS h_k
+      |  FROM r JOIN n USING (event_type)
+      |  WHERE r.rn = least(64, n.n_exact))
+      |SELECT event_type, n_exact, CAST(k AS BIGINT) AS k, h_k,
+      |  CAST(k - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |    / CAST(h_k AS DOUBLE) AS est_kmv,
+      |  (CAST(k - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |    / CAST(h_k AS DOUBLE) - CAST(n_exact AS DOUBLE))
+      |    / CAST(n_exact AS DOUBLE) AS rel_error
+      |FROM kth
+      |ORDER BY event_type""".stripMargin
 
   val sketchRollingDistinctSql: String =
     """WITH h AS (
