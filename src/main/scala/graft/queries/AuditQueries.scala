@@ -141,6 +141,58 @@ object AuditQueries {
       |GROUP BY late_min
       |ORDER BY late_min""".stripMargin
 
+  /** Out-of-vocabulary rate of the eval splits under the TRAIN split's
+    * vocabulary — the tokenizer-coverage number that decides whether a
+    * vocab generalizes or the split broke the distribution: per
+    * language, what share of val/test token OCCURRENCES never appear in
+    * train. Vocabulary is a distinct-token aggregation (map-side
+    * combined); the membership probe is a LEFT ANTI join on the token
+    * key — at 100 TB both sides stay token-keyed, never doc-keyed.
+    */
+  def oovRateSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), splitOf(col("doc_id")).as("split"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = tok.filter(col("split") === "train").select(col("t")).distinct()
+    val eval_ = tok.filter(col("split") =!= "train")
+    val oov = eval_.join(vocab, Seq("t"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_oov"))
+    eval_.groupBy(col("lang")).agg(count(lit(1)).as("n_eval_tokens"))
+      .join(oov, Seq("lang"), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_share",
+        col("n_oov").cast("double") / col("n_eval_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val oovRateSplitSql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    CASE
+      |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 < 8
+      |        THEN 'train'
+      |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 8
+      |        THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tk AS (SELECT * FROM tok WHERE t <> ''),
+      |vocab AS (SELECT DISTINCT t FROM tk WHERE split = 'train'),
+      |ev AS (SELECT lang, t FROM tk WHERE split <> 'train'),
+      |oov AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_oov
+      |  FROM ev ANTI JOIN vocab USING (t)
+      |  GROUP BY lang),
+      |tot AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_eval_tokens
+      |  FROM ev GROUP BY lang)
+      |SELECT tot.lang, n_eval_tokens, coalesce(n_oov, 0) AS n_oov,
+      |  CAST(coalesce(n_oov, 0) AS DOUBLE) / CAST(n_eval_tokens AS DOUBLE)
+      |    AS oov_share
+      |FROM tot LEFT JOIN oov ON tot.lang = oov.lang
+      |ORDER BY tot.lang""".stripMargin
+
   /** Benford first-digit audit over line-item amounts: organic financial
     * amounts follow log-ish first-digit frequencies; a synthetic or
     * tampered column does not. Pure integer digit extraction (first

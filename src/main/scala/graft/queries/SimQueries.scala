@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Checkpoints.StableCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.Similarity
@@ -282,6 +283,81 @@ object SimQueries {
        |LEFT JOIN m ON m.query_id = q.vec_id
        |ORDER BY query_id""".stripMargin
   }
+
+  /** Matryoshka truncation audit: recall@3 of brute-force search over
+    * HALF-dimension prefixes (slice 1..32 of 64) against the full-dim
+    * exact top-3, per query — the measurement behind shipping truncated
+    * embeddings (half the storage and FLOPs per probe at 100 TB; this
+    * query prices the recall cost). Same deterministic tie-break
+    * protocol as [[annRecallAudit]] (cosine rounded to 6, then
+    * corpus_id), same sampled-query scale shape.
+    */
+  def embedTruncationRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val half = Dim / 2
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("t", expr(s"slice(e, 1, $half)"))
+      .stableCheckpoint() // four self-join sides read stored partitions
+    def top3(vecCol: String): DataFrame = {
+      val q = v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col(vecCol).as("qv"))
+      val c = v.select(col("vec_id").as("corpus_id"), col(vecCol).as("cv"))
+      q.join(c, col("corpus_id") =!= col("query_id"))
+        .withColumn("sim", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("corpus_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("corpus_id"))
+    }
+    val matched = top3("e").join(top3("t"), Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
+    v.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .withColumn("recall_at_3",
+        col("n_match").cast("double") / expr("cast(3 as double)"))
+      .select(col("query_id"), col("n_match"), col("recall_at_3"))
+      .orderBy(col("query_id"))
+  }
+
+  val embedTruncationRecallSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    CAST(embedding AS DOUBLE[])[1:${Dim / 2}] AS t
+       |  FROM embeddings),
+       |full3 AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.e, c.e)
+       |              / (sqrt(list_dot_product(q.e, q.e))
+       |                 * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+       |        c.vec_id) AS rank
+       |    FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |trunc3 AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.t, c.t)
+       |              / (sqrt(list_dot_product(q.t, q.t))
+       |                 * sqrt(list_dot_product(c.t, c.t))), 6) DESC,
+       |        c.vec_id) AS rank
+       |    FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 3),
+       |m AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_match
+       |  FROM full3 JOIN trunc3 USING (query_id, corpus_id)
+       |  GROUP BY query_id)
+       |SELECT q.vec_id AS query_id,
+       |  coalesce(m.n_match, 0) AS n_match,
+       |  CAST(coalesce(m.n_match, 0) AS DOUBLE) / CAST(3 AS DOUBLE)
+       |    AS recall_at_3
+       |FROM (SELECT vec_id FROM v WHERE vec_id < 20) q
+       |LEFT JOIN m ON m.query_id = q.vec_id
+       |ORDER BY query_id""".stripMargin
 
   /** Contrastive hard-negative mining: pairs that COLLIDE in LSH space
     * yet are dissimilar (cosine < 0.1) — exactly the negatives a
