@@ -72,4 +72,50 @@ object StreamQueries {
        |FROM placed
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  /** Batch twin of the ListState spend trail
+    * ([[graft.streaming.StatefulOps.SpendTrailProcessor]]): for each
+    * purchasing user, the trailing last-5-purchase count/sum/max at
+    * their LATEST purchase — exactly the feature the streaming
+    * processor's bounded list state serves, recomputed declaratively so
+    * the oracle can gate it. Partitioned rows-frame window + a rank-1
+    * filter (WindowGroupLimit keeps the per-user top-1 partial).
+    */
+  def trailLast5(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    p.withColumn("n_in_trail", count(lit(1)).over(w))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .withColumn("trail_max_cents", max(col("cents")).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_in_trail"), col("trail_cents"),
+        col("trail_max_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val trailLast5Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id,
+      |    CAST(count(*) OVER w AS BIGINT) AS n_in_trail,
+      |    CAST(sum(cents) OVER w AS BIGINT) AS trail_cents,
+      |    max(cents) OVER w AS trail_max_cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+      |      AS rn
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, n_in_trail, trail_cents, trail_max_cents
+      |FROM t WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 }

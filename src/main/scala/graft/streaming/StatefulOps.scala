@@ -154,4 +154,50 @@ object StatefulOps {
         TimeMode.EventTime(), OutputMode.Append(),
         Encoders.product[SessionDigest])
   }
+
+  case class TrailStat(user_id: Long, n_in_trail: Long, trail_cents: Long,
+      trail_max_cents: Long)
+
+  /** Bounded recent-activity trail per key via LIST STATE — the third
+    * and last `transformWithState` state shape next to the ValueState
+    * accumulator and the MapState counters: the state holds the most
+    * recent [[TrailLen]] amounts per user (append + rewrite-trimmed, so
+    * it is O(TrailLen) per key regardless of stream length — the
+    * "last-N purchases" feature window a fraud heuristic reads), and
+    * each input batch emits the trailing count/sum/max.
+    */
+  val TrailLen = 5
+
+  class SpendTrailProcessor
+      extends StatefulProcessor[Long, SpendEvent, TrailStat] {
+
+    @transient private var trail: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      trail = getHandle.getListState[Long](
+        "trail", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
+        timerValues: TimerValues): Iterator[TrailStat] = {
+      rows.foreach(e => trail.appendValue(e.amount_cents))
+      val kept = trail.get().toArray.takeRight(TrailLen)
+      trail.put(kept) // trim: state stays O(TrailLen) per key
+      Iterator.single(TrailStat(key, kept.length.toLong, kept.sum, kept.max))
+    }
+  }
+
+  /** Streaming last-N spend trail: input needs `user_id` and
+    * `amount_cents`; emits one [[TrailStat]] per key per micro-batch
+    * that saw input (Update mode, deterministic clock-free TimeMode).
+    */
+  def spendTrail(events: DataFrame): Dataset[TrailStat] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("amount_cents").cast("long").as("amount_cents"))
+      .as[SpendEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendTrailProcessor(),
+        TimeMode.None(), OutputMode.Update(), Encoders.product[TrailStat])
+  }
 }

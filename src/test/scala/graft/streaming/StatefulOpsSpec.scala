@@ -57,6 +57,45 @@ class StatefulOpsSpec extends SparkTestBase {
     }
   }
 
+  test("list state keeps a bounded last-N trail per key across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-tws-trail").toString
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SpendEvent]
+      val q = StatefulOps.spendTrail(mem.toDF()).writeStream
+        .format("memory").queryName("tws_trail")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        mem.addData((1L to 4L).map(i => SpendEvent(1L, i)): _*)
+        q.processAllAvailable()
+        val b1 = spark.table("tws_trail").as[StatefulOps.TrailStat]
+          .collect().filter(_.user_id == 1L).maxBy(_.n_in_trail)
+        assert(b1.n_in_trail == 4 && b1.trail_cents == 10L &&
+          b1.trail_max_cents == 4L)
+        // 3 more arrivals: trail trims to the LAST 5 (3,4,5,6,7)
+        mem.addData(SpendEvent(1L, 5L), SpendEvent(1L, 6L), SpendEvent(1L, 7L))
+        q.processAllAvailable()
+        val b2 = spark.table("tws_trail").as[StatefulOps.TrailStat]
+          .collect().filter(_.user_id == 1L).maxBy(_.trail_max_cents)
+        assert(b2.n_in_trail == 5, "trail must trim to TrailLen")
+        assert(b2.trail_cents == 3L + 4 + 5 + 6 + 7 && b2.trail_max_cents == 7L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close gap sessions and emit the MapState digest") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
