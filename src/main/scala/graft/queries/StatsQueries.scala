@@ -126,6 +126,38 @@ object StatsQueries {
       .orderBy(col("bin"))
   }
 
+  /** Hour × value-decile purchase heatmap — the 2-D histogram behind an
+    * activity dashboard: global integer-arithmetic decile binning (same
+    * `(cents·10) div (mx+1)` trick as [[valueHistogram]] so bin edges
+    * agree across engines) crossed with hour-of-day. One scan, one tiny
+    * broadcast scalar, one (hour, bin)-keyed aggregation — 240 output
+    * cells regardless of input size.
+    */
+  def histogram2d(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(hour(col("ts")).cast("long").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mx = c.agg(max(col("cents")).as("mx"))
+    c.crossJoin(broadcast(mx))
+      .select(col("hr"), expr("(cents * 10) div (mx + 1)").as("bin"))
+      .groupBy(col("hr"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hr"), col("bin"))
+  }
+
+  val histogram2dSql: String =
+    """WITH c AS (
+      |  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT max(cents) AS mx FROM c)
+      |SELECT hr, (cents * 10) // (mx + 1) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM c, m
+      |GROUP BY hr, bin
+      |ORDER BY hr, bin""".stripMargin
+
   /** Winsorized per-group statistics — the robust-mean pattern for
     * heavy-tailed metrics: clamp each order's total into its priority
     * group's [p10, p90] (exact order statistics at rank

@@ -56,4 +56,52 @@ object StorageOps {
       |FROM b
       |GROUP BY blk
       |ORDER BY blk""".stripMargin
+
+  /** Column-encoding advisor — the physical-layout survey a 100 TB
+    * table wants before its first big write: per audited column, exact
+    * cardinality, distinct ratio and mean width, plus the encoding the
+    * numbers imply (≤64 distinct → dictionary+RLE; <5% ratio →
+    * dictionary; else plain). Each column is its own PRUNED single-
+    * column scan-and-aggregate (a multi-countDistinct in one pass would
+    * Expand the fact table ×columns — strictly worse at scale), unioned
+    * at 1 row per column.
+    */
+  def encodingAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val audited =
+      Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey", "l_quantity")
+    audited.map { c =>
+      li.select(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(length(col("v"))).as("total_chars"))
+        .select(
+          lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_rows").cast("double"))
+            .as("distinct_ratio"),
+          (col("total_chars").cast("double") / col("n_rows").cast("double"))
+            .as("avg_chars"),
+          when(col("n_distinct") <= 64, "DICT_RLE")
+            .when(col("n_distinct").cast("double") / col("n_rows").cast("double")
+              < 0.05, "DICT")
+            .otherwise("PLAIN").as("encoding"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  val encodingAdvisorSql: String = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+         |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS distinct_ratio,
+         |  CAST(sum(length(CAST($c AS VARCHAR))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_chars,
+         |  CASE WHEN count(DISTINCT CAST($c AS VARCHAR)) <= 64 THEN 'DICT_RLE'
+         |       WHEN CAST(count(DISTINCT CAST($c AS VARCHAR)) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) < 0.05 THEN 'DICT'
+         |       ELSE 'PLAIN' END AS encoding
+         |FROM lineitem""".stripMargin
+    Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey", "l_quantity")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }
