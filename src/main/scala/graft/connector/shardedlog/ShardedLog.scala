@@ -433,21 +433,67 @@ object ShardedLog {
       }
     }
 
-  /** First sequence at-or-after a timestamp (≙ AT_TIMESTAMP iterator). */
+  /** First sequence at-or-after a timestamp (≙ AT_TIMESTAMP iterator).
+    * Arrival times are non-decreasing within a shard (they are stamped
+    * under the append lock — the same server-arrival-order guarantee the
+    * reference's AT_TIMESTAMP relies on), so the lookup binary-searches
+    * the byte-anchor grid (one single-line read per probe, O(log n)
+    * seeks) and then scans at most [[IndexStep]] residual lines — not
+    * the whole file as before round 5.
+    */
   def seqAtTimestamp(streamDir: String, shard: String, millis: Long): Long = {
-    val path = Paths.get(streamDir, shard)
-    if (!Files.exists(path)) return 0L
-    val stream = Files.lines(path, UTF_8)
+    val file = new File(streamDir, shard)
+    if (!file.exists()) return 0L
+    val idx = refreshIndex(file)
+    if (idx.lines == 0) return 0L
+    def arrivalAt(byteOff: Long): Long = {
+      val in = Files.newInputStream(file.toPath)
+      try {
+        var skipped = 0L
+        while (skipped < byteOff) {
+          val s = in.skip(byteOff - skipped)
+          if (s <= 0) throw new java.io.IOException(s"cannot seek to $byteOff")
+          skipped += s
+        }
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(countingStream(in), UTF_8))
+        r.readLine().split("\t", 3)(1).toLong
+      } finally in.close()
+    }
+    // last anchor whose FIRST record arrives before `millis` (anchors at
+    // or past idx.lines carry no record to probe)
+    val anchors = idx.anchors.headMap(idx.lines, false)
+      .entrySet().asScala.toIndexedSeq
+    var lo = 0
+    var hi = anchors.size - 1
+    var startLine = 0L
+    var startByte = 0L
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      val e = anchors(mid)
+      if (arrivalAt(e.getValue) < millis) {
+        startLine = e.getKey; startByte = e.getValue; lo = mid + 1
+      } else hi = mid - 1
+    }
+    // residual linear scan (≤ IndexStep lines) from the chosen anchor
+    val in = Files.newInputStream(file.toPath)
     try {
-      val it = stream.iterator().asScala
-      var seq = 0L
-      var found = -1L
-      while (it.hasNext && found < 0) {
-        val parts = it.next().split("\t", 3)
-        if (parts(1).toLong >= millis) found = seq
-        seq += 1
+      var skipped = 0L
+      while (skipped < startByte) {
+        val s = in.skip(startByte - skipped)
+        if (s <= 0) throw new java.io.IOException(s"cannot seek to $startByte")
+        skipped += s
       }
-      if (found < 0) seq else found
-    } finally stream.close()
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(countingStream(in), UTF_8))
+      var seq = startLine
+      var found = -1L
+      var line = r.readLine()
+      while (line != null && found < 0) {
+        if (line.split("\t", 3)(1).toLong >= millis) found = seq
+        else { seq += 1; line = r.readLine() }
+      }
+      if (found < 0) idx.lines else found
+    } finally in.close()
   }
 }

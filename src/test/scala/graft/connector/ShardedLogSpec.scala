@@ -63,6 +63,24 @@ class ShardedLogSpec extends SparkTestBase {
       s"poll+read re-read the shard: $delta of $fileBytes bytes")
   }
 
+  test("seqAtTimestamp binary-searches the anchor grid, not the whole file") {
+    val dir = newStream(1)
+    val big = "x" * 200
+    (0 until 5000).foreach(i => put(dir, s"k-$i", s"$big-$i", at = 1000L + i))
+    val fileBytes = new java.io.File(dir, "shard-00000").length()
+    ShardedLog.endOffsets(dir) // build the index
+    val before = ShardedLog.bytesScanned.get()
+    // exact positioning semantics preserved at the ends and mid-log
+    assert(ShardedLog.seqAtTimestamp(dir, "shard-00000", 0L) == 0L)
+    assert(ShardedLog.seqAtTimestamp(dir, "shard-00000", 1000L + 4990) == 4990L)
+    assert(ShardedLog.seqAtTimestamp(dir, "shard-00000", 999999L) == 5000L)
+    val delta = ShardedLog.bytesScanned.get() - before
+    // 3 lookups × (log₂ anchors probes + ≤256-line residual), each probe
+    // one buffered line read — far under the 1 MB+ shard
+    assert(delta < fileBytes / 2,
+      s"timestamp seek re-read the shard: $delta of $fileBytes bytes")
+  }
+
   test("putRecord assigns md5 hash-range shards; batch read sees all records") {
     val dir = newStream(2)
     (1 to 50).foreach(i => put(dir, s"key-$i", s"payload-$i"))
