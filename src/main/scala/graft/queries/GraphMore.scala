@@ -83,6 +83,88 @@ object GraphMore {
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col("deg").as("k_thr"))
 
+  /** Local clustering coefficient for the TOP-20-degree parts: how
+    * interconnected each hub's neighborhood is —
+    * closed_wedges / (deg·(deg−1)/2) — the community-density probe run
+    * on hubs, not the whole graph (the full-graph variant is Σdeg²
+    * work; restricting to a broadcast top-k center set bounds the pair
+    * expansion by Σ_{c∈top20} deg(c)², independent of |V|). Neighbor
+    * pairs are generated per center via a self-join on the center key
+    * and closed against the oriented edge list with one LEFT SEMI —
+    * the `triangle_count` wedge-close shape, localized.
+    */
+  def clusteringCoeffTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .stableCheckpoint()
+    // undirected adjacency (both directions) for neighbor sets
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // top-k via orderBy+limit = TakeOrderedAndProject (distributed
+    // partial top-k per task), NEVER a row_number window over all |V|
+    // nodes; the rank window then orders only the 20 surviving rows
+    val top = deg.orderBy(col("deg").desc, col("u")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("deg").desc, col("u"))).cast("long"))
+      .select(col("u").as("center"), col("deg"), col("rnk"))
+    // neighbors of each center (broadcast 20-row center set onto adj)
+    val nbrs = adj.join(broadcast(top.select(col("center"))),
+        col("u") === col("center"))
+      .select(col("center"), col("v"))
+    val closed = nbrs.toDF("center", "x")
+      .join(nbrs.toDF("center", "y"), Seq("center"))
+      .filter(col("x") < col("y"))
+      .join(edges.toDF("x", "y"), Seq("x", "y"), "left_semi")
+      .groupBy(col("center")).agg(count(lit(1)).as("closed_wedges"))
+    top.join(closed, Seq("center"), "left")
+      .withColumn("closed_wedges", coalesce(col("closed_wedges"), lit(0L)))
+      .withColumn("possible_wedges", expr("deg * (deg - 1) div 2"))
+      .withColumn("clustering_coeff",
+        col("closed_wedges").cast("double")
+          / col("possible_wedges").cast("double"))
+      .select(col("rnk"), col("center"), col("deg"), col("closed_wedges"),
+        col("possible_wedges"), col("clustering_coeff"))
+      .orderBy(col("rnk"))
+  }
+
+  val clusteringCoeffTopSql: String =
+    """WITH items AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |adj AS MATERIALIZED (
+      |  SELECT pa AS u, pb AS v FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+      |top AS (
+      |  SELECT u AS center, deg,
+      |    CAST(row_number() OVER (ORDER BY deg DESC, u) AS BIGINT) AS rnk
+      |  FROM deg QUALIFY rnk <= 20),
+      |nbrs AS (
+      |  SELECT t.center, a.v FROM adj a JOIN top t ON a.u = t.center),
+      |closed AS (
+      |  SELECT n1.center, CAST(count(*) AS BIGINT) AS closed_wedges
+      |  FROM nbrs n1 JOIN nbrs n2
+      |    ON n1.center = n2.center AND n1.v < n2.v
+      |  WHERE EXISTS (SELECT 1 FROM edges e
+      |                WHERE e.pa = n1.v AND e.pb = n2.v)
+      |  GROUP BY n1.center)
+      |SELECT rnk, center, deg,
+      |  coalesce(closed_wedges, 0) AS closed_wedges,
+      |  deg * (deg - 1) // 2 AS possible_wedges,
+      |  CAST(coalesce(closed_wedges, 0) AS DOUBLE)
+      |    / CAST(deg * (deg - 1) // 2 AS DOUBLE) AS clustering_coeff
+      |FROM top LEFT JOIN closed USING (center)
+      |ORDER BY rnk""".stripMargin
+
   /** The oracle marks every round's CTE `AS MATERIALIZED`: without the
     * hint DuckDB inlines chained CTEs, so round N re-evaluates the
     * (DISTINCT, self-joined) edge list O(3^N) times — fine at sf0.01,

@@ -388,4 +388,58 @@ object SeriesFifth {
       |FROM n
       |WHERE tag = 1 AND pts IS NOT NULL AND nts IS NOT NULL
       |ORDER BY event_type, ts""".stripMargin
+
+  /** Weekday seasonality decomposition of daily purchase revenue — the
+    * additive-model first pass (observed = weekday mean + residual) that
+    * tells a forecaster whether a day-of-week component exists at all:
+    * per weekday, the across-days mean and residual variance, both from
+    * EXACT integer moments (Σx, Σx² in 128-bit so a 100 TB revenue
+    * series cannot wrap) with one double expression at the end — the
+    * same cross-engine-exact recipe as `corr_exact`. Two cheap
+    * aggregations: day rollup, then a 7-group moment fold.
+    */
+  def seasonalDecomposeWeekday(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      // Spark dayofweek: 1=Sunday … 7; shift to DuckDB's 0=Sunday … 6
+      .select((dayofweek(col("day")) - 1).cast("long").as("weekday"), col("x"))
+      .groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("total_cents"),
+        sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))"))
+          .as("sxx"))
+      .withColumn("mean_day_cents",
+        col("total_cents").cast("double") / col("n_days").cast("double"))
+      .withColumn("var_day_cents",
+        expr("(cast(n_days as double) * cast(sxx as double)" +
+          " - cast(total_cents as double) * cast(total_cents as double))" +
+          " / (cast(n_days as double) * cast(n_days as double))"))
+      .select(col("weekday"), col("n_days"), col("total_cents"),
+        col("mean_day_cents"), col("var_day_cents"))
+      .orderBy(col("weekday"))
+
+  val seasonalDecomposeWeekdaySql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY day),
+      |w AS (
+      |  SELECT CAST(dayofweek(day) AS BIGINT) AS weekday,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS total_cents,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      |  FROM d GROUP BY weekday)
+      |SELECT weekday, n_days, total_cents,
+      |  CAST(total_cents AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    AS mean_day_cents,
+      |  (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+      |    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))
+      |    AS var_day_cents
+      |FROM w
+      |ORDER BY weekday""".stripMargin
 }
