@@ -88,6 +88,97 @@ object StorageOps {
     }.reduce(_ unionByName _).orderBy(col("column_name"))
   }
 
+  /** Block-level Bloom data skipping — the sketch-per-partition index
+    * that answers point-lookup pruning where zone maps cannot (an
+    * unclustered key's min/max straddles every block; its Bloom does
+    * not): one mergeable [[graft.functions.BloomFilterAggregator]]
+    * bitset PER ship-month block (a per-group sketch aggregation —
+    * map-side combined, 64 longs/block), probed by a broadcast key set.
+    * Output per block: probes that MIGHT be present (bloom verdict),
+    * truly present (exact), and the false positives the bitset size
+    * buys — the prune-rate/FP-rate trade a 100 TB table tunes before
+    * writing footers. The oracle reproduces the exact same verdicts by
+    * modeling the two md5 bit positions relationally (a bit is set iff
+    * SOME key in the block hashes to it).
+    */
+  def blockBloomSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val numBits = 4096
+    val li = Tables.lineitem(spark, sfDir)
+      .select(
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("blk"),
+        col("l_partkey").cast("string").as("k"))
+    val blooms = li.groupBy(col("blk"))
+      .agg(graft.functions.BloomFilterAggregator.bloomBuild(numBits)(col("k"))
+        .as("bloom"))
+    val probes = Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 211 === 0)
+      .select(col("p_partkey").cast("string").as("pk"))
+    def pos(start: Int): String =
+      s"cast(conv(substring(md5(pk), $start, 15), 16, 10) as bigint) % $numBits"
+    def bitSet(h: String): String =
+      s"(shiftright(element_at(bloom, cast(($h) div 64 as int) + 1)," +
+        s" cast(($h) % 64 as int)) & 1) = 1"
+    val verdicts = blooms.crossJoin(broadcast(probes))
+      .withColumn("maybe",
+        expr(bitSet(pos(1))) && expr(bitSet(pos(17))))
+    val truth = li.distinct()
+      .join(broadcast(probes), col("k") === col("pk"), "left_semi")
+      .select(col("blk"), col("k").as("pk"))
+      .withColumn("present", lit(true))
+    verdicts.join(truth, Seq("blk", "pk"), "left")
+      .withColumn("present", coalesce(col("present"), lit(false)))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+        sum(when(col("maybe") && !col("present"), 1L).otherwise(0L))
+          .as("n_false_positive"))
+      .withColumn("prunable", col("n_maybe") === 0L)
+      .orderBy(col("blk"))
+  }
+
+  val blockBloomSkippingSql: String =
+    """WITH li AS (
+      |  SELECT CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+      |              AS BIGINT) AS blk,
+      |    CAST(l_partkey AS VARCHAR) AS k
+      |  FROM lineitem),
+      |probes AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS pk FROM part
+      |  WHERE p_partkey % 211 = 0),
+      |bits AS (
+      |  SELECT DISTINCT blk, pos FROM (
+      |    SELECT blk,
+      |      unnest([('0x' || substr(md5(k), 1, 15))::BIGINT % 4096,
+      |              ('0x' || substr(md5(k), 17, 15))::BIGINT % 4096]) AS pos
+      |    FROM li)),
+      |pp AS (
+      |  SELECT pk,
+      |    ('0x' || substr(md5(pk), 1, 15))::BIGINT % 4096 AS a,
+      |    ('0x' || substr(md5(pk), 17, 15))::BIGINT % 4096 AS b
+      |  FROM probes),
+      |v AS (
+      |  SELECT bl.blk, pp.pk,
+      |    EXISTS (SELECT 1 FROM bits WHERE bits.blk = bl.blk
+      |            AND bits.pos = pp.a)
+      |    AND EXISTS (SELECT 1 FROM bits WHERE bits.blk = bl.blk
+      |                AND bits.pos = pp.b) AS maybe
+      |  FROM (SELECT DISTINCT blk FROM li) bl CROSS JOIN pp),
+      |t AS (
+      |  SELECT DISTINCT blk, k AS pk FROM li JOIN probes ON li.k = probes.pk)
+      |SELECT v.blk,
+      |  CAST(count(*) AS BIGINT) AS n_probes,
+      |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+      |  CAST(sum(CASE WHEN t.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_present,
+      |  CAST(sum(CASE WHEN maybe AND t.pk IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_positive,
+      |  sum(CASE WHEN maybe THEN 1 ELSE 0 END) = 0 AS prunable
+      |FROM v LEFT JOIN t ON v.blk = t.blk AND v.pk = t.pk
+      |GROUP BY v.blk
+      |ORDER BY v.blk""".stripMargin
+
   val encodingAdvisorSql: String = {
     val one = (c: String) =>
       s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
