@@ -280,6 +280,36 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("round-5 queries keep their scale shapes") {
+    // sketch_kmv: the per-group bottom-k is a rank filter — map tasks
+    // must forward ≤ k hashes per group (WindowGroupLimit), never the
+    // full distinct-hash set
+    val kmv = plan(graft.queries.SketchQueries.sketchKmv(spark, sf0001))
+    assert(kmv.contains("WindowGroupLimit"),
+      "kmv bottom-k lost the partial top-k pushdown:\n" + kmv)
+    assert(!kmv.contains("CartesianProduct"))
+    // clustering_coeff_top: hub selection is a distributed top-k
+    // (TakeOrderedAndProject), and the wedge close stays a LEFT SEMI
+    val ccf = plan(graft.queries.GraphMore.clusteringCoeffTop(spark, sf0001))
+    assert(ccf.contains("TakeOrderedAndProject"),
+      "top-degree selection must be orderBy+limit, not a global window:\n" + ccf)
+    assert(ccf.contains("LeftSemi"))
+    assert(!ccf.contains("CartesianProduct"))
+    // oov_rate_split: vocabulary membership must be a LEFT ANTI probe
+    val oov = plan(graft.queries.AuditQueries.oovRateSplit(spark, sf0001))
+    assert(oov.contains("LeftAnti"),
+      "OOV probe must be an anti join on the token key:\n" + oov)
+    // trail_last5: per-user latest row keeps the rank-1 pushdown
+    val trail = plan(graft.queries.StreamQueries.trailLast5(spark, sf0001))
+    assert(trail.contains("WindowGroupLimit"),
+      "latest-row filter lost the WindowGroupLimit pushdown:\n" + trail)
+    // block_bloom_skipping: the probe set broadcasts; nothing cartesian
+    // beyond the deliberate broadcast cross of 9 probes × blocks
+    val bloom = plan(graft.queries.StorageOps.blockBloomSkipping(spark, sf0001))
+    assert(bloom.contains("BroadcastExchange"),
+      "probe set must broadcast:\n" + bloom)
+  }
+
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
     val sfx = plan(graft.queries.CorpusFifth.suffixDupSpans(spark, sf0001))
     assert(!sfx.contains("CartesianProduct") &&
