@@ -88,6 +88,65 @@ object StorageOps {
     }.reduce(_ unionByName _).orderBy(col("column_name"))
   }
 
+  /** Range-partition planner — the boundary computation behind
+    * `repartitionByRange`/range-bucketed writes, made inspectable: decile
+    * edges of the partition key from the mergeable KLL sketch (exact in
+    * the gate regime like `sketch_quantile`; the documented approximate
+    * path beyond), then a one-pass assignment audit emitting each
+    * planned partition's row count, actual key range, and balance ratio
+    * vs the ideal 1/10 share. Rows sharing a key value stay together
+    * (boundaries are on values), so the ratio also reveals multiplicity
+    * skew a row-count-only plan would hide. Two scans + one broadcast
+    * edge row — never a global sort of the key column.
+    */
+  def rangePartitionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val pcts = (1 to 9).map(_ * 10)
+    val kll = graft.functions.KllQuantileAggregator.kllQuantiles(65536, pcts)
+    val keys = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("k"))
+    val edges = keys.agg(kll(col("k")).as("qv"))
+    val parts = keys.crossJoin(broadcast(edges))
+      .withColumn("pid",
+        (1 to 9).map(i =>
+          when(col("k") > element_at(col("qv"), i), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("lo_key"), max(col("k")).as("hi_key"))
+    val tot = parts.agg(sum(col("n_rows")).as("total"))
+    parts.crossJoin(broadcast(tot))
+      .withColumn("balance_ratio",
+        col("n_rows").cast("double") * expr("cast(10 as double)")
+          / col("total").cast("double"))
+      .select(col("pid"), col("n_rows"), col("lo_key"), col("hi_key"),
+        col("balance_ratio"))
+      .orderBy(col("pid"))
+  }
+
+  val rangePartitionPlanSql: String =
+    """WITH v AS (SELECT l_orderkey AS k FROM lineitem),
+      |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM v),
+      |n AS (SELECT count(*) AS n FROM v),
+      |q AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q_pct),
+      |t AS (
+      |  SELECT CAST(floor((CAST(q_pct AS DOUBLE) / CAST(100 AS DOUBLE))
+      |    * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rn
+      |  FROM q, n),
+      |edges AS (SELECT r.k AS e FROM t JOIN r USING (rn)),
+      |assigned AS (
+      |  SELECT k,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM edges WHERE k > e) AS pid
+      |  FROM v),
+      |parts AS (
+      |  SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+      |    min(k) AS lo_key, max(k) AS hi_key
+      |  FROM assigned GROUP BY pid),
+      |tt AS (SELECT sum(n_rows) AS total FROM parts)
+      |SELECT pid, n_rows, lo_key, hi_key,
+      |  CAST(n_rows AS DOUBLE) * CAST(10 AS DOUBLE) / CAST(total AS DOUBLE)
+      |    AS balance_ratio
+      |FROM parts, tt
+      |ORDER BY pid""".stripMargin
+
   /** Block-level Bloom data skipping — the sketch-per-partition index
     * that answers point-lookup pruning where zone maps cannot (an
     * unclustered key's min/max straddles every block; its Bloom does
