@@ -355,4 +355,55 @@ object EventQueries {
       |       ELSE epoch_us(f_ts) - epoch_us(ts) END AS matched_dist_us
       |FROM j
       |ORDER BY event_id""".stripMargin
+
+  /** Churn-risk inactivity flag — the lifecycle screen a retention team
+    * runs daily: per repeat purchaser, the mean inter-purchase gap
+    * ((last − first) / (n − 1), pure integer µs) against the idle time
+    * since their last purchase relative to the corpus horizon; at-risk
+    * when idle exceeds 2× the personal cadence. One scan, one per-user
+    * aggregate, one broadcast horizon scalar — integer arithmetic
+    * end-to-end so the flag itself is hash-gated.
+    */
+  def churnInactivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val horizon = p.agg(max(col("ts")).as("now_ts"))
+    p.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .filter(col("n_purchases") >= 2)
+      .crossJoin(broadcast(horizon))
+      .withColumn("mean_gap_us",
+        expr("(unix_micros(cast(last_ts as timestamp))" +
+          " - unix_micros(cast(first_ts as timestamp)))" +
+          " div (n_purchases - 1)"))
+      .withColumn("idle_us",
+        expr("unix_micros(cast(now_ts as timestamp))" +
+          " - unix_micros(cast(last_ts as timestamp))"))
+      .withColumn("churn_risk", col("idle_us") > lit(2L) * col("mean_gap_us"))
+      .select(col("user_id"), col("n_purchases"), col("mean_gap_us"),
+        col("idle_us"), col("churn_risk"))
+      .orderBy(col("user_id"))
+  }
+
+  val churnInactivitySql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |h AS (SELECT max(ts) AS now_ts FROM p),
+      |u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |    min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM p GROUP BY user_id
+      |  HAVING count(*) >= 2)
+      |SELECT user_id, n_purchases,
+      |  (epoch_us(last_ts) - epoch_us(first_ts)) // (n_purchases - 1)
+      |    AS mean_gap_us,
+      |  epoch_us(now_ts) - epoch_us(last_ts) AS idle_us,
+      |  epoch_us(now_ts) - epoch_us(last_ts)
+      |    > 2 * ((epoch_us(last_ts) - epoch_us(first_ts)) // (n_purchases - 1))
+      |    AS churn_risk
+      |FROM u, h
+      |ORDER BY user_id""".stripMargin
 }
