@@ -131,6 +131,53 @@ object TextQueries {
       |FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash threshold-sweep — the tuning curve behind choosing the
+    * dedup cut-off: candidate pairs bucketed by estimated Jaccard (17
+    * dyadic values for k = 16, exactly groupable) with the cumulative
+    * pair count surviving each possible threshold. Reading this table IS
+    * how the `>= 0.5`-style constant in a production dedup gets picked;
+    * at 100 TB it prices a threshold change before anyone re-runs the
+    * pipeline. The cumulative window orders the 17-row aggregated
+    * domain (bounded, Aggregate below — the pinned global-window
+    * doctrine), never the pair set.
+    */
+  def minhashThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.minhashCandidates(Tables.documents(spark, sfDir), k = 16, bands = 2)
+      .groupBy(col("est_jaccard"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(col("est_jaccard").desc)))
+      .select(col("est_jaccard"), col("n_pairs"), col("n_pairs_at_or_above"))
+      .orderBy(col("est_jaccard"))
+  }
+
+  val minhashThresholdSweepSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), sigs AS (
+      |  SELECT id, [list_min([md5(s::VARCHAR || ':' || x) for x in t])
+      |              for s in range(0, 16)] AS sig
+      |  FROM toks
+      |), bands AS (
+      |  SELECT id, sig, b, md5(array_to_string(sig[b*8+1:b*8+8], '|')) AS bucket
+      |  FROM sigs, range(0, 2) r(b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0
+      |      AS est_jaccard
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
+      |), g AS (
+      |  SELECT est_jaccard, CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM pairs GROUP BY est_jaccard)
+      |SELECT est_jaccard, n_pairs,
+      |  CAST(sum(n_pairs) OVER (ORDER BY est_jaccard DESC) AS BIGINT)
+      |    AS n_pairs_at_or_above
+      |FROM g
+      |ORDER BY est_jaccard""".stripMargin
+
   /** MinHash ACCURACY audit: for every LSH candidate pair, the
     * signature-estimated Jaccard next to the exact token-set Jaccard and
     * the absolute error — the third sketch-vs-truth audit (with
