@@ -131,6 +131,100 @@ object TextQueries {
       |FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** EXACT set-similarity join with PPJoin-style prefix filtering — the
+    * deterministic complement to the MinHash path: all document pairs
+    * with character-8-gram-set Jaccard ≥ 0.95, found WITHOUT an all-pairs compare
+    * and WITHOUT sketch error. Two published prunes do the work:
+    * (1) length filter — 19·|b| ≤ 20·|a| and 19·|a| ≤ 20·|b|, else
+    * the bound fails; (2) prefix filter — order each doc's tokens
+    * globally by (document frequency asc, token) and keep only the
+    * first s − ⌈0.95·s⌉ + 1 ("a qualifying pair must share a token
+    * among the rarest prefix of either side"); candidates come from an
+    * equi-join on those prefix tokens only. Verification is pure
+    * integer arithmetic (20·|∩| ≥ 19·|∪|), so the gate hashes the
+    * exact decision. (This corpus is synthetically self-similar — at
+    * t = 0.5 a quarter of ALL pairs qualify, which defeats filtering;
+    * the near-verbatim 0.95 regime is what exact-pair mining is for.) Scale shape:
+    * one vocabulary-keyed df join, one partitioned window for the
+    * prefix ranks, a token-keyed candidate join bounded by rare-token
+    * posting lists, and a per-candidate verify — the standard
+    * distributed PPJoin layout.
+    */
+  def ppjoinExactPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    // character 8-grams, NOT tokens: this corpus's ~31-type vocabulary
+    // makes every token posting list corpus-sized (no token is "rare"),
+    // which defeats prefix filtering; the gram alphabet is large enough
+    // for genuine df spread — the regime the prefix filter assumes
+    val gramsExpr = expr(
+      "array_distinct(transform(sequence(1, greatest(n_chars - 7, 1))," +
+        " p -> substring(text, p, 8)))")
+    val tok = docs
+      .select(col("doc_id"), explode(gramsExpr).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = tok.join(dfreq, "tok").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= expr("sz - ((sz * 19 + 19) div 20) + 1"))
+      .select(col("tok"), col("doc_id"), col("sz"))
+    val cand = prefix.toDF("tok", "id_a", "sz_a")
+      .join(prefix.toDF("tok", "id_b", "sz_b"), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * 19 <= col("sz_b") * 20 && col("sz_b") * 19 <= col("sz_a") * 20)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = docs.select(col("doc_id"), gramsExpr.as("ts"))
+    cand
+      .join(sets.toDF("id_a", "ts_a"), "id_a")
+      .join(sets.toDF("id_b", "ts_b"), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("n_inter"))
+      .filter(col("n_inter") * 20 >= col("n_union") * 19)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ppjoinExactPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct([substr(text, CAST(p AS INTEGER), 8)
+      |    for p in range(1, greatest(n_chars - 7, 1) + 1)]) AS ts
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ts) AS tok FROM g),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM tok GROUP BY tok),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      |          FROM tok GROUP BY doc_id),
+      |prefix AS (
+      |  SELECT tok, doc_id, sz FROM (
+      |    SELECT t.tok, t.doc_id, s.sz,
+      |      row_number() OVER (PARTITION BY t.doc_id
+      |        ORDER BY d.df, t.tok) AS rn
+      |    FROM tok t JOIN dfreq d USING (tok) JOIN sizes s USING (doc_id))
+      |  WHERE rn <= sz - ((sz * 19 + 19) // 20) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM prefix a JOIN prefix b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |   AND a.sz * 19 <= b.sz * 20 AND b.sz * 19 <= a.sz * 20),
+      |v AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_inter,
+      |    CAST(len(sa.ts) + len(sb.ts) AS BIGINT)
+      |      - CAST(len(list_intersect(sa.ts, sb.ts)) AS BIGINT) AS n_union
+      |  FROM cand JOIN g sa ON sa.doc_id = id_a
+      |            JOIN g sb ON sb.doc_id = id_b)
+      |SELECT id_a, id_b, n_inter, n_union,
+      |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+      |FROM v
+      |WHERE n_inter * 20 >= n_union * 19
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash threshold-sweep — the tuning curve behind choosing the
     * dedup cut-off: candidate pairs bucketed by estimated Jaccard (17
     * dyadic values for k = 16, exactly groupable) with the cumulative
