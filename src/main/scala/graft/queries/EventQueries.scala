@@ -356,6 +356,105 @@ object EventQueries {
       |FROM j
       |ORDER BY event_id""".stripMargin
 
+  /** SLIDING-window top-k — the trending-now rollup: 1-hour windows
+    * every 30 minutes (each event lands in exactly two windows — the
+    * native `window(ts, size, slide)` semantics Structured Streaming
+    * shares), top-3 event types per window by count. The slide is a
+    * map-side 2-row expand, the rank filter keeps the WindowGroupLimit
+    * partial top-k, and the oracle reproduces Spark's epoch-aligned
+    * window starts with integer µs arithmetic.
+    */
+  def slidingWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes")
+        .getField("start").as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy(col("win_start"))
+          .orderBy(col("n").desc, col("event_type"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("win_start"), col("rnk"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("rnk"))
+  }
+
+  val slidingWindowTopkSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - epoch_us(CAST(ts AS TIMESTAMP)) % 1800000000 AS s0
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, unnest([s0, s0 - 1800000000]) AS ws FROM e),
+      |g AS (
+      |  SELECT make_timestamp(ws) AS win_start, event_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM w GROUP BY ws, event_type),
+      |r AS (
+      |  SELECT win_start, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY win_start
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      |  FROM g)
+      |SELECT win_start, rnk, event_type, n
+      |FROM r WHERE rnk <= 3
+      |ORDER BY win_start, rnk""".stripMargin
+
+  /** Last-touch attribution — which activity a purchase should be
+    * credited to: for every purchase, the most recent non-purchase
+    * event of the same user at-or-before the purchase instant
+    * ([[graft.operators.AsOfJoin.backward]] with the documented
+    * event_id last-wins tiebreak), aggregated to credit counts and
+    * shares per touch type ('none' when the purchase is the user's
+    * first event). The as-of machinery makes attribution one
+    * union+window pass — never a per-purchase correlated lookup.
+    */
+  def attributionLastTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val attributed = graft.operators.AsOfJoin.backward(
+      purchases, touches, key = "user_id", ts = "ts",
+      rightCols = Seq("event_type"), prefix = "touch_",
+      tiebreak = Seq("event_id"))
+    val counts = attributed
+      .withColumn("touch", coalesce(col("touch_event_type"), lit("none")))
+      .groupBy(col("touch")).agg(count(lit(1)).as("n_purchases"))
+    val tot = counts.agg(sum(col("n_purchases")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_purchases").cast("double") / col("total").cast("double"))
+      .select(col("touch"), col("n_purchases"), col("share"))
+      .orderBy(col("touch"))
+  }
+
+  val attributionLastTouchSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    0 AS side, CAST(NULL AS VARCHAR) AS etype
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    1 AS side, event_type
+      |  FROM events WHERE event_type <> 'purchase'),
+      |m AS (
+      |  SELECT user_id, ts, side,
+      |    last_value(etype IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, side DESC, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch0
+      |  FROM u),
+      |c AS (
+      |  SELECT coalesce(touch0, 'none') AS touch,
+      |    CAST(count(*) AS BIGINT) AS n_purchases
+      |  FROM m WHERE side = 0
+      |  GROUP BY 1),
+      |t AS (SELECT sum(n_purchases) AS total FROM c)
+      |SELECT touch, n_purchases,
+      |  CAST(n_purchases AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM c, t
+      |ORDER BY touch""".stripMargin
+
   /** Churn-risk inactivity flag — the lifecycle screen a retention team
     * runs daily: per repeat purchaser, the mean inter-purchase gap
     * ((last − first) / (n − 1), pure integer µs) against the idle time
