@@ -389,6 +389,70 @@ object SeriesFifth {
       |WHERE tag = 1 AND pts IS NOT NULL AND nts IS NOT NULL
       |ORDER BY event_type, ts""".stripMargin
 
+  /** Autocorrelation function of daily purchase revenue at lags 1–7 —
+    * the series diagnostic that says whether yesterday predicts today
+    * (and whether the weekly cycle [[seasonalDecomposeWeekday]] hints at
+    * is real): for each lag, the Pearson correlation between the series
+    * and its lag-shifted self over the overlapping days, computed from
+    * exact integer moments per lag (the `corr_exact` recipe — n, Σx,
+    * Σy, Σxy, Σx², Σy² as BIGINTs, one double chain at the end). The
+    * lag pairing is a self-join on day+lag over the tiny daily rollup —
+    * at 100 TB the rollup is the only pass over raw data.
+    */
+  def acfDailyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val lags = spark.range(1, 8).select(col("id").as("lag"))
+    daily.toDF("day", "x")
+      .crossJoin(broadcast(lags))
+      .join(daily.toDF("day2", "y"),
+        expr("day2 = date_add(day, cast(lag as int))"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("acf",
+        expr("(cast(n as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))" +
+          " / (sqrt(cast(n as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))" +
+          " * sqrt(cast(n as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double)))"))
+      .select(col("lag"), col("n"), col("acf"))
+      .orderBy(col("lag"))
+  }
+
+  val acfDailyRevenueSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY day),
+      |p AS (
+      |  SELECT l.lag, a.x, b.x AS y
+      |  FROM d a CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN d b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |m AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM p GROUP BY lag)
+      |SELECT lag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |FROM m
+      |ORDER BY lag""".stripMargin
+
   /** Weekday seasonality decomposition of daily purchase revenue — the
     * additive-model first pass (observed = weekday mean + residual) that
     * tells a forecaster whether a day-of-week component exists at all:

@@ -308,6 +308,13 @@ class PlanQualitySpec extends SparkTestBase {
     val bloom = plan(graft.queries.StorageOps.blockBloomSkipping(spark, sf0001))
     assert(bloom.contains("BroadcastExchange"),
       "probe set must broadcast:\n" + bloom)
+    // ppjoin: candidates must come from the prefix-gram equi-join —
+    // degenerating to a cartesian/nested-loop pair scan would be the
+    // all-pairs compare the algorithm exists to avoid
+    val ppj = plan(graft.queries.TextQueries.ppjoinExactPairs(spark, sf0001))
+    assert(!ppj.contains("CartesianProduct") &&
+      !ppj.contains("BroadcastNestedLoopJoin"),
+      "ppjoin candidates must equi-join on prefix grams:\n" + ppj)
   }
 
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
