@@ -21,7 +21,14 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "market_basket_lift",      // pair counts + double lift off exact ints
     "reservoir_sample",        // bounded top-k buffer merge order
     "suffix_dup_spans",        // inverted gram index + distinct-doc spread
-    "label_centroids")         // fixed-point vector mean vs float sum order
+    "label_centroids",         // fixed-point vector mean vs float sum order
+    // round-5 additions
+    "sketch_kmv",              // bottom-k rank over md5 hashes per group
+    "ppjoin_exact_pairs",      // prefix-filter candidates + integer verify
+    "winsorized_stats",        // per-group order statistics + clamped sums
+    "kll_error_bound",         // verdict booleans under buffer-merge variance
+    "watermark_lateness_histogram", // running max under hash-permuted order
+    "seasonal_decompose_weekday")   // 128-bit moment fold
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {
