@@ -63,6 +63,40 @@ class ShardedLogSpec extends SparkTestBase {
       s"poll+read re-read the shard: $delta of $fileBytes bytes")
   }
 
+  test("concurrent same-shard writers never tear lines or duplicate seqs") {
+    // 8 threads × 200 records against ONE shard: the per-path JVM
+    // monitor + cross-process file lock must serialize appends so
+    // sequence numbers stay dense and unique and no line interleaves.
+    val dir = newStream(1)
+    val threads = 8
+    val perThread = 200
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until perThread).foreach { i =>
+              ShardedLog.appendLines(dir, "shard-00000",
+                Seq((s"k-$t-$i", s"payload-$t-$i".getBytes("UTF-8"), 1000L)))
+            }
+        })
+      }
+      futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val total = threads.toLong * perThread
+    assert(ShardedLog.endOffsets(dir)("shard-00000") == total)
+    val records = ShardedLog.read(dir, "shard-00000", 0L, total).toSeq
+    assert(records.size == total.toInt)
+    // dense, unique, ordered sequence numbers
+    assert(records.map(_.sequenceNumber) == (0L until total))
+    // every record intact (no torn/interleaved lines): key matches data
+    records.foreach { r =>
+      assert(new String(r.data, "UTF-8") == s"payload-${r.partitionKey.stripPrefix("k-")}")
+    }
+    // every (thread, i) arrived exactly once
+    assert(records.map(_.partitionKey).toSet.size == total.toInt)
+  }
+
   test("seqAtTimestamp binary-searches the anchor grid, not the whole file") {
     val dir = newStream(1)
     val big = "x" * 200
