@@ -44,6 +44,43 @@ object AnalyticsExtra {
       |WHERE o_orderkey % 37 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** NTILE quartile bands per priority — the last member of the rank
+    * family (with rank / dense_rank / row_number / percent_rank /
+    * cume_dist / nth_value, all gated): quartile assignment over the
+    * fully tiebroken (cents, o_orderkey) order, then per-(priority,
+    * quartile) occupancy and exact integer cent bounds. Both engines
+    * implement the SQL-standard ntile distribution (first n mod 4
+    * buckets take the extra row), so the band edges hash-match.
+    */
+  def ntileQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  val ntileQuartilesSql: String =
+    """WITH q AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+      |      AS BIGINT) AS quartile
+      |  FROM orders)
+      |SELECT o_orderpriority, quartile,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  min(cents) AS lo_cents, max(cents) AS hi_cents
+      |FROM q
+      |GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
+
   /** Banded numeric join via bucketing: cross-brand part pairs priced
     * within 25 cents of each other. Prices quantize to integer cents
     * (round(p·100) — exact, cross-engine), the band becomes bucket
