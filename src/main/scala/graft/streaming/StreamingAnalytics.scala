@@ -169,6 +169,25 @@ object StreamingAnalytics {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — the third and last
+    * stream-stream join mode next to inner and left-outer: clicks that
+    * DID convert within the window, emitted once with NO purchase
+    * payload attached (the "qualified leads" stream; a semi join keeps
+    * state identical to the inner join but deduplicates multiple
+    * matching purchases for free). Same bounded-state requirements:
+    * watermarks on both sides + the event-time bound.
+    */
+  def clickAttributionSemi(clicks: DataFrame, purchases: DataFrame,
+      windowSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "leftSemi")
+  }
+
   /** Stream-static enrichment: every micro-batch of the stream joined to
     * a STATIC dimension table, broadcast to the executors — the
     * Structured Streaming pattern for "attach the user/product profile

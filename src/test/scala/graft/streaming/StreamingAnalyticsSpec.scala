@@ -220,6 +220,33 @@ class StreamingAnalyticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI interval join emits converting clicks once") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingAnalytics.clickAttributionSemi(
+      clicks.toDF().toDF("user_id", "click_ts", "click_id"),
+      purchases.toDF().toDF("user_id", "purchase_ts", "purchase_value"),
+      windowSeconds = 600, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attribution_semi")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+      // user 1 converts TWICE inside the window; user 2 never converts —
+      // semi must emit user 1's click exactly once and user 2 not at all
+      purchases.addData((1L, ts(5), 9.99), (1L, ts(30), 1.00))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(240), 0L))
+      purchases.addData((9L, ts(241), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution_semi").collect()
+        .filter(_.getAs[Long]("user_id") < 9L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id")))
+      assert(rows.toSeq == Seq((1L, 100L)),
+        s"semi join must deduplicate matches and drop non-converters: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("heavy-hitters sketch aggregates inside a streaming window") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
