@@ -356,6 +356,43 @@ object EventQueries {
       |FROM j
       |ORDER BY event_id""".stripMargin
 
+  /** Batch twin of the stream-stream LEFT SEMI interval join
+    * ([[graft.streaming.StreamingAnalytics.clickAttributionSemi]]):
+    * clicks that converted to a purchase within one hour, each emitted
+    * exactly once regardless of how many purchases followed — the
+    * qualified-leads list. LEFT SEMI keeps the probe side's columns
+    * only and never multiplies rows, so the plan carries no post-join
+    * dedup.
+    */
+  def clickConversionSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      .select(col("click_id"), col("user_id"), col("click_ts"))
+      .orderBy(col("click_id"))
+  }
+
+  val clickConversionSemiSql: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM events c
+      |WHERE c.event_type = 'click'
+      |  AND EXISTS (
+      |    SELECT 1 FROM events p
+      |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |      AND CAST(p.ts AS TIMESTAMP)
+      |        <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR)
+      |ORDER BY click_id""".stripMargin
+
   /** SLIDING-window top-k — the trending-now rollup: 1-hour windows
     * every 30 minutes (each event lands in exactly two windows — the
     * native `window(ts, size, slide)` semantics Structured Streaming
