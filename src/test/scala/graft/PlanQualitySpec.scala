@@ -327,4 +327,51 @@ class PlanQualitySpec extends SparkTestBase {
       !interp.contains("BroadcastHashJoin"),
       "interpolation must be union+window, not an asof join pair:\n" + interp)
   }
+
+  test("stats-fifth family keeps its scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // lorenz_gini / tvd_value_drift / chi_square cells: every
+    // unpartitioned window must order an AGGREGATED bounded domain
+    // (1000 revenue bins / 10 value buckets / 6 contingency cells) —
+    // never raw customers, events or lineitems. Same structural guard
+    // as the kcore threshold.
+    Seq(
+      "lorenz_gini" -> graft.queries.StatsFifth.lorenzGini(spark, sf0001),
+      "tvd_value_drift" -> graft.queries.StatsFifth.tvdValueDrift(spark, sf0001),
+      "chi_square_promo_returns" ->
+        graft.queries.StatsFifth.chiSquarePromoReturns(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val lp = df.queryExecution.optimizedPlan
+      val globalWindows =
+        lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(globalWindows.nonEmpty,
+        s"$name should use its bounded-domain global window")
+      globalWindows.foreach { w =>
+        assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"$name: global window must order an aggregated domain:\n$lp")
+      }
+    }
+    // hits / link-predict: top-k must plan as TakeOrderedAndProject
+    // (distributed partial top-k), never a global window, and pair
+    // generation must stay an equi-join on its key (a cartesian pair
+    // scan is the quadratic blowup the df-prune exists to avoid).
+    val hits = plan(graft.queries.StatsFifth.hitsPowerIteration(spark, sf0001))
+    assert(hits.contains("TakeOrderedAndProject"),
+      "hits top-20 must be a distributed partial top-k:\n" + hits)
+    val lp2 = plan(graft.queries.StatsFifth.linkPredictUsers(spark, sf0001))
+    assert(lp2.contains("TakeOrderedAndProject"),
+      "link-predict top-50 must be a distributed partial top-k:\n" + lp2)
+    assert(!lp2.contains("CartesianProduct") &&
+      !lp2.contains("BroadcastNestedLoopJoin"),
+      "pair generation must equi-join on the part key:\n" + lp2)
+    // ams_f2_moment: no windows at all — the sketch is pure keyed
+    // aggregation; and the verdict must actually hold.
+    val ams = graft.queries.StatsFifth.amsF2Moment(spark, sf0001)
+    assert(ams.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty,
+      "AMS sketch must be window-free keyed aggregation")
+    val row = ams.collect().head
+    assert(row.getAs[Boolean]("within_bound"),
+      "AMS median-of-means must lie within 25% of 64*F2")
+  }
 }
