@@ -374,4 +374,45 @@ class PlanQualitySpec extends SparkTestBase {
     assert(row.getAs[Boolean]("within_bound"),
       "AMS median-of-means must lie within 25% of 64*F2")
   }
+
+  test("analytics-fifth family keeps its scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // pareto_abc_parts: the cumulative ABC walk must order the 1000-bin
+    // histogram, never raw parts — bounded-domain window above an
+    // aggregate, same guard as lorenz_gini.
+    val abc = graft.queries.AnalyticsFifth.paretoAbcParts(spark, sf0001)
+    val abcW = abc.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(abcW.nonEmpty, "ABC walk should use its bounded-domain window")
+    abcW.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "ABC window must order the revenue histogram, not raw parts")
+    }
+    // activity_islands / label_propagation: every window is KEYED
+    // (user_id / node) — no empty partition spec anywhere; top-k plans
+    // as TakeOrderedAndProject.
+    Seq(
+      "activity_islands" ->
+        graft.queries.AnalyticsFifth.activityIslands(spark, sf0001),
+      "label_propagation" ->
+        graft.queries.AnalyticsFifth.labelPropagation(spark, sf0001)
+    ).foreach { case (name, df) =>
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name must only use keyed windows")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        s"$name top-k must be a distributed partial top-k")
+    }
+    // xcorr: the lag grid must broadcast (15 rows), and the daily join
+    // stays an equi-join on the computed day key.
+    val xc = graft.queries.AnalyticsFifth
+      .xcorrViewPurchase(spark, sf0001).queryExecution.executedPlan.toString
+    assert(xc.contains("BroadcastExchange") || xc.contains("BroadcastHashJoin"),
+      "lag grid must broadcast:\n" + xc)
+    // the deliberate 15-row broadcast cross shows as BroadcastNestedLoop;
+    // a CartesianProduct would mean the day equi-join degenerated
+    assert(!xc.contains("CartesianProduct"),
+      "daily series must equi-join on the lagged day key:\n" + xc)
+  }
 }
