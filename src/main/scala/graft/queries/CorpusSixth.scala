@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-5 corpus additions, batch 3: asymmetric containment pairs
+  * (quote / subset detection), per-document novelty against a reference
+  * split, an embedding-norm audit over the vector table, and a
+  * readability proxy — the remaining text-pipeline primitives a
+  * training-data curator runs that the dedup/quality families don't
+  * already cover.
+  *
+  * Exactness discipline as elsewhere: integer counts, DECIMAL widening
+  * where a 100 TB sum wraps a long, doubles only in final expressions
+  * with identical association, and double CONSTANTS built from integer
+  * ratios (`CAST(39 AS DOUBLE)/CAST(100 AS DOUBLE)`) so neither engine's
+  * decimal-literal typing can perturb a bit.
+  */
+object CorpusSixth {
+
+  /** Character 8-gram set of a document — the same shingle alphabet the
+    * ppjoin / suffix-span queries use (ref: consumer-side dedup needs no
+    * tokenizer agreement, just bytes).
+    */
+  private val gramsExpr = expr(
+    "array_distinct(transform(sequence(1, greatest(n_chars - 7, 1))," +
+      " p -> substring(text, p, 8)))")
+
+  // ------------------------------------------------------- containment
+
+  /** Asymmetric containment pairs: document pairs where at least half of
+    * the SMALLER document's 8-grams appear in the larger one —
+    * `C(small→large) = |A∩B| / |A|` — the quote-/subset-detection
+    * primitive that symmetric Jaccard misses (a paragraph quoted inside
+    * a long page has tiny Jaccard but containment ≈ 1).
+    *
+    * Candidates must share a RARE gram (posting df ≤ 20), the same
+    * inverted-index quadratic guard as `link_predict_users`/`knn_graph_
+    * grams`: pair generation costs Σ_{df≤20} df² ≤ 20·|postings|, never
+    * all-pairs. A fully-boilerplate small doc whose every gram is
+    * high-df escapes candidacy — the documented recall trade of every
+    * pruned index here, mirrored exactly in the oracle. Verification
+    * intersects the two gram ARRAYS per surviving candidate only; the
+    * containment filter is the integer compare `2·inter ≥ sz_small`, and
+    * the one double is the final ratio.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(gramsExpr).as("tok"))
+    val rare = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("tok"))
+    val posting = tok.join(rare, "tok")
+    val cand = posting.toDF("tok", "id_a")
+      .join(posting.toDF("tok", "id_b"), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = docs.select(col("doc_id"), gramsExpr.as("ts"))
+    cand
+      .join(sets.toDF("id_a", "ts_a"), "id_a")
+      .join(sets.toDF("id_b", "ts_b"), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("sz_a", size(col("ts_a")).cast("long"))
+      .withColumn("sz_b", size(col("ts_b")).cast("long"))
+      // deterministic small/large orientation: by size, then by id
+      .withColumn("small_first",
+        col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .select(
+        when(col("small_first"), col("id_a")).otherwise(col("id_b")).as("id_small"),
+        when(col("small_first"), col("id_b")).otherwise(col("id_a")).as("id_large"),
+        col("n_inter"),
+        when(col("small_first"), col("sz_a")).otherwise(col("sz_b")).as("sz_small"),
+        when(col("small_first"), col("sz_b")).otherwise(col("sz_a")).as("sz_large"))
+      .filter(col("n_inter") * 2 >= col("sz_small"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("sz_small").cast("double"))
+      .orderBy(col("id_small"), col("id_large"))
+  }
+
+  val containmentPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([text[p:p+7]
+      |      for p in range(1, greatest(n_chars - 7, 1) + 1)]) AS ts
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ts) AS tok FROM g),
+      |rare AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 20),
+      |posting AS (SELECT doc_id, tok FROM tok JOIN rare USING (tok)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM posting a JOIN posting b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |v AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(ga.ts, gb.ts)) AS BIGINT) AS n_inter,
+      |    CAST(len(ga.ts) AS BIGINT) AS sz_a,
+      |    CAST(len(gb.ts) AS BIGINT) AS sz_b
+      |  FROM cand
+      |  JOIN g ga ON ga.doc_id = id_a
+      |  JOIN g gb ON gb.doc_id = id_b),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND id_a < id_b)
+      |      THEN id_a ELSE id_b END AS id_small,
+      |    CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND id_a < id_b)
+      |      THEN id_b ELSE id_a END AS id_large,
+      |    n_inter,
+      |    least(sz_a, sz_b) AS sz_small,
+      |    greatest(sz_a, sz_b) AS sz_large
+      |  FROM v)
+      |SELECT id_small, id_large, n_inter, sz_small, sz_large,
+      |  CAST(n_inter AS DOUBLE) / CAST(sz_small AS DOUBLE) AS containment
+      |FROM o
+      |WHERE n_inter * 2 >= sz_small
+      |ORDER BY id_small, id_large""".stripMargin
+
+  // ---------------------------------------------------------- novelty
+
+  /** Per-document novelty against a reference split: for every
+    * ODD-doc_id document, the share of its 8-grams that never occur in
+    * the EVEN-doc_id half of the corpus — the incremental-crawl "how
+    * much of this batch is genuinely new text" gauge (novelty ≈ 0 means
+    * the reference already covers it; the batch-side twin of
+    * `decontaminate_ngram`'s eval protection).
+    *
+    * Scale shape: the reference gram set stays DISTRIBUTED — the probe
+    * is a gram-keyed LEFT ANTI join (shuffle hash on the gram), never a
+    * broadcast of the reference vocabulary (which is corpus-sized at
+    * 100 TB). Counts are exact integers; the one double is
+    * `n_novel / n_grams`.
+    */
+  def noveltyVsReference(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.select(col("doc_id"), explode(gramsExpr).as("g"))
+    val ref = grams.filter(col("doc_id") % 2 === 0).select(col("g")).distinct()
+    val tgt = grams.filter(col("doc_id") % 2 === 1)
+    val novel = tgt.join(ref, Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    tgt.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyVsReferenceSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct([text[p:p+7]
+      |    for p in range(1, greatest(n_chars - 7, 1) + 1)])) AS g
+      |  FROM documents),
+      |ref AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+      |tgt AS (SELECT doc_id, g FROM g WHERE doc_id % 2 = 1),
+      |tot AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM tgt GROUP BY doc_id),
+      |nov AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      |  FROM tgt ANTI JOIN ref USING (g)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      |  coalesce(n.n_novel, 0) AS n_novel,
+      |  CAST(coalesce(n.n_novel, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+      |    AS novelty
+      |FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------- embedding audit
+
+  /** Embedding-norm audit per label: vector count, zero-vector count and
+    * mean squared L2 norm over the embeddings table — the "did a batch
+    * of degenerate vectors slip into the index" check run before any ANN
+    * build.
+    *
+    * Float components quantize to EXACT integers
+    * (`round(double(x)·1000)` — float→double is exact, so both engines
+    * round identical values) and the per-vector Σ-of-squares folds
+    * inside the ARRAY via a higher-order `aggregate`/`list_sum` — no
+    * explode, no shuffle of 64× component rows; the per-label sum widens
+    * to DECIMAL (10¹²  vectors × ~10⁷ per-vector norm passes a long at
+    * 100 TB). The one double is the final mean.
+    */
+  def embeddingNormAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        expr("aggregate(transform(embedding," +
+          " x -> cast(round(cast(x as double) * 1000) as bigint)" +
+          " * cast(round(cast(x as double) * 1000) as bigint))," +
+          " cast(0 as bigint), (acc, v) -> acc + v)").as("norm2q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm2q") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(expr("cast(norm2q as decimal(19,0))")).as("sum_norm2q"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("sum_norm2q").cast("decimal(38,0)").as("sum_norm2q"),
+        (col("sum_norm2q").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_norm2q"))
+      .orderBy(col("label"))
+
+  val embeddingNormAuditSql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |        * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS norm2q
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN norm2q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(norm2q) AS HUGEINT) AS sum_norm2q,
+      |  CAST(sum(norm2q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm2q
+      |FROM q
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  // ----------------------------------------------------- readability
+
+  /** Flesch–Kincaid-style readability proxy per source: grade ≈
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`, with
+    * sentences counted as `[.!?]+` runs (min 1) and syllables as vowel
+    * runs `[aeiouy]+` — the standard heuristic with regex-countable
+    * surrogates (both regexes are in the RE2 ∩ Java-regex common
+    * subset, so the two engines count identically).
+    *
+    * All three corpus totals are exact integer sums; the grade is one
+    * fixed-association double expression whose CONSTANTS are integer
+    * ratios (`39/100`, `59/5`, `1559/100` — each a single IEEE divide,
+    * bit-identical cross-engine, immune to decimal-literal typing).
+    */
+  def readabilityProxy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        expr("size(split(trim(text), '\\\\s+'))").cast("long").as("w"),
+        expr("greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)")
+          .cast("long").as("s"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"),
+        sum(col("y")).as("syllables"))
+      .withColumn("fk_grade",
+        expr("(cast(39 as double) / cast(100 as double))" +
+          " * (cast(words as double) / cast(sentences as double))" +
+          " + (cast(59 as double) / cast(5 as double))" +
+          " * (cast(syllables as double) / cast(words as double))" +
+          " - (cast(1559 as double) / cast(100 as double))"))
+      .orderBy(col("source"))
+
+  val readabilityProxySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |      AS s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS y
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS words,
+      |  CAST(sum(s) AS BIGINT) AS sentences,
+      |  CAST(sum(y) AS BIGINT) AS syllables,
+      |  (CAST(39 AS DOUBLE) / CAST(100 AS DOUBLE))
+      |    * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE))
+      |  + (CAST(59 AS DOUBLE) / CAST(5 AS DOUBLE))
+      |    * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+      |  - (CAST(1559 AS DOUBLE) / CAST(100 AS DOUBLE)) AS fk_grade
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+}

@@ -415,4 +415,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!xc.contains("CartesianProduct"),
       "daily series must equi-join on the lagged day key:\n" + xc)
   }
+
+  test("corpus-sixth family keeps its scale shapes") {
+    // containment: candidates must come from the rare-gram equi-join —
+    // a cartesian/nested-loop pair scan is the all-pairs compare the
+    // df-prune exists to avoid
+    val cont = plan(graft.queries.CorpusSixth.containmentPairs(spark, sf0001))
+    assert(!cont.contains("CartesianProduct") &&
+      !cont.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must equi-join on rare grams:\n" + cont)
+    // novelty: the reference probe is a LEFT ANTI join on the gram key
+    val nov = plan(graft.queries.CorpusSixth.noveltyVsReference(spark, sf0001))
+    assert(nov.contains("LeftAnti"),
+      "novelty probe must be an anti join on the gram key:\n" + nov)
+    assert(!nov.contains("CartesianProduct"), "novelty must stay keyed:\n" + nov)
+    // embedding audit: the per-vector fold happens INSIDE the array —
+    // no explode (64x row blowup) anywhere in the plan
+    val emb = graft.queries.CorpusSixth.embeddingNormAudit(spark, sf0001)
+    assert(!emb.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "norm fold must stay inside the array, not explode components")
+  }
 }
