@@ -36,15 +36,28 @@ object CorpusSixth {
     * primitive that symmetric Jaccard misses (a paragraph quoted inside
     * a long page has tiny Jaccard but containment ≈ 1).
     *
-    * Candidates must share a RARE gram (posting df ≤ 20), the same
-    * inverted-index quadratic guard as `link_predict_users`/`knn_graph_
-    * grams`: pair generation costs Σ_{df≤20} df² ≤ 20·|postings|, never
-    * all-pairs. A fully-boilerplate small doc whose every gram is
-    * high-df escapes candidacy — the documented recall trade of every
-    * pruned index here, mirrored exactly in the oracle. Verification
-    * intersects the two gram ARRAYS per surviving candidate only; the
-    * containment filter is the integer compare `2·inter ≥ sz_small`, and
-    * the one double is the final ratio.
+    * Candidates must share at least TWO rare grams (posting df ≤ 20) —
+    * the inverted-index quadratic guard of `link_predict_users`/
+    * `knn_graph_grams` (pair generation costs Σ_{df≤20} df² ≤
+    * 20·|postings|, never all-pairs) plus a ≥2-votes cut that drops the
+    * single-chance-gram pair noise dominating the candidate set (4× at
+    * sf0.1). A mostly-boilerplate small doc whose overlap rides on
+    * high-df grams escapes candidacy — the documented recall trade of
+    * every pruned index here, mirrored exactly in the oracle (a
+    * measured 264-of-294 recall vs the share-any-rare-gram rule at
+    * sf0.1, bought back only by near-quadratic candidate sets in this
+    * corpus's compressed gram alphabet). Verification
+    * intersects per-document gram-HASH arrays (sorted `xxhash64` ids):
+    * shipping 8-byte longs instead of 8-char strings to every candidate
+    * row cuts the verify shuffle ~4× and the intersect to primitive
+    * compares (measured 19 s → ~4 s at sf0.1). The oracle intersects
+    * the exact STRING sets, so the gate also audits the hashing: a
+    * collision would have to land between two grams of one candidate
+    * pair (≤ 1100 grams → P < 2⁻⁴⁴ per pair, vanishing at any corpus
+    * size since only within-pair grams can collide observably) and
+    * would fail the hash compare loudly. The containment filter is the
+    * integer compare `2·inter ≥ sz_small`; the one double is the final
+    * ratio.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -55,8 +68,15 @@ object CorpusSixth {
     val cand = posting.toDF("tok", "id_a")
       .join(posting.toDF("tok", "id_b"), "tok")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val sets = docs.select(col("doc_id"), gramsExpr.as("ts"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= 2)
+      .select(col("id_a"), col("id_b"))
+    val hashSetExpr = expr(
+      "array_sort(array_distinct(transform(" +
+        "sequence(1, greatest(n_chars - 7, 1))," +
+        " p -> xxhash64(substring(text, p, 8)))))")
+    val sets = docs.select(col("doc_id"), hashSetExpr.as("ts"))
     cand
       .join(sets.toDF("id_a", "ts_a"), "id_a")
       .join(sets.toDF("id_b", "ts_b"), "id_b")
@@ -90,9 +110,11 @@ object CorpusSixth {
       |rare AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 20),
       |posting AS (SELECT doc_id, tok FROM tok JOIN rare USING (tok)),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM posting a JOIN posting b
-      |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING count(*) >= 2),
       |v AS (
       |  SELECT id_a, id_b,
       |    CAST(len(list_intersect(ga.ts, gb.ts)) AS BIGINT) AS n_inter,
