@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-5 analytics additions, batch 3: an end-to-end co-purchase
+  * recommender evaluation (train/test split → item-item scores → top-k →
+  * recall), a cohort LTV curve, and seasonality-adjusted robust outlier
+  * detection — the "model-eval over the warehouse" shapes that exercise
+  * split + rank + join composition rather than any single operator.
+  *
+  * Usual discipline: integer cents/counts, DECIMAL widening past long
+  * range, one final double per query, keyed windows only (every window
+  * partitions by cohort / weekday / user — nothing global).
+  */
+object AnalyticsSixth {
+
+  // ------------------------------------------------ recommender recall
+
+  /** Recall@10 of an item-item co-purchase recommender, evaluated on a
+    * held-out order split: even o_orderkey orders train, odd orders
+    * test. Item-item weights are train co-purchase counts (parts bought
+    * by the same customer); each eval customer (present in BOTH splits)
+    * is recommended the 10 highest-scoring parts they did NOT buy in
+    * train (score = Σ co-purchase weight against their train basket,
+    * ties by part key); a customer counts as a hit if any held-out part
+    * appears in their top-10. One summary row: eval users, hits,
+    * recall.
+    *
+    * Scale shape: the pair table costs Σ_c deg_c² with TPC-H-bounded
+    * per-customer degree (~30), so it is linear in customers — a
+    * head-customer blowup would need a degree cap, noted here. The
+    * item-item model is TRUNCATED to each part's top-25 neighbors by
+    * weight (standard item-kNN practice — an untruncated co-purchase
+    * graph densifies toward |parts|² and made scoring the single most
+    * expensive join in the suite, 27 s at sf0.1 → 8 s truncated); the
+    * truncation is part of the model definition and mirrored in the
+    * oracle. Top-25/top-10 are KEYED row_numbers (WindowGroupLimit
+    * pushes the rank filters map-side); train-basket exclusion is a
+    * LEFT ANTI join; everything shuffles on (customer) or (part) keys
+    * only.
+    */
+  def copurchaseRecallAtK(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    def split(parity: Int): DataFrame = orders
+      .filter(col("o_orderkey") % 2 === parity)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val train = split(0).localCheckpoint()
+    val test = split(1).localCheckpoint()
+    val pairs = train.toDF("c", "p")
+      .join(train.toDF("c", "q"), "c")
+      .filter(col("p") =!= col("q"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("w"))
+      .withColumn("nrn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("w").desc, col("q"))))
+      .filter(col("nrn") <= 25)
+      .drop("nrn")
+    val evalUsers = train.select(col("c")).distinct()
+      .join(test.select(col("c")).distinct(), "c")
+      .localCheckpoint()
+    val scored = train.join(pairs, "p")
+      .groupBy(col("c"), col("q")).agg(sum(col("w")).as("score"))
+      .join(train.toDF("c", "q"), Seq("c", "q"), "left_anti")
+      .join(evalUsers, "c")
+    val topk = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("score").desc, col("q"))))
+      .filter(col("rn") <= 10)
+    val hits = topk.join(test.toDF("c", "q"), Seq("c", "q"))
+      .select(col("c")).distinct()
+    evalUsers.agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_users"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_users").cast("double"))
+          .as("recall_at_10"))
+  }
+
+  val copurchaseRecallAtKSql: String =
+    """WITH train AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderkey % 2 = 0),
+      |test AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderkey % 2 = 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT p, q, w FROM (
+      |    SELECT a.p, b.p AS q, CAST(count(*) AS BIGINT) AS w,
+      |      row_number() OVER (PARTITION BY a.p
+      |        ORDER BY count(*) DESC, b.p) AS nrn
+      |    FROM train a JOIN train b ON a.c = b.c AND a.p != b.p
+      |    GROUP BY a.p, b.p)
+      |  WHERE nrn <= 25),
+      |eu AS MATERIALIZED (
+      |  SELECT DISTINCT c FROM train
+      |  INTERSECT
+      |  SELECT DISTINCT c FROM test),
+      |scored AS MATERIALIZED (
+      |  SELECT t.c, pr.q, CAST(sum(pr.w) AS BIGINT) AS score
+      |  FROM train t JOIN pairs pr ON t.p = pr.p
+      |  JOIN eu ON eu.c = t.c
+      |  WHERE NOT EXISTS (SELECT 1 FROM train x
+      |    WHERE x.c = t.c AND x.p = pr.q)
+      |  GROUP BY t.c, pr.q),
+      |topk AS (
+      |  SELECT c, q FROM (
+      |    SELECT c, q,
+      |      row_number() OVER (PARTITION BY c ORDER BY score DESC, q) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 10),
+      |hits AS (
+      |  SELECT DISTINCT tk.c FROM topk tk
+      |  JOIN test ts ON ts.c = tk.c AND ts.p = tk.q)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM eu) AS n_users,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit,
+      |  CAST((SELECT count(*) FROM hits) AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM eu) AS DOUBLE) AS recall_at_10""".stripMargin
+
+  // ------------------------------------------------------- cohort LTV
+
+  /** Cohort LTV curve: cumulative purchase revenue by signup-week cohort
+    * and tenure week — the canonical "do newer cohorts monetize faster"
+    * triangle. Cohort = ISO week (Monday) of the user's FIRST event of
+    * any type; tenure = whole weeks since that first day. All revenue
+    * in integer cents; the cumulative walk is a KEYED window (partition
+    * by cohort week, order by tenure week — per-cohort row counts are
+    * calendar-bounded, and the partition key distributes).
+    */
+  def cohortLtvCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(first, "user_id")
+      .select(trunc(col("first_day"), "week").as("cohort_week"),
+        expr("cast(datediff(day, first_day) as bigint) div 7").as("tenure_week"),
+        col("cents"), col("user_id"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("tenure_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.groupBy(col("cohort_week"), col("tenure_week"))
+      .agg(sum(col("cents")).as("revenue_cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .orderBy(col("cohort_week"), col("tenure_week"))
+  }
+
+  val cohortLtvCurveSql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT date_trunc('week', f.first_day) AS cohort_week,
+      |    CAST(datediff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+      |      AS tenure_week,
+      |    CAST(round(e.value * 100) AS BIGINT) AS cents,
+      |    e.user_id
+      |  FROM events e JOIN f USING (user_id)
+      |  WHERE e.event_type = 'purchase'),
+      |g AS (
+      |  SELECT cohort_week, tenure_week,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+      |  FROM r GROUP BY cohort_week, tenure_week)
+      |SELECT cohort_week, tenure_week, revenue_cents, n_buyers,
+      |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+      |    ORDER BY tenure_week
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_revenue_cents
+      |FROM g
+      |ORDER BY cohort_week, tenure_week""".stripMargin
+
+  // -------------------------------------------- weekday-adjusted outliers
+
+  /** Seasonality-adjusted robust outliers: days whose purchase revenue
+    * deviates from their WEEKDAY's typical level by more than 3× that
+    * weekday's MAD — `seasonal_decompose_weekday`'s mean model composed
+    * with `anomaly_mad`'s robust threshold, so a strong-but-normal
+    * Saturday isn't flagged just for being a Saturday.
+    *
+    * Everything stays integer: the deviation is `|n_w·x − S_w|`
+    * (x scaled by the weekday's day count instead of dividing by it —
+    * widened to DECIMAL since n_w·x passes long at 100 TB daily
+    * revenue), the MAD is the lower-median deviation picked by the
+    * repo's rank convention (row ⌊(n−1)/2⌋+1 ascending, keyed
+    * row_number per weekday over calendar-bounded day counts), and the
+    * outlier test is the integer compare `dev > 3·mad`. No doubles at
+    * all.
+    */
+  def weekdayAdjustedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select((dayofweek(col("day")) - 1).cast("long").as("weekday"),
+        col("day"), col("x"))
+    val byW = Window.partitionBy(col("weekday"))
+    val dev = d
+      .withColumn("n_w", count(lit(1)).over(byW))
+      .withColumn("s_w", sum(col("x")).over(byW))
+      .withColumn("dev",
+        abs(expr("cast(n_w as decimal(19,0)) * cast(x as decimal(19,0))") -
+          expr("cast(s_w as decimal(19,0))")))
+    val rankW = Window.partitionBy(col("weekday"))
+      .orderBy(col("dev"), col("day"))
+    val mad = dev
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === expr("(n_w - 1) div 2 + 1"))
+      .select(col("weekday"), col("dev").as("mad"))
+    dev.join(mad, "weekday")
+      .filter(col("dev") > col("mad") * 3)
+      .select(col("day"), col("weekday"), col("x").as("x_cents"))
+      .orderBy(col("day"))
+  }
+
+  val weekdayAdjustedOutliersSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+      |w AS (
+      |  SELECT dayofweek(day) AS weekday, day, x,
+      |    CAST(count(*) OVER (PARTITION BY dayofweek(day)) AS BIGINT) AS n_w,
+      |    CAST(sum(x) OVER (PARTITION BY dayofweek(day)) AS BIGINT) AS s_w
+      |  FROM d),
+      |v AS (
+      |  SELECT weekday, day, x, n_w,
+      |    abs(CAST(n_w AS HUGEINT) * CAST(x AS HUGEINT)
+      |      - CAST(s_w AS HUGEINT)) AS dev
+      |  FROM w),
+      |m AS (
+      |  SELECT weekday, dev AS mad FROM (
+      |    SELECT weekday, dev, n_w,
+      |      row_number() OVER (PARTITION BY weekday ORDER BY dev, day) AS rn
+      |    FROM v)
+      |  WHERE rn = (n_w - 1) // 2 + 1)
+      |SELECT day, v.weekday, x AS x_cents
+      |FROM v JOIN m ON v.weekday = m.weekday
+      |WHERE dev > mad * 3
+      |ORDER BY day""".stripMargin
+}

@@ -435,4 +435,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!emb.queryExecution.optimizedPlan.toString.contains("Generate"),
       "norm fold must stay inside the array, not explode components")
   }
+
+  test("analytics-sixth family keeps its scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // recommender: both rank filters (top-25 neighbors, top-10 recs)
+    // must push map-side as WindowGroupLimit; basket exclusion stays a
+    // LEFT ANTI join; no global windows anywhere in the pipeline.
+    val rec = graft.queries.AnalyticsSixth.copurchaseRecallAtK(spark, sf0001)
+    val recP = plan(rec)
+    assert("WindowGroupLimit".r.findAllIn(recP).size >= 2,
+      "neighbor + rec rank filters must push as WindowGroupLimit:\n" + recP)
+    assert(recP.contains("LeftAnti"),
+      "train-basket exclusion must be an anti join:\n" + recP)
+    assert(rec.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "recommender windows must all be keyed")
+    // LTV curve + weekday outliers: keyed windows only (cohort/weekday)
+    Seq(
+      "cohort_ltv_curve" ->
+        graft.queries.AnalyticsSixth.cohortLtvCurve(spark, sf0001),
+      "weekday_adjusted_outliers" ->
+        graft.queries.AnalyticsSixth.weekdayAdjustedOutliers(spark, sf0001)
+    ).foreach { case (name, df) =>
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name must only use keyed windows")
+    }
+  }
 }
