@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** `|A ∩ B|` over two SORTED `array<long>` columns as a native Catalyst
+  * expression with whole-stage codegen — the verification hot loop of the
+  * set-overlap joins ([[graft.queries.CorpusSixth.containmentPairs]] runs
+  * one intersect per candidate pair over ~500-element gram-hash arrays).
+  *
+  * Why custom (the [[DotProduct]] argument, sharpened): the built-in
+  * `size(array_intersect(a, b))` buys a hash set AND a materialized
+  * result array per row only to throw both away after reading the
+  * length; on sorted inputs the count is a single allocation-free
+  * two-pointer merge walk — O(|A|+|B|) primitive compares inside the
+  * codegen span (containment_pairs 7.5 → 6.7 s at sf0.1; the stage is
+  * shuffle-bound, so the CPU win shows fully only at higher
+  * candidate-to-shuffle ratios).
+  *
+  * Duplicate semantics match `array_intersect`'s set semantics ONLY for
+  * duplicate-free inputs — both call sites build their arrays with
+  * `array_sort(array_distinct(...))`; inputs MUST be ascending-sorted,
+  * which is the caller's contract (unsorted inputs undercount silently).
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { n += 1L; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $cnt++; $i++; $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountSorted {
+  /** Registers `intersect_count_sorted` for the session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count_sorted",
+      exprs => IntersectCountSorted(exprs(0), exprs(1)), "scala_udf")
+}

@@ -49,8 +49,10 @@ object CorpusSixth {
     * corpus's compressed gram alphabet). Verification
     * intersects per-document gram-HASH arrays (sorted `xxhash64` ids):
     * shipping 8-byte longs instead of 8-char strings to every candidate
-    * row cuts the verify shuffle ~4× and the intersect to primitive
-    * compares (measured 19 s → ~4 s at sf0.1). The oracle intersects
+    * row cuts the verify shuffle ~4× and the fused
+    * [[graft.functions.IntersectCountSorted]] merge walk turns the
+    * per-pair intersect into primitive compares (measured 19 → 6.7 s at
+    * sf0.1 together with the 2-vote cut). The oracle intersects
     * the exact STRING sets, so the gate also audits the hashing: a
     * collision would have to land between two grams of one candidate
     * pair (≤ 1100 grams → P < 2⁻⁴⁴ per pair, vanishing at any corpus
@@ -77,11 +79,12 @@ object CorpusSixth {
         "sequence(1, greatest(n_chars - 7, 1))," +
         " p -> xxhash64(substring(text, p, 8)))))")
     val sets = docs.select(col("doc_id"), hashSetExpr.as("ts"))
+    graft.functions.IntersectCountSorted.register(spark)
     cand
       .join(sets.toDF("id_a", "ts_a"), "id_a")
       .join(sets.toDF("id_b", "ts_b"), "id_b")
       .withColumn("n_inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        call_function("intersect_count_sorted", col("ts_a"), col("ts_b")))
       .withColumn("sz_a", size(col("ts_a")).cast("long"))
       .withColumn("sz_b", size(col("ts_b")).cast("long"))
       // deterministic small/large orientation: by size, then by id
