@@ -248,4 +248,248 @@ object AnalyticsSixth {
       |FROM v JOIN m ON v.weekday = m.weekday
       |WHERE dev > mad * 3
       |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------ linear attribution
+
+  /** Multi-touch LINEAR attribution: every purchase's value splits
+    * EQUALLY across all of that user's non-purchase touches in the
+    * preceding 24 hours, credited to the touch's event type — the
+    * fractional counterpart of `attribution_last_touch`'s
+    * winner-takes-all. Credit is FIXED-POINT: `cents·10⁶ div n_touches`
+    * micro-cents per touch (floor division, identical in both engines;
+    * the ≤ n−1 micro-cent truncation per purchase is documented rather
+    * than smeared), so per-type credit sums stay exact integers — no
+    * double summation order to diverge. Purchases with no 24 h touch
+    * credit a 'none' channel in full.
+    *
+    * Scale shape: a user-keyed interval join (shuffle on user_id; per-
+    * user event counts are bounded in this model — a hot-user cap would
+    * salt the key); two keyed aggregations after it.
+    */
+  def attributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        expr("unix_micros(cast(ts as timestamp))").as("pts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_type").as("touch"),
+        expr("unix_micros(cast(ts as timestamp))").as("tts"))
+    // window predicate lives in the JOIN condition (not a post-filter) so
+    // a purchase with touches only OUTSIDE the 24 h window still surfaces
+    // as one unmatched row and credits 'none' — matching the oracle's ON
+    val window = purchases.join(touches,
+      col("user_id") === col("t_user") &&
+        col("tts") <= col("pts") &&
+        col("tts") > col("pts") - lit(86400000000L),
+      "left")
+    val perPurchase = window
+      .groupBy(col("pid"), col("cents"))
+      .agg(sum(when(col("tts").isNotNull, 1L).otherwise(0L)).as("n_touch"))
+    val perType = window.filter(col("tts").isNotNull)
+      .groupBy(col("pid"), col("touch")).agg(count(lit(1)).as("k"))
+    perPurchase.join(perType, Seq("pid"), "left")
+      .select(
+        coalesce(col("touch"), lit("none")).as("touch"),
+        when(col("n_touch") === 0, col("cents") * lit(1000000L))
+          .otherwise(expr("cents * 1000000 * k div n_touch")).as("credit"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).as("credit_microcents"))
+      .orderBy(col("touch"))
+  }
+
+  val attributionLinearSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS pid,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS pts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_type AS touch,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tts
+      |  FROM events WHERE event_type <> 'purchase'),
+      |w AS (
+      |  SELECT p.pid, p.cents, t.touch, t.tts
+      |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+      |    AND t.tts <= p.pts AND t.tts > p.pts - 86400000000),
+      |np AS (
+      |  SELECT pid, cents,
+      |    CAST(sum(CASE WHEN tts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_touch
+      |  FROM w GROUP BY pid, cents),
+      |kt AS (
+      |  SELECT pid, touch, CAST(count(*) AS BIGINT) AS k
+      |  FROM w WHERE tts IS NOT NULL GROUP BY pid, touch),
+      |c AS (
+      |  SELECT coalesce(kt.touch, 'none') AS touch,
+      |    CASE WHEN np.n_touch = 0 THEN np.cents * 1000000
+      |      ELSE (np.cents * 1000000 * kt.k) // np.n_touch END AS credit
+      |  FROM np LEFT JOIN kt USING (pid))
+      |SELECT touch, CAST(count(*) AS BIGINT) AS n_credits,
+      |  CAST(sum(credit) AS BIGINT) AS credit_microcents
+      |FROM c
+      |GROUP BY touch
+      |ORDER BY touch""".stripMargin
+
+  // ------------------------------------------- discount elasticity corr
+
+  /** Per-brand Pearson correlation between discount and quantity on
+    * lineitem — the first-pass price-elasticity screen ("do deeper
+    * discounts move more units for this brand"). Discounts quantize to
+    * integer percent (they are exact hundredths in the data model) and
+    * quantities to integer units, so all five moments are exact
+    * integers (Σxy widened to DECIMAL for 100 TB row counts); the one
+    * double is the standard
+    * `(n·Σxy − Σx·Σy)/(√(n·Σxx−Σx²)·√(n·Σyy−Σy²))` with fixed
+    * association — the `acf_daily_revenue` recipe per group.
+    */
+  def discountQuantityCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        round(col("l_discount") * 100).cast("long").as("x"),
+        round(col("l_quantity")).cast("long").as("y"))
+    li.join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))")).as("sxy"),
+        sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"),
+        sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))")).as("syy"))
+      .withColumn("corr_dq",
+        expr("(cast(n as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))" +
+          " / (sqrt(cast(n as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))" +
+          " * sqrt(cast(n as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double)))"))
+      .select(col("p_brand"), col("n"), col("corr_dq"))
+      .orderBy(col("p_brand"))
+  }
+
+  val discountQuantityCorrSql: String =
+    """WITH d AS (
+      |  SELECT p_brand,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(round(l_quantity) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |m AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM d GROUP BY p_brand)
+      |SELECT p_brand, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_dq
+      |FROM m
+      |ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------- new vs returning split
+
+  /** Daily revenue split between NEW purchasers (first-ever purchase is
+    * that day) and RETURNING ones — the acquisition-vs-retention mix
+    * every growth dashboard leads with. First-purchase day per user is
+    * one keyed aggregation; the split is a conditional sum, and the one
+    * double is the final new-revenue share.
+    */
+  def newVsReturningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val first = p.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    p.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), col("cents")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(col("day") =!= col("first_day"), col("cents")).otherwise(0L))
+          .as("returning_cents"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .withColumn("new_share",
+        col("new_cents").cast("double") /
+          (col("new_cents") + col("returning_cents")).cast("double"))
+      .orderBy(col("day"))
+  }
+
+  val newVsReturningRevenueSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY user_id)
+      |SELECT day,
+      |  CAST(sum(CASE WHEN day = first_day THEN cents ELSE 0 END) AS BIGINT)
+      |    AS new_cents,
+      |  CAST(sum(CASE WHEN day <> first_day THEN cents ELSE 0 END) AS BIGINT)
+      |    AS returning_cents,
+      |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returning,
+      |  CAST(sum(CASE WHEN day = first_day THEN cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(cents) AS DOUBLE) AS new_share
+      |FROM p JOIN f USING (user_id)
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------- weekly movers
+
+  /** Week-over-week top movers: the 20 parts with the largest absolute
+    * revenue change between the last 7 shipping days and the 7 before
+    * (relative to the corpus's max ship date, a 1-row broadcast
+    * scalar). All cents integer; top-20 by (|Δ| desc, partkey) plans as
+    * TakeOrderedAndProject — the distributed partial top-k, never a
+    * global rank over |parts|.
+    */
+  def weeklyTopMovers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("day"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val mx = li.agg(max(col("day")).as("maxd"))
+    li.crossJoin(broadcast(mx))
+      .filter(col("day") >= date_sub(col("maxd"), 13))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("day") >= date_sub(col("maxd"), 6), col("cents"))
+          .otherwise(0L)).as("wk1_cents"),
+        sum(when(col("day") < date_sub(col("maxd"), 6), col("cents"))
+          .otherwise(0L)).as("wk0_cents"))
+      .withColumn("delta_cents", col("wk1_cents") - col("wk0_cents"))
+      .orderBy(abs(col("delta_cents")).desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey"), col("wk0_cents"), col("wk1_cents"),
+        col("delta_cents"))
+  }
+
+  val weeklyTopMoversSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |mx AS (SELECT max(day) AS maxd FROM li),
+      |g AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CASE WHEN day >= maxd - 6 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS wk1_cents,
+      |    CAST(sum(CASE WHEN day < maxd - 6 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS wk0_cents
+      |  FROM li, mx
+      |  WHERE day >= maxd - 13
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, wk0_cents, wk1_cents,
+      |  wk1_cents - wk0_cents AS delta_cents
+      |FROM g
+      |ORDER BY abs(wk1_cents - wk0_cents) DESC, l_partkey
+      |LIMIT 20""".stripMargin
 }

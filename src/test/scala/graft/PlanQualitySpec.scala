@@ -461,5 +461,14 @@ class PlanQualitySpec extends SparkTestBase {
         .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
         s"$name must only use keyed windows")
     }
+    // weekly movers: distributed partial top-k, scalar max broadcast
+    val mov = plan(graft.queries.AnalyticsSixth.weeklyTopMovers(spark, sf0001))
+    assert(mov.contains("TakeOrderedAndProject"),
+      "movers top-20 must be a distributed partial top-k:\n" + mov)
+    // linear attribution: the 24h window predicate rides the user-keyed
+    // join — no cartesian / nested-loop pairing of events
+    val att = plan(graft.queries.AnalyticsSixth.attributionLinear(spark, sf0001))
+    assert(!att.contains("CartesianProduct"),
+      "attribution interval join must stay user-keyed:\n" + att)
   }
 }
