@@ -297,4 +297,105 @@ object CorpusSixth {
       |FROM d
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------- tokenizer fertility
+
+  /** Tokenizer fertility (subword pieces per whitespace word) by
+    * language — the "how expensive is this language for my tokenizer"
+    * audit run before fixing a per-language sampling mix. Pieces come
+    * from the BPE-ish pre-tokenization regex (letter runs / digit runs /
+    * single punctuation — the classic GPT-2-style split classes); no
+    * learned merges are applied, so the count is deterministic and
+    * identical cross-engine. Map-only scan → per-language integer sums;
+    * the ONE double expression is the final pieces/words ratio.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val piecesPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
+          .as("words"),
+        size(regexp_extract_all(lower(trim(col("text"))), lit(piecesPat),
+          lit(0))).cast("long").as("pieces"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("total_words"),
+        sum(col("pieces")).as("total_pieces"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_pieces"),
+        (col("total_pieces").cast("double") /
+          col("total_words").cast("double")).as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenizerFertilitySql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS words,
+      |    len(regexp_extract_all(lower(trim(text)),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS pieces
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS total_words,
+      |  CAST(sum(pieces) AS BIGINT) AS total_pieces,
+      |  CAST(sum(pieces) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+      |    AS fertility
+      |FROM d
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------- curriculum buckets
+
+  /** Curriculum staging: documents bucketed into 10 quality stages
+    * (fixed-width score bins, NOT quantiles — a global quantile over
+    * |docs| rows is the single-partition sort this repo designs out;
+    * fixed bins are map-only and the stage of a doc never shifts when
+    * the corpus grows). Stage = ⌊quality·10⌋ clamped to 9, using the
+    * SAME composite quality score `quality_filter_pipeline` gates, so
+    * the two queries stay mutually consistent. Per-stage min/max of the
+    * score are order-independent (unlike a double sum) and therefore
+    * hash-safe; avg_chars is the one division.
+    */
+  def curriculumBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("n_chars"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("q"))
+      .select(col("n_chars"),
+        least(floor(col("q") * 10).cast("long"), lit(9L)).as("stage"),
+        col("q"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("q")).as("min_quality"), max(col("q")).as("max_quality"))
+      .select(col("stage"), col("n_docs"), col("total_chars"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("avg_chars"),
+        col("min_quality"), col("max_quality"))
+      .orderBy(col("stage"))
+  }
+
+  val curriculumBucketsSql: String = {
+    val en = graft.text.TextFunctions.langMarkers("en")
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT n_chars,
+       |    round(0.5 * least(
+       |        len(regexp_split_to_array(trim(lower(text)), '\\s+')) / 50.0,
+       |        1.0)
+       |      + 0.3 * (len(list_filter(
+       |          regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |          x -> list_contains([$en], x)))
+       |        / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |            AS DOUBLE))
+       |      + 0.2 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+       |        / CAST(length(text) AS DOUBLE)), 4) AS q
+       |  FROM documents)
+       |SELECT LEAST(CAST(floor(q * 10) AS BIGINT), 9) AS stage,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS avg_chars,
+       |  min(q) AS min_quality, max(q) AS max_quality
+       |FROM scored
+       |GROUP BY 1
+       |ORDER BY stage""".stripMargin
+  }
 }

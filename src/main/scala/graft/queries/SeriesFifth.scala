@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.StableCheckpoint
 
 /** Fifth-wave time-series / distribution operators: two-sample
   * Kolmogorov-Smirnov drift detection in pure integer arithmetic, a
@@ -506,4 +507,102 @@ object SeriesFifth {
       |    AS var_day_cents
       |FROM w
       |ORDER BY weekday""".stripMargin
+
+  // ------------------------------------------------------------ sax motifs
+
+  /** SAX-style symbolic motif discovery over the daily-revenue series:
+    * each day maps to a 4-letter alphabet (a…d) by its revenue quartile,
+    * and the top-20 most frequent 3-day symbol motifs are reported — the
+    * "what weekly shapes recur" primitive behind symbolic time-series
+    * indexing (Lin et al.'s SAX, re-expressed exactly). Quartile
+    * thresholds use the repo's exact rank convention
+    * (value at ⌊p·(n−1)⌋+1 under (rev, d) ASC) picked from the
+    * revenue HISTOGRAM of days — the `kcore_parts` bounded-domain trick,
+    * so no window ever orders more than the distinct daily-revenue
+    * domain (≤ calendar days, which the calendar bounds — it does not
+    * grow with row count). Symbols and motif counts are pure
+    * integer/string arithmetic: bit-exact cross-engine, no doubles at
+    * all except the exact binary fractions 0.25/0.5/0.75 inside the
+    * rank computation.
+    */
+  def saxDailyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .stableCheckpoint() // reused: histogram + symbol assignment
+    val n = daily.agg(count(lit(1)).as("n"))
+    // Equal-rev days are contiguous under (rev, d) ASC, so the value at
+    // any rank is a function of the revenue histogram alone.
+    val hist = daily.groupBy(col("rev")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("rev"))))
+      .crossJoin(broadcast(n))
+    def rankPick(p: String, as: String): DataFrame = hist
+      .withColumn("r",
+        expr(s"cast(floor(cast($p as double) * cast(n - 1 as double)) as bigint) + 1"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("rev").as(as))
+    val thr = rankPick("0.25", "q25")
+      .crossJoin(rankPick("0.5", "q50"))
+      .crossJoin(rankPick("0.75", "q75"))
+    val sym = daily.crossJoin(broadcast(thr))
+      .select(col("d"),
+        when(col("rev") <= col("q25"), "a")
+          .when(col("rev") <= col("q50"), "b")
+          .when(col("rev") <= col("q75"), "c")
+          .otherwise("d").as("sym"))
+    // Consecutive-day trigram via lag over the day order — a window over
+    // the calendar-bounded day domain, never raw orders.
+    val byDay = Window.orderBy(col("d"))
+    sym
+      .select(concat(lag(col("sym"), 2).over(byDay),
+        lag(col("sym"), 1).over(byDay), col("sym")).as("motif"))
+      .filter(col("motif").isNotNull)
+      .groupBy(col("motif")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("motif"))
+      .limit(20)
+  }
+
+  val saxDailyRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY o_orderdate),
+      |hist AS (
+      |  SELECT rev, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(count(*)) OVER (ORDER BY rev
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    (SELECT count(*) FROM daily) AS n
+      |  FROM daily GROUP BY rev),
+      |thr AS (
+      |  SELECT
+      |    max(CASE WHEN cum >= CAST(floor(CAST(0.25 AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |      AND cum - cnt < CAST(floor(CAST(0.25 AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN rev END) AS q25,
+      |    max(CASE WHEN cum >= CAST(floor(CAST(0.5 AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |      AND cum - cnt < CAST(floor(CAST(0.5 AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN rev END) AS q50,
+      |    max(CASE WHEN cum >= CAST(floor(CAST(0.75 AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |      AND cum - cnt < CAST(floor(CAST(0.75 AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN rev END) AS q75
+      |  FROM hist),
+      |sym AS (
+      |  SELECT d,
+      |    CASE WHEN rev <= q25 THEN 'a' WHEN rev <= q50 THEN 'b'
+      |      WHEN rev <= q75 THEN 'c' ELSE 'd' END AS sym
+      |  FROM daily, thr),
+      |tri AS (
+      |  SELECT lag(sym, 2) OVER (ORDER BY d)
+      |    || lag(sym, 1) OVER (ORDER BY d) || sym AS motif
+      |  FROM sym)
+      |SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM tri
+      |WHERE motif IS NOT NULL
+      |GROUP BY motif
+      |ORDER BY n_occurrences DESC, motif
+      |LIMIT 20""".stripMargin
 }

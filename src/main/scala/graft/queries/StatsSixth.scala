@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Checkpoints.StableCheckpoint
+import graft.functions.BloomFilterAggregator
+import graft.text.{Dedup, TextFunctions}
+
+/** Round-5 batch 6 statistics / graph / sketch-audit additions:
+  * Mann-Whitney rank-sum (nonparametric two-sample location test),
+  * Kendall's tau-a over the daily revenue/volume series, degree
+  * assortativity of the co-purchase graph, and an observed-vs-bound
+  * false-positive-rate audit of the Bloom-filter aggregator.
+  *
+  * Conventions as everywhere in the repo: money in integer cents,
+  * products widened to DECIMAL before they can wrap a 64-bit long at
+  * 100 TB, doubles only in ONE final expression with identical operand
+  * association in both engines, and global windows only over PROVABLY
+  * BOUNDED domains.
+  */
+object StatsSixth {
+
+  // ------------------------------------------------------- mann-whitney
+
+  /** Mann-Whitney U ("do urgent orders carry different value than
+    * routine ones?") computed WITHOUT ranking individual rows: a global
+    * rank over |orders| rows is the single-partition-sort scale-killer,
+    * so the statistic is assembled from the VALUE HISTOGRAM instead.
+    * Group by distinct price cents (domain bounded by the fixed price
+    * range, NOT by row count — same argument as `skyline_parts`), then
+    * one bounded-domain window gives, per value v, the count of B-rows
+    * strictly below v; the tie-aware identity
+    * `2·U_A = Σ_v n_a(v)·(2·cum_b(<v) + n_b(v))`
+    * keeps everything integer (ties contribute half — hence the 2×).
+    * `n_a·n_b` reaches ~10²⁴ at 100 TB so the terms are formed in
+    * DECIMAL; outputs are cast back to BIGINT (exact at gate scale;
+    * widen the output type with the data). The ONE double expression is
+    * the rank-biserial effect size `u2_a/(n_a·n_b) − 1`.
+    */
+  def mannWhitneyU(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("in_a"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val byVal = o.groupBy(col("cents"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    // Window over distinct cents values — a bounded domain (price range
+    // is fixed), never raw order rows.
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("cum_b", coalesce(sum(col("nb")).over(w), lit(0L)))
+      .select(col("na"), col("nb"),
+        (expr("cast(na as decimal(38,0))") *
+          (lit(2) * expr("cast(cum_b as decimal(38,0))") +
+            expr("cast(nb as decimal(38,0))"))).as("u2_term"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(col("u2_term")).as("u2d"))
+      .select(col("n_a"), col("n_b"),
+        col("u2d").cast("long").as("u2_a"),
+        (expr("2 * cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0))")
+          - col("u2d")).cast("long").as("u2_b"),
+        (col("u2d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))
+          - lit(1.0d)).as("rank_biserial"))
+  }
+
+  val mannWhitneyUSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS in_a
+      |  FROM orders),
+      |h AS (
+      |  SELECT cents,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      |  FROM v GROUP BY cents),
+      |c AS (
+      |  SELECT na, nb,
+      |    COALESCE(CAST(sum(nb) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS cum_b
+      |  FROM h),
+      |s AS (
+      |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+      |    CAST(sum(nb) AS BIGINT) AS n_b,
+      |    sum(CAST(na AS HUGEINT)
+      |      * (2 * CAST(cum_b AS HUGEINT) + CAST(nb AS HUGEINT))) AS u2d
+      |  FROM c)
+      |SELECT n_a, n_b, CAST(u2d AS BIGINT) AS u2_a,
+      |  CAST(2 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) - u2d
+      |    AS BIGINT) AS u2_b,
+      |  CAST(u2d AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |    - CAST(1.0 AS DOUBLE) AS rank_biserial
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------------- kendall tau
+
+  /** Kendall's tau-a between daily revenue and daily order volume — "do
+    * busier days bring proportionally bigger money?" as a rank
+    * correlation that needs NO ranks: concordant/discordant pair counts
+    * are pure integer comparisons. The pairwise self-join is quadratic
+    * in DAYS, a calendar-bounded domain (~2.4k rows over the TPC-H date
+    * range) that does not grow with row count, so the day table
+    * broadcasts and the pair generation is a map-only nested loop —
+    * never a pairwise join over raw orders. tau_a = (C − D) / (n·(n−1)/2)
+    * is the one final double division.
+    */
+  def kendallTauDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val a = daily.select(col("d").as("d1"), col("rev").as("r1"),
+      col("cnt").as("c1"))
+    val b = daily.select(col("d").as("d2"), col("rev").as("r2"),
+      col("cnt").as("c2"))
+    a.crossJoin(broadcast(b)).filter(col("d1") < col("d2"))
+      .agg(
+        sum(when((col("r1") < col("r2") && col("c1") < col("c2")) ||
+          (col("r1") > col("r2") && col("c1") > col("c2")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("r1") < col("r2") && col("c1") > col("c2")) ||
+          (col("r1") > col("r2") && col("c1") < col("c2")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("r1") === col("r2") || col("c1") === col("c2"), 1L)
+          .otherwise(0L)).as("tied_pairs"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("concordant"), col("discordant"), col("tied_pairs"),
+        col("n_pairs"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double")).as("tau_a"))
+  }
+
+  val kendallTauDailySql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY o_orderdate)
+      |SELECT
+      |  CAST(sum(CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)
+      |    OR (a.rev > b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS concordant,
+      |  CAST(sum(CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)
+      |    OR (a.rev > b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS discordant,
+      |  CAST(sum(CASE WHEN a.rev = b.rev OR a.cnt = b.cnt THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS tied_pairs,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)
+      |      OR (a.rev > b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END)
+      |    - sum(CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)
+      |      OR (a.rev > b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END)
+      |    AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS tau_a
+      |FROM daily a JOIN daily b ON a.d < b.d""".stripMargin
+
+  // -------------------------------------------------------- assortativity
+
+  /** Degree assortativity of the co-purchase graph — "do popular parts
+    * co-sell with other popular parts, or with the long tail?" Edges are
+    * distinct part pairs sharing an order (same hot-basket 64-item cap
+    * as `market_basket_lift`, mirrored verbatim in the oracle). Degrees
+    * come from the edge list itself; the edge↔degree joins are keyed
+    * shuffle joins (the part catalog grows with the data — never assume
+    * it broadcasts). The Pearson correlation over symmetrized edge
+    * endpoints reduces to integer moments (Σx, Σxy, Σx², with x ≡ y by
+    * symmetry), formed in DECIMAL because deg·deg sums reach ~10²⁰ at
+    * catalog scale; `r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)` is the one
+    * double expression.
+    */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .dropDuplicates("ok", "pk")
+      .withColumn("rn", row_number().over(perOrder))
+      .filter(col("rn") <= 64)
+      .drop("rn")
+    val a = items.toDF("ok", "pa")
+    val b = items.toDF("ok", "pb")
+    val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+      .stableCheckpoint() // reused: degree counts + both join probes
+    val deg = edges.select(col("pa").as("node"))
+      .union(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.toDF("pa", "da"), Seq("pa"))
+      .join(deg.toDF("pb", "db"), Seq("pb"))
+    // Symmetrize: each undirected edge contributes (da,db) and (db,da).
+    val sym = withDeg.select(col("da").as("x"), col("db").as("y"))
+      .union(withDeg.select(col("db").as("x"), col("da").as("y")))
+    sym.agg(count(lit(1)).as("m"),
+      sum(expr("cast(x as decimal(38,0))")).as("sx"),
+      sum(expr("cast(x as decimal(38,0)) * cast(y as decimal(38,0))"))
+        .as("sxy"),
+      sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
+        .as("sx2"))
+      .select(col("m"), col("sx").cast("long").as("sum_deg"),
+        ((col("m").cast("decimal(38,0)") * col("sxy")
+          - col("sx") * col("sx")).cast("double") /
+          (col("m").cast("decimal(38,0)") * col("sx2")
+            - col("sx") * col("sx")).cast("double")).as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH it AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT l_orderkey AS ok, l_partkey AS pk,
+      |      row_number() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_partkey) AS rn
+      |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+      |  WHERE rn <= 64),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+      |d AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+      |  GROUP BY node),
+      |wd AS (
+      |  SELECT da.deg AS dx, db.deg AS dy
+      |  FROM e JOIN d da ON e.pa = da.node JOIN d db ON e.pb = db.node),
+      |sym AS (
+      |  SELECT dx AS x, dy AS y FROM wd
+      |  UNION ALL SELECT dy AS x, dx AS y FROM wd),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2
+      |  FROM sym)
+      |SELECT m, CAST(sx AS BIGINT) AS sum_deg,
+      |  CAST(CAST(m AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+      |    / CAST(CAST(m AS HUGEINT) * sx2 - sx * sx AS DOUBLE)
+      |    AS assortativity
+      |FROM s""".stripMargin
+
+  // ----------------------------------------------------- bloom fpr audit
+
+  /** Observed-vs-theoretical false-positive-rate audit of the Bloom
+    * aggregator: build the filter over the eval slice's distinct 5-gram
+    * set (same slice as `decontaminate_bloom`), probe the grams that are
+    * PROVABLY absent (exact anti-join), and assert the observed FP count
+    * is within 2× the analytic bound `(1 − e^(−k·n/m))^k` (k = 2 double
+    * hashing, m = 2²⁰ bits) plus small-count slack. The oracle computes
+    * the exact set sizes and supplies the expected all-true verdict — a
+    * hash-quality regression in [[BloomFilterAggregator]] flips the
+    * boolean and fails the gate. The probe side is one broadcast of the
+    * 128 KiB bitset onto a map-only scan; nothing pairs.
+    */
+  def bloomFprAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val numBits = 1 << 20
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(Dedup.ngramSetOfTokens(col("toks"), 5)).as("g"))
+    val ev = grams.filter(col("doc_id") % 89 === 0).select(col("g")).distinct()
+    val probes = grams.filter(col("doc_id") % 89 =!= 0)
+      .select(col("g")).distinct()
+      .join(ev, Seq("g"), "left_anti") // provably-absent probes only
+    val evAgg = ev.agg(count(lit(1)).as("n_items"),
+      BloomFilterAggregator.bloomBuild(numBits)(col("g")).as("bloom"))
+    val h1 = s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % $numBits"
+    val h2 = s"cast(conv(substring(md5(g), 17, 15), 16, 10) as bigint) % $numBits"
+    def hit(h: String): String =
+      s"(shiftright(element_at(bloom, cast(($h) div 64 as int) + 1)," +
+        s" cast(($h) % 64 as int)) & 1) = 1"
+    probes.crossJoin(broadcast(evAgg))
+      .select(col("n_items"),
+        (expr(hit(h1)) && expr(hit(h2))).cast("long").as("fp"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("fp")).as("observed_fp"))
+      .select(col("n_items"), col("n_probes"),
+        (col("observed_fp").cast("double") <=
+          lit(2.0d) * pow(lit(1.0d) -
+            exp(lit(-2.0d) * col("n_items").cast("double") /
+              lit(numBits.toDouble)), lit(2.0d)) *
+            col("n_probes").cast("double") + lit(10.0d))
+          .as("within_bound"))
+  }
+
+  val bloomFprAuditSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+      |      for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS g
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0),
+      |pr AS (
+      |  SELECT DISTINCT g FROM grams
+      |  WHERE doc_id % 89 <> 0 AND g NOT IN (SELECT g FROM ev))
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_items,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probes,
+      |  TRUE AS within_bound""".stripMargin
+}

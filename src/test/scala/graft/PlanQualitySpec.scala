@@ -471,4 +471,70 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!att.contains("CartesianProduct"),
       "attribution interval join must stay user-keyed:\n" + att)
   }
+
+  test("stats-sixth batch keeps its scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // mann-whitney / sax: their global windows are acceptable ONLY over
+    // aggregated bounded domains (distinct cents / daily histogram) —
+    // same structural pin as the kcore threshold guard.
+    Seq(
+      "mann_whitney_u" ->
+        graft.queries.StatsSixth.mannWhitneyU(spark, sf0001),
+      "sax_daily_revenue" ->
+        graft.queries.SeriesFifth.saxDailyRevenue(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val lp = df.queryExecution.optimizedPlan
+      val globalWindows = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.nonEmpty,
+        s"$name should still use its bounded-domain global window")
+      globalWindows.foreach { w =>
+        assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"$name: global window must order an aggregated domain, " +
+            s"not raw rows:\n$lp")
+      }
+    }
+    // kendall: the quadratic pairing is over the DAILY aggregate via a
+    // broadcast nested loop — never a shuffled pairwise join of raw rows.
+    val ken = graft.queries.StatsSixth.kendallTauDaily(spark, sf0001)
+    val kenP = plan(ken)
+    assert(kenP.contains("BroadcastNestedLoopJoin"),
+      "kendall day-pair join must be a broadcast nested loop:\n" + kenP)
+    assert(ken.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.left, j.right).count(
+          _.collect { case a: Aggregate => a }.nonEmpty)
+    }.forall(_ == 2),
+      "kendall pair join must pair the daily AGGREGATE with itself")
+    // assortativity: keyed windows + keyed joins only.
+    val ass = graft.queries.StatsSixth.graphAssortativity(spark, sf0001)
+    assert(!plan(ass).contains("CartesianProduct"),
+      "assortativity joins must stay part-keyed")
+    assert(ass.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "assortativity basket-cap window must be keyed by order")
+    // bloom fpr: absent-probe filter is an anti join; the bitset rides a
+    // 1-row broadcast; nothing pairs.
+    val fpr = plan(graft.queries.StatsSixth.bloomFprAudit(spark, sf0001))
+    assert(fpr.contains("LeftAnti"),
+      "bloom fpr probes must be selected with an anti join:\n" + fpr)
+    assert(fpr.contains("BroadcastNestedLoopJoin") &&
+      !fpr.contains("CartesianProduct"),
+      "bloom bitset must broadcast onto the probe scan:\n" + fpr)
+    // fertility / curriculum: map-only scans into one aggregation — no
+    // joins, no windows, anywhere.
+    Seq(
+      "tokenizer_fertility" ->
+        graft.queries.CorpusSixth.tokenizerFertility(spark, sf0001),
+      "curriculum_buckets" ->
+        graft.queries.CorpusSixth.curriculumBuckets(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$name must stay join-free:\n" + p)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.isEmpty,
+        s"$name must stay window-free")
+    }
+  }
 }
