@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.StableCheckpoint
 import graft.sim.Similarity
 
 /** Product quantization (PQ) + asymmetric distance computation (ADC) —
@@ -225,5 +226,156 @@ object SimPq {
        |FROM coded
        |ORDER BY approx_dist, vec_id
        |LIMIT 10""".stripMargin
+  }
+
+  // ---- nprobe sweep: the IVF recall/cost tuning curve ----------------
+
+  /** nprobe order: lists ranked by the query's integer coarse distance
+    * (ties → lowest list id) — compile-time constants, so the rank of
+    * every list embeds as a literal array in both engines.
+    */
+  private def listRanks: Array[Int] = {
+    val qd = queryCoarseDists
+    val order = qd.zipWithIndex.sortBy { case (d, i) => (d, i) }.map(_._2)
+    val ranks = new Array[Int](NLists)
+    order.zipWithIndex.foreach { case (list, r) => ranks(list) = r }
+    ranks
+  }
+
+  /** The recall@10-vs-cost curve an IVF deployment is tuned with:
+    * for nprobe ∈ {1,2,4,8}, scan the nprobe coarse lists nearest the
+    * query, ADC-score their PQ codes, and measure top-10 recall against
+    * the EXACT full-scan ranking plus the candidate count actually
+    * scanned. nprobe = 8 scans everything, so its recall gap is pure PQ
+    * quantization error — the sweep separates routing loss from code
+    * loss. Shapes: routing + coding is ONE map-only pass over the
+    * corpus; the 4-row nprobe config and the 10-row exact top-k ride
+    * broadcasts; per-nprobe top-10 is a keyed rank filter
+    * (WindowGroupLimit). Every distance is a fixed-order double chain
+    * over integer literals (tie-break on vec_id), so both engines rank
+    * identically and the curve hash-gates.
+    */
+  def annNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = codebook
+    val table = adcTable
+    val ranks = listRanks
+    val cDists = array(coarseCentroids.map(coarseDist): _*)
+    val codeCols = (0 until M).map { m =>
+      val dists = array(cb(m).map(c => encDist(m, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+    }
+    val adc = (0 until M).map { m =>
+      val lut = array(table(m).map(v => lit(v)): _*)
+      element_at(lut, col(s"c$m") + 1)
+    }.reduceLeft(_ + _)
+    val q = queryVec
+    val exactDist = (0 until M * SubDim).map { d =>
+      val x = element_at(col("e"), d + 1) - lit(q(d).toDouble)
+      x * x
+    }.reduceLeft(_ + _)
+    val rankLut = array(ranks.map(r => lit(r)): _*)
+    val scored = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("list_id",
+        (array_position(cDists, array_min(cDists)) - 1).cast("int"))
+      .withColumn("list_rank", element_at(rankLut, col("list_id") + 1))
+      .withColumn("exact_dist", exactDist)
+      .select(col("vec_id") +: col("list_rank") +: col("exact_dist") +:
+        codeCols: _*)
+      .withColumn("approx_dist", adc)
+      .select(col("vec_id"), col("list_rank"), col("exact_dist"),
+        col("approx_dist"))
+      .stableCheckpoint() // one coding pass feeds exact top-k + all probes
+    val exactTop = scored.orderBy(col("exact_dist"), col("vec_id"))
+      .limit(10).select(col("vec_id"))
+    val nprobes = spark.range(1).select(
+      explode(typedLit(Seq(1, 2, 4, 8))).as("nprobe"))
+    val cands = scored.crossJoin(broadcast(nprobes))
+      .filter(col("list_rank") < col("nprobe"))
+    val scanned = cands.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val perProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val matches = cands
+      .withColumn("rn", row_number().over(perProbe))
+      .filter(col("rn") <= 10)
+      .join(broadcast(exactTop), Seq("vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_match"))
+    scanned.join(matches, Seq("nprobe"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_scanned"),
+        col("n_match"),
+        (col("n_match").cast("double") / expr("cast(10 as double)"))
+          .as("recall_at_10"))
+      .orderBy(col("nprobe"))
+  }
+
+  val annNprobeSweepSql: String = {
+    val cb = codebook
+    val table = adcTable
+    val ranks = listRanks
+    val q = queryVec
+    def coarseDistSql(c: Array[Long]): String =
+      (0 until M * SubDim).map { d =>
+        s"(e[${d + 1}] - ${c(d)}.0) * (e[${d + 1}] - ${c(d)}.0)"
+      }.mkString(" + ")
+    val coarseList = coarseCentroids.map(coarseDistSql)
+      .mkString("[", ",\n      ", "]")
+    def encDistSql(m: Int, c: Array[Long]): String =
+      (0 until SubDim).map { d =>
+        val i = m * SubDim + d + 1
+        s"(e[$i] - ${c(d)}.0) * (e[$i] - ${c(d)}.0)"
+      }.mkString(" + ")
+    val codeExprs = (0 until M).map { m =>
+      val lst = cb(m).map(c => encDistSql(m, c)).mkString("[", ",\n      ", "]")
+      s"CAST(list_indexof($lst, list_min($lst)) - 1 AS INTEGER) AS c$m"
+    }.mkString(",\n    ")
+    val adcExpr = (0 until M).map { m =>
+      val lut = table(m).mkString("[", ", ", "]")
+      s"$lut[c$m + 1]"
+    }.mkString(" + ")
+    val exactExpr = (0 until M * SubDim).map { d =>
+      s"(e[${d + 1}] - ${q(d)}.0) * (e[${d + 1}] - ${q(d)}.0)"
+    }.mkString(" + ")
+    val rankLut = ranks.mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (
+       |  SELECT vec_id,
+       |    $rankLut[CAST(list_indexof($coarseList,
+       |      list_min($coarseList)) AS INTEGER)] AS list_rank,
+       |    $exactExpr AS exact_dist,
+       |    $codeExprs
+       |  FROM v),
+       |adc AS (
+       |  SELECT vec_id, list_rank, exact_dist,
+       |    CAST($adcExpr AS BIGINT) AS approx_dist
+       |  FROM scored),
+       |exact_top AS (
+       |  SELECT vec_id FROM adc ORDER BY exact_dist, vec_id LIMIT 10),
+       |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |cands AS (
+       |  SELECT np.nprobe, a.vec_id, a.approx_dist
+       |  FROM adc a JOIN np ON a.list_rank < np.nprobe),
+       |scanned AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned
+       |  FROM cands GROUP BY nprobe),
+       |topk AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT nprobe, vec_id, row_number() OVER (PARTITION BY nprobe
+       |      ORDER BY approx_dist, vec_id) AS rn
+       |    FROM cands)
+       |  WHERE rn <= 10),
+       |m AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_match
+       |  FROM topk JOIN exact_top USING (vec_id)
+       |  GROUP BY nprobe)
+       |SELECT CAST(s.nprobe AS BIGINT) AS nprobe, s.n_scanned,
+       |  coalesce(m.n_match, 0) AS n_match,
+       |  CAST(coalesce(m.n_match, 0) AS DOUBLE) / CAST(10 AS DOUBLE)
+       |    AS recall_at_10
+       |FROM scanned s LEFT JOIN m USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
   }
 }

@@ -302,4 +302,140 @@ object StatsSixth {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_items,
       |  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probes,
       |  TRUE AS within_bound""".stripMargin
+
+  // ------------------------------------------------- bootstrap CI (mean)
+
+  /** Deterministic hash bootstrap CI for the mean purchase value — the
+    * Poisson-bootstrap shape (each row decides membership per replicate
+    * from a hash, so resampling is ONE map-only pass with multiplicity
+    * B, no per-replicate shuffles of the raw data): replicate b keeps a
+    * row iff md5(event_id:b) mod 2 = 0 (an m-out-of-n bootstrap with
+    * m ≈ n/2), each replicate's mean is one exact-cents division, and
+    * the CI bounds are rank-picked from the B=100 replicate means with
+    * the repo's quantile convention — a global window over exactly B
+    * rows (constant-bounded domain). Replicate means are doubles from
+    * identical single divisions, so their ORDER is cross-engine stable
+    * and the picked bounds hash-gate.
+    */
+  def bootstrapCiMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = 100
+    val reps = spark.range(b.toLong).select(col("id").cast("int").as("b"))
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val means = purchases.crossJoin(broadcast(reps))
+      .filter(
+        expr("cast(conv(substring(md5(concat(cast(event_id as string), ':', cast(b as string))), 1, 15), 16, 10) as bigint) % 2") === 0)
+      .groupBy(col("b"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      .select(col("b"),
+        (col("s").cast("double") / col("c").cast("double")).as("m"))
+    // B = 100 rows exactly — constant-bounded global window.
+    val ranked = means
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("m"), col("b"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    def pick(p: String): Column =
+      max(when(col("rn") ===
+        expr(s"cast(floor(cast($p as double) * cast(n - 1 as double)) as bigint) + 1"),
+        col("m")))
+    ranked.agg(max(col("n")).as("n_replicates"),
+      pick("0.025").as("ci_lo"), pick("0.5").as("ci_median"),
+      pick("0.975").as("ci_hi"))
+  }
+
+  val bootstrapCiMeanSql: String =
+    """WITH reps AS (SELECT unnest(range(100)) AS b),
+      |p AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |means AS (
+      |  SELECT b,
+      |    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+      |  FROM p, reps
+      |  WHERE ('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR),
+      |      1, 15))::BIGINT % 2 = 0
+      |  GROUP BY b),
+      |r AS (
+      |  SELECT m, row_number() OVER (ORDER BY m, b) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM means)
+      |SELECT CAST(max(n) AS BIGINT) AS n_replicates,
+      |  max(CASE WHEN rn = CAST(floor(CAST(0.025 AS DOUBLE)
+      |    * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN m END) AS ci_lo,
+      |  max(CASE WHEN rn = CAST(floor(CAST(0.5 AS DOUBLE)
+      |    * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN m END) AS ci_median,
+      |  max(CASE WHEN rn = CAST(floor(CAST(0.975 AS DOUBLE)
+      |    * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN m END) AS ci_hi
+      |FROM r""".stripMargin
+
+  // -------------------------------------------- repeat purchase interval
+
+  /** Distribution of the gap (days) between a user's consecutive
+    * purchases — the repurchase-cadence histogram behind retention and
+    * replenishment models. One keyed window per user (shuffles once on
+    * user_id, the natural key), integer day gaps, then a 7-bucket fixed
+    * histogram — no global ordering anywhere, all integer output.
+    */
+  def repeatPurchaseInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), col("prev_ts").cast("date"))
+          .cast("long").as("gap"))
+      .select(col("user_id"),
+        when(col("gap") === 0, 0L).when(col("gap") === 1, 1L)
+          .when(col("gap") <= 3, 2L).when(col("gap") <= 7, 3L)
+          .when(col("gap") <= 14, 4L).when(col("gap") <= 30, 5L)
+          .otherwise(6L).as("bucket_order"))
+      .groupBy(col("bucket_order"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("gap_bucket",
+        element_at(typedLit(Seq("0d", "1d", "2-3d", "4-7d", "8-14d",
+          "15-30d", "31d+")), col("bucket_order").cast("int") + 1))
+      .select(col("gap_bucket"), col("bucket_order"), col("n_gaps"),
+        col("n_users"))
+      .orderBy(col("bucket_order"))
+  }
+
+  val repeatPurchaseIntervalSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT user_id,
+      |    CASE
+      |      WHEN date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) = 0
+      |        THEN 0
+      |      WHEN date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) = 1
+      |        THEN 1
+      |      WHEN date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) <= 3
+      |        THEN 2
+      |      WHEN date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) <= 7
+      |        THEN 3
+      |      WHEN date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) <= 14
+      |        THEN 4
+      |      WHEN date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) <= 30
+      |        THEN 5
+      |      ELSE 6 END AS bucket_order
+      |  FROM p WHERE prev_ts IS NOT NULL)
+      |SELECT ['0d', '1d', '2-3d', '4-7d', '8-14d', '15-30d',
+      |    '31d+'][CAST(bucket_order AS INTEGER) + 1] AS gap_bucket,
+      |  CAST(bucket_order AS BIGINT) AS bucket_order,
+      |  CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM g
+      |GROUP BY bucket_order
+      |ORDER BY bucket_order""".stripMargin
 }

@@ -536,5 +536,27 @@ class PlanQualitySpec extends SparkTestBase {
         .collect { case w: LWindow => w }.isEmpty,
         s"$name must stay window-free")
     }
+    // nprobe sweep: per-nprobe top-10 must push map-side
+    // (WindowGroupLimit); the exact top-10 must be a distributed
+    // partial top-k (TakeOrderedAndProject), never a global sort.
+    val np = plan(graft.queries.SimPq.annNprobeSweep(spark, sf0001))
+    assert(np.contains("WindowGroupLimit"),
+      "per-nprobe top-10 lost the partial top-k pushdown:\n" + np)
+    assert(np.contains("TakeOrderedAndProject"),
+      "exact top-10 must be a distributed partial top-k:\n" + np)
+    // bootstrap: the only global window orders the B-row replicate-mean
+    // AGGREGATE (constant-bounded), never the resampled raw rows.
+    val boot = graft.queries.StatsSixth.bootstrapCiMean(spark, sf0001)
+    boot.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "bootstrap global window must order the replicate-mean aggregate")
+    }
+    // repurchase cadence: per-user windows only.
+    val rpi = graft.queries.StatsSixth.repeatPurchaseInterval(spark, sf0001)
+    assert(rpi.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "repeat_purchase_interval windows must all be user-keyed")
   }
 }
