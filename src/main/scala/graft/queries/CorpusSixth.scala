@@ -398,4 +398,62 @@ object CorpusSixth {
        |GROUP BY 1
        |ORDER BY stage""".stripMargin
   }
+
+  // --------------------------------------------------- vocab growth curve
+
+  /** Marginal vocabulary-growth curve: ingest sources in id order and
+    * report, per source, how many of its distinct word trigrams no
+    * EARLIER source contains — the diminishing-returns measurement
+    * behind "is the next crawl batch still adding anything?". No
+    * iteration needed: a trigram's introducing source is simply
+    * min(source_idx) over its occurrences, so the whole curve is one
+    * gram-keyed aggregation (the vocabulary shuffle every corpus
+    * statistic in this repo pays) plus a per-source count — novelty
+    * ratio is the one final division.
+    */
+  def vocabGrowthCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(expr("try_cast(substring(source, 4) as int)").as("src_idx"),
+        graft.text.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("src_idx"),
+        explode(graft.text.Dedup.ngramSetOfTokens(col("toks"), 3)).as("g"))
+      .distinct() // per-source distinct trigram sets
+    val totals = grams.groupBy(col("src_idx"))
+      .agg(count(lit(1)).as("total_grams"))
+    val news = grams.groupBy(col("g"))
+      .agg(min(col("src_idx")).as("src_idx"))
+      .groupBy(col("src_idx")).agg(count(lit(1)).as("new_grams"))
+    totals.join(news, Seq("src_idx"), "left")
+      .withColumn("new_grams", coalesce(col("new_grams"), lit(0L)))
+      .select(col("src_idx").cast("long").as("src_idx"), col("total_grams"),
+        col("new_grams"),
+        (col("new_grams").cast("double") / col("total_grams").cast("double"))
+          .as("novelty_ratio"))
+      .orderBy(col("src_idx"))
+  }
+
+  val vocabGrowthCurveSql: String =
+    """WITH toks AS (
+      |  SELECT try_cast(substr(source, 4, 9) AS INTEGER) AS src_idx,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT src_idx,
+      |    unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS g
+      |  FROM toks),
+      |totals AS (
+      |  SELECT src_idx, CAST(count(*) AS BIGINT) AS total_grams
+      |  FROM grams GROUP BY src_idx),
+      |intro AS (
+      |  SELECT g, min(src_idx) AS src_idx FROM grams GROUP BY g),
+      |news AS (
+      |  SELECT src_idx, CAST(count(*) AS BIGINT) AS new_grams
+      |  FROM intro GROUP BY src_idx)
+      |SELECT CAST(t.src_idx AS BIGINT) AS src_idx, t.total_grams,
+      |  coalesce(n.new_grams, 0) AS new_grams,
+      |  CAST(coalesce(n.new_grams, 0) AS DOUBLE)
+      |    / CAST(t.total_grams AS DOUBLE) AS novelty_ratio
+      |FROM totals t LEFT JOIN news n ON t.src_idx = n.src_idx
+      |ORDER BY src_idx""".stripMargin
 }

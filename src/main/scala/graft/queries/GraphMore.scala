@@ -201,4 +201,79 @@ object GraphMore {
        |SELECT u AS part_key, deg FROM d$Rounds
        |ORDER BY part_key""".stripMargin
   }
+
+  // ---------------------------------------------------------- rich club
+
+  /** Rich-club coefficient of the co-purchase graph at k ∈ {4, 8, 16}:
+    * among parts with degree > k, what fraction of possible hub-hub
+    * edges exist — the "do the popular parts form a clique" structure
+    * probe (Colizza et al.). Edges and degrees are the same keyed
+    * shapes as `clustering_coeff_top`; the 3-row k config rides a
+    * broadcast so the sweep is one pass over the degree-annotated edge
+    * list; `n_k·(n_k−1)` widens to DECIMAL (hub counts can reach 10⁸ at
+    * catalog scale, their square wraps a long); density is the one
+    * final double division per k.
+    */
+  def richClubCoefficient(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+      .stableCheckpoint() // reused: degrees + hub-hub edge counts
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ks = spark.range(1).select(
+      explode(typedLit(Seq(4L, 8L, 16L))).as("k"))
+    val hubs = deg.crossJoin(broadcast(ks))
+      .filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hubs"))
+    val within = edges
+      .join(deg.toDF("pa", "da"), Seq("pa"))
+      .join(deg.toDF("pb", "db"), Seq("pb"))
+      .crossJoin(broadcast(ks))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("edges_within"))
+    hubs.join(within, Seq("k"), "left")
+      .withColumn("edges_within", coalesce(col("edges_within"), lit(0L)))
+      .select(col("k"), col("n_hubs"), col("edges_within"),
+        ((lit(2) * col("edges_within")).cast("double") /
+          (col("n_hubs").cast("decimal(38,0)") *
+            (col("n_hubs") - 1).cast("decimal(38,0)")).cast("double"))
+          .as("density"))
+      .orderBy(col("k"))
+  }
+
+  val richClubCoefficientSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+      |d AS (
+      |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT pa AS u FROM e UNION ALL SELECT pb AS u FROM e)
+      |  GROUP BY u),
+      |ks AS (SELECT unnest([4, 8, 16]) AS k),
+      |hubs AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_hubs
+      |  FROM d, ks WHERE deg > k GROUP BY k),
+      |w AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS edges_within
+      |  FROM e
+      |  JOIN d da ON e.pa = da.u
+      |  JOIN d db ON e.pb = db.u, ks
+      |  WHERE da.deg > k AND db.deg > k
+      |  GROUP BY k)
+      |SELECT CAST(hubs.k AS BIGINT) AS k, hubs.n_hubs,
+      |  coalesce(w.edges_within, 0) AS edges_within,
+      |  CAST(2 * coalesce(w.edges_within, 0) AS DOUBLE)
+      |    / CAST(CAST(hubs.n_hubs AS HUGEINT)
+      |        * CAST(hubs.n_hubs - 1 AS HUGEINT) AS DOUBLE) AS density
+      |FROM hubs LEFT JOIN w ON hubs.k = w.k
+      |ORDER BY k""".stripMargin
 }

@@ -373,4 +373,52 @@ object RelationalFourth {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------- order-to-ship lag
+
+  /** Fulfilment-latency histogram: days from order placement to line
+    * shipment in fixed half-year buckets clamped to ±8 (the q12-style
+    * shipping-SLA audit re-expressed for this schema, which has no
+    * commit/receipt dates; the synthetic ship dates range ±2400 days
+    * around the order date, so the clamp bounds the row count at 17
+    * regardless of outliers). One keyed lineitem→orders join (Catalyst
+    * broadcasts at small SF, shuffles on the natural key at scale),
+    * integer day gaps, fixed buckets — no windows at all; avg lag is
+    * the one final division.
+    */
+  def shipLagHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate"))
+        .cast("long").as("lag"))
+      .select(greatest(least(floor(col("lag") / 180).cast("long"), lit(8L)),
+        lit(-8L)).as("bucket_order"), col("lag"))
+      .groupBy(col("bucket_order"))
+      .agg(count(lit(1)).as("n_items"), sum(col("lag")).as("sum_lag"))
+      .select(col("bucket_order"),
+        (col("bucket_order") * 180).as("bucket_lo_days"),
+        col("n_items"),
+        (col("sum_lag").cast("double") / col("n_items").cast("double"))
+          .as("avg_lag_days"))
+      .orderBy(col("bucket_order"))
+  }
+
+  val shipLagHistogramSql: String =
+    """WITH l AS (
+      |  SELECT GREATEST(LEAST(CAST(floor(
+      |      date_diff('day', o_orderdate, l_shipdate) / 180) AS BIGINT),
+      |      8), -8) AS bucket_order,
+      |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT bucket_order,
+      |  bucket_order * 180 AS bucket_lo_days,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(lag) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS avg_lag_days
+      |FROM l
+      |GROUP BY bucket_order
+      |ORDER BY bucket_order""".stripMargin
 }

@@ -558,5 +558,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(rpi.queryExecution.optimizedPlan
       .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
       "repeat_purchase_interval windows must all be user-keyed")
+    // rich club / vocab growth / ship lag: keyed joins + aggregates
+    // only — no cartesian pairing, no global windows.
+    Seq(
+      "rich_club_coefficient" ->
+        graft.queries.GraphMore.richClubCoefficient(spark, sf0001),
+      "vocab_growth_curve" ->
+        graft.queries.CorpusSixth.vocabGrowthCurve(spark, sf0001),
+      "ship_lag_histogram" ->
+        graft.queries.RelationalFourth.shipLagHistogram(spark, sf0001)
+    ).foreach { case (name, df) =>
+      assert(!plan(df).contains("CartesianProduct"),
+        s"$name joins must stay keyed or broadcast")
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.isEmpty,
+        s"$name must stay window-free")
+    }
   }
 }
