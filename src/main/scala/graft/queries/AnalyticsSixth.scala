@@ -492,4 +492,81 @@ object AnalyticsSixth {
       |FROM g
       |ORDER BY abs(wk1_cents - wk0_cents) DESC, l_partkey
       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ basket size vs value
+
+  /** Basket-size economics: order value and per-line value as a function
+    * of basket size (number of lines) — "do bigger baskets carry
+    * proportionally bigger money?". One count per order (mergeable),
+    * one keyed join back to order totals, a bounded-group histogram
+    * (basket sizes are small integers); the two averages are the only
+    * double divisions.
+    */
+  def basketSizeVsValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("basket_size"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(sizes, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("basket_size"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .select(col("basket_size"), col("n_orders"),
+        (col("total_cents").cast("double") / col("n_orders").cast("double"))
+          .as("avg_order_cents"),
+        (col("total_cents").cast("double") /
+          (col("n_orders") * col("basket_size")).cast("double"))
+          .as("avg_line_cents"))
+      .orderBy(col("basket_size"))
+  }
+
+  val basketSizeVsValueSql: String =
+    """WITH s AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS avg_order_cents,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) * basket_size AS DOUBLE) AS avg_line_cents
+      |FROM orders JOIN s ON o_orderkey = l_orderkey
+      |GROUP BY basket_size
+      |ORDER BY basket_size""".stripMargin
+
+  // ------------------------------------------------- monthly seasonality
+
+  /** Month-of-year seasonal index of order revenue: each calendar
+    * month's share of annual-normalized revenue, as exact integer sums
+    * and ONE final index division `12·rev_m / rev_total` (1.0 = flat).
+    * Map-only month tag into a 12-group aggregate; the grand total rides
+    * a 1-row broadcast.
+    */
+  def monthlySeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .select(month(col("o_orderdate")).cast("long").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val tot = m.agg(sum(col("rev_cents")).as("total_cents"))
+    m.crossJoin(broadcast(tot))
+      .select(col("month"), col("n_orders"), col("rev_cents"),
+        ((lit(12) * col("rev_cents")).cast("double") /
+          col("total_cents").cast("double")).as("seasonal_index"))
+      .orderBy(col("month"))
+  }
+
+  val monthlySeasonalitySql: String =
+    """WITH m AS (
+      |  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY month(o_orderdate)),
+      |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM m)
+      |SELECT month, n_orders, rev_cents,
+      |  CAST(12 * rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+      |    AS seasonal_index
+      |FROM m, t
+      |ORDER BY month""".stripMargin
 }

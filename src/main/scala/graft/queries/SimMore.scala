@@ -267,4 +267,77 @@ object SimMore {
       |  CAST(sum_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS centroid
       |FROM s
       |ORDER BY label, dim""".stripMargin
+
+  // ------------------------------------------- PCA via power iteration
+
+  /** Leading principal direction of the embedding table by TWO power
+    * iterations over the Gram matrix — `v ← QᵀQ v` — carried out
+    * ENTIRELY in integer arithmetic so the eigenvector hash-gates:
+    * vectors quantize to q_d = round(64·e_d) (ints), the per-row scalar
+    * q·v and the per-dim sums Σ_rows q_d·(q·v) are exact BIGINTs, and
+    * between iterations v rescales to ≤1000 magnitude by integer
+    * division (both engines truncate toward zero — verified DuckDB `//`
+    * = Spark `div`). Shapes: each iteration is one map-side dot product
+    * + one 64-group aggregation (posexplode → sum — the mergeable
+    * matvec shape that holds at any scale); the 64-row v rides a
+    * broadcast. Second-iteration products reach ~10²⁰ at 10¹² rows, so
+    * that sum widens to DECIMAL. Output: the 64 integer loadings of the
+    * (unnormalized) leading eigenvector estimate.
+    */
+  def pcaPowerIteration(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = transform(Similarity.toDoubleVec(col("embedding")),
+      x => round(x * 64).cast("long"))
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), q.as("q"))
+    // iteration 1: v0 = 1⃗, so q·v0 = Σ q_d
+    val it1 = rows
+      .withColumn("dot1", aggregate(col("q"), lit(0L), (acc, v) => acc + v))
+      .select(posexplode(col("q")).as(Seq("d", "qd")), col("dot1"))
+      .groupBy(col("d")).agg(sum(col("qd") * col("dot1")).as("w1"))
+    val v1 = it1
+      .crossJoin(broadcast(it1.agg(
+        expr("max(abs(w1)) div 1000").as("s1"))))
+      .select(col("d"), expr("w1 div (s1 + 1)").as("v1d"))
+    // iteration 2: dot2 = q·v1 per row, then per-dim sums in DECIMAL
+    val dot2 = rows
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
+      .join(broadcast(v1), Seq("d"))
+      .groupBy(col("vec_id")).agg(sum(col("qd") * col("v1d")).as("dot2"))
+    val it2 = rows.join(dot2, Seq("vec_id"))
+      .select(posexplode(col("q")).as(Seq("d", "qd")), col("dot2"))
+      .groupBy(col("d"))
+      .agg(sum(expr("cast(qd as decimal(38,0)) * cast(dot2 as decimal(38,0))"))
+        .as("w2"))
+    it2
+      .crossJoin(broadcast(it2.agg(
+        expr("max(abs(w2)) div 1000").as("s2"))))
+      .select((col("d") + 1).cast("long").as("dim"),
+        expr("cast(w2 div (s2 + 1) as long)").as("loading"))
+      .orderBy(col("dim"))
+  }
+
+  val pcaPowerIterationSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 64) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |d1 AS (SELECT vec_id, q, list_sum(q) AS dot1 FROM v),
+      |e1 AS (
+      |  SELECT r.d, CAST(sum(d1.q[r.d] * d1.dot1) AS BIGINT) AS w1
+      |  FROM d1, range(1, 65) r(d) GROUP BY r.d),
+      |m1 AS (SELECT max(abs(w1)) // 1000 AS s1 FROM e1),
+      |v1 AS (SELECT d, w1 // (s1 + 1) AS v1d FROM e1, m1),
+      |d2 AS (
+      |  SELECT d1.vec_id, CAST(sum(d1.q[v1.d] * v1.v1d) AS BIGINT) AS dot2
+      |  FROM d1, v1 GROUP BY d1.vec_id),
+      |e2 AS (
+      |  SELECT r.d,
+      |    sum(CAST(d1.q[r.d] AS HUGEINT) * CAST(d2.dot2 AS HUGEINT)) AS w2
+      |  FROM d1 JOIN d2 USING (vec_id), range(1, 65) r(d) GROUP BY r.d),
+      |m2 AS (SELECT max(abs(w2)) // 1000 AS s2 FROM e2)
+      |SELECT CAST(d AS BIGINT) AS dim,
+      |  CAST(w2 // (s2 + 1) AS BIGINT) AS loading
+      |FROM e2, m2
+      |ORDER BY dim""".stripMargin
 }

@@ -566,7 +566,13 @@ class PlanQualitySpec extends SparkTestBase {
       "vocab_growth_curve" ->
         graft.queries.CorpusSixth.vocabGrowthCurve(spark, sf0001),
       "ship_lag_histogram" ->
-        graft.queries.RelationalFourth.shipLagHistogram(spark, sf0001)
+        graft.queries.RelationalFourth.shipLagHistogram(spark, sf0001),
+      "pca_power_iteration" ->
+        graft.queries.SimMore.pcaPowerIteration(spark, sf0001),
+      "basket_size_vs_value" ->
+        graft.queries.AnalyticsSixth.basketSizeVsValue(spark, sf0001),
+      "monthly_seasonality" ->
+        graft.queries.AnalyticsSixth.monthlySeasonality(spark, sf0001)
     ).foreach { case (name, df) =>
       assert(!plan(df).contains("CartesianProduct"),
         s"$name joins must stay keyed or broadcast")
