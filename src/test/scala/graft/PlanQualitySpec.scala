@@ -580,5 +580,16 @@ class PlanQualitySpec extends SparkTestBase {
         .collect { case w: LWindow => w }.isEmpty,
         s"$name must stay window-free")
     }
+    // dedup eval: both pair generators stay keyed joins; collocation:
+    // vocabulary cap is a distributed partial top-k and pairs stay
+    // doc-keyed.
+    val de = plan(graft.queries.CorpusSeventh.dedupEvalPairs(spark, sf0001))
+    assert(!de.contains("CartesianProduct"),
+      "dedup eval pair joins must stay keyed:\n" + de)
+    val cp = plan(graft.queries.CorpusSeventh.collocationPmi(spark, sf0001))
+    assert(cp.contains("TakeOrderedAndProject"),
+      "collocation vocab cap must be a distributed partial top-k:\n" + cp)
+    assert(!cp.contains("CartesianProduct"),
+      "collocation pairs must stay doc-keyed:\n" + cp)
   }
 }
