@@ -340,4 +340,129 @@ object SimMore {
       |  CAST(w2 // (s2 + 1) AS BIGINT) AS loading
       |FROM e2, m2
       |ORDER BY dim""".stripMargin
+
+  // ------------------------------------------------------ cluster purity
+
+  /** Purity of the k-means assignment against the ground-truth labels —
+    * the external clustering-quality eval (majority-label fraction per
+    * cluster) run whenever labeled data exists. Reuses the literal
+    * E-step assignment; one keyed join back to the label column, a
+    * (cluster × label) aggregation, and a per-cluster rank-1 pick with
+    * deterministic ties (count DESC, label ASC — keyed window, pushed as
+    * WindowGroupLimit). Purity is the one final division.
+    */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val lbl = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val counts = assignedVectors(spark, sfDir)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    // Totals as a re-aggregation of the (cluster × label) counts rather
+    // than a second window over the ranked rows — keeps the rank filter
+    // directly above its window so WindowGroupLimit pushes map-side.
+    val totals = counts.groupBy(col("centroid_id"))
+      .agg(sum(col("cnt")).as("n_vectors"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+      .orderBy(col("cnt").desc, col("label"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(totals, Seq("centroid_id"))
+      .select(col("centroid_id"), col("n_vectors"),
+        col("label").as("majority_label"), col("cnt").as("n_majority"),
+        (col("cnt").cast("double") / col("n_vectors").cast("double"))
+          .as("purity"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val clusterPuritySql: String =
+    s"""$assignedSqlCtes,
+       |cnt AS (
+       |  SELECT a.centroid_id, emb.label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM assigned a JOIN embeddings emb USING (vec_id)
+       |  GROUP BY a.centroid_id, emb.label),
+       |r AS (
+       |  SELECT centroid_id, label, cnt,
+       |    row_number() OVER (PARTITION BY centroid_id
+       |      ORDER BY cnt DESC, label) AS rn,
+       |    CAST(sum(cnt) OVER (PARTITION BY centroid_id) AS BIGINT)
+       |      AS n_vectors
+       |  FROM cnt)
+       |SELECT centroid_id, n_vectors, label AS majority_label,
+       |  cnt AS n_majority,
+       |  CAST(cnt AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS purity
+       |FROM r WHERE rn = 1
+       |ORDER BY centroid_id""".stripMargin
+
+  // -------------------------------------------------- knn label accuracy
+
+  /** Leave-one-out k-NN classification accuracy on the embedding table:
+    * for a 50-query sample, predict each query's label by majority vote
+    * of its 5 exact nearest neighbors (cosine, self excluded) and score
+    * against the true label — the standard "are these embeddings any
+    * good" eval. The expensive exact top-k runs over the broadcast
+    * query SAMPLE (the recall-estimation protocol `ann_recall_audit`
+    * uses); votes and the majority pick are integer counts with
+    * deterministic ties (count DESC, label ASC); accuracy is the one
+    * final division.
+    */
+  def knnLabelAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = Similarity.bruteForceTopK(corpus = emb, queries = queries,
+        k = 5)
+      .join(lbl.toDF("corpus_id", "nbr_label"), Seq("corpus_id"))
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cnt").desc, col("nbr_label"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nbr_label").as("predicted"))
+    pred.join(lbl.toDF("query_id", "true_label"), Seq("query_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"))
+  }
+
+  val knnLabelAccuracySql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |nn AS (
+      |  SELECT query_id, corpus_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_dot_product(q.e, c.e)
+      |              / (sqrt(list_dot_product(q.e, q.e))
+      |                 * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+      |        c.vec_id) AS rank
+      |    FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT nn.query_id, c.label AS nbr_label,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM nn JOIN v c ON nn.corpus_id = c.vec_id
+      |  GROUP BY nn.query_id, c.label),
+      |pred AS (
+      |  SELECT query_id, nbr_label AS predicted FROM (
+      |    SELECT query_id, nbr_label, cnt,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cnt DESC, nbr_label) AS rn
+      |    FROM votes)
+      |  WHERE rn = 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(CASE WHEN p.predicted = q.label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(sum(CASE WHEN p.predicted = q.label THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM pred p JOIN v q ON p.query_id = q.vec_id""".stripMargin
 }

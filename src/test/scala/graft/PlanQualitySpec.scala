@@ -591,5 +591,19 @@ class PlanQualitySpec extends SparkTestBase {
       "collocation vocab cap must be a distributed partial top-k:\n" + cp)
     assert(!cp.contains("CartesianProduct"),
       "collocation pairs must stay doc-keyed:\n" + cp)
+    // embedding evals: purity majority pick + knn vote pick are keyed
+    // rank-1 filters (WindowGroupLimit); no global windows anywhere.
+    Seq(
+      "cluster_purity" -> graft.queries.SimMore.clusterPurity(spark, sf0001),
+      "knn_label_accuracy" ->
+        graft.queries.SimMore.knnLabelAccuracy(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name majority pick lost the partial top-k pushdown:\n" + p)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name windows must all be keyed")
+    }
   }
 }
