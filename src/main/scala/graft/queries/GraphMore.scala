@@ -276,4 +276,79 @@ object GraphMore {
       |        * CAST(hubs.n_hubs - 1 AS HUGEINT) AS DOUBLE) AS density
       |FROM hubs LEFT JOIN w ON hubs.k = w.k
       |ORDER BY k""".stripMargin
+
+  // ------------------------------------------------ BFS distance histogram
+
+  /** BFS reachability profile from the lowest-id part: how many parts
+    * sit at co-purchase distance 0..4, plus the unreached remainder —
+    * the small-world / connectivity probe behind "is this graph one
+    * component or islands". Four synchronous frontier expansions (the
+    * same bounded-iteration shape as `pagerank_bipartite`: each round is
+    * ONE keyed join frontier→adjacency + an anti-join against visited,
+    * localCheckpointed so lineage stays flat); the oracle replays it as
+    * a depth-bounded recursive CTE. Output is pure integer counts.
+    */
+  def bfsDistanceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+      .stableCheckpoint() // probed once per BFS round
+    val src = adj.agg(min(col("u")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var visited = src.stableCheckpoint()
+    var frontier = visited
+    for (d <- 1 to 4) {
+      val next = frontier.join(adj, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("dist"))
+        .stableCheckpoint()
+      visited = visited.unionAll(next).stableCheckpoint()
+      frontier = next
+    }
+    val reached = visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val totalNodes = adj.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val unreached = totalNodes
+      .crossJoin(broadcast(visited.agg(count(lit(1)).as("n_seen"))))
+      .select(lit(-1L).as("dist"), (col("n_total") - col("n_seen"))
+        .as("n_nodes"))
+    reached.unionAll(unreached).orderBy(col("dist"))
+  }
+
+  val bfsDistanceHistogramSql: String =
+    """WITH RECURSIVE it AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+      |adj AS (
+      |  SELECT pa AS u, pb AS v FROM e
+      |  UNION ALL SELECT pb AS u, pa AS v FROM e),
+      |reach(node, dist) AS (
+      |  SELECT (SELECT min(u) FROM adj), 0
+      |  UNION
+      |  SELECT adj.v, r.dist + 1
+      |  FROM reach r JOIN adj ON adj.u = r.node
+      |  WHERE r.dist < 4),
+      |best AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node),
+      |reached AS (
+      |  SELECT CAST(dist AS BIGINT) AS dist,
+      |    CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM best GROUP BY dist),
+      |tot AS (SELECT count(DISTINCT u) AS n_total FROM adj),
+      |seen AS (SELECT count(*) AS n_seen FROM best)
+      |SELECT dist, n_nodes FROM reached
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(n_total - n_seen AS BIGINT)
+      |FROM tot, seen
+      |ORDER BY dist""".stripMargin
 }

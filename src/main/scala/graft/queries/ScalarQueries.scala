@@ -70,4 +70,106 @@ object ScalarQueries {
       |FROM orders
       |WHERE o_orderkey <= 2000
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Second scalar battery: array construction/manipulation, regex,
+    * date arithmetic, bit operations and numeric edge functions — the
+    * rest of the everyday scalar surface, value-exact against DuckDB.
+    * Array-valued results are emitted as joined strings (the engines'
+    * arrow list types differ only in inner field NAME, which would trip
+    * schema compares; the elements are identical). dayofweek bridges the
+    * engines' conventions explicitly (Spark 1=Sunday vs DuckDB dow
+    * 0=Sunday).
+    */
+  def scalarFunctionsArray(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        // date arithmetic
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus_30d"),
+        date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd")
+          .as("plus_2m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_eoy98"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+        // arrays
+        array_join(split(col("o_orderpriority"), "-"), "|").as("prio_parts"),
+        element_at(split(col("o_orderpriority"), "-"), 1).as("prio_first"),
+        size(split(col("o_orderpriority"), "-")).cast("long")
+          .as("prio_n_parts"),
+        array_contains(split(col("o_orderpriority"), "-"), "URGENT")
+          .as("has_urgent"),
+        array_join(sort_array(split(col("o_orderpriority"), "-")), "|")
+          .as("prio_sorted"),
+        array_join(reverse(split(col("o_orderpriority"), "-")), "|")
+          .as("prio_reversed"),
+        array_join(slice(split(col("o_orderpriority"), "-"), 1, 1), "|")
+          .as("prio_head"),
+        array_join(transform(sequence(lit(1),
+          (col("o_orderkey") % 3 + 1).cast("int")),
+          x => x.cast("string")), ",").as("seq_csv"),
+        // regex + string
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_num"),
+        regexp_replace(col("o_orderpriority"), "[0-9]", "#").as("prio_masked"),
+        translate(col("o_orderpriority"), "-", "_").as("prio_translated"),
+        repeat(col("o_orderstatus"), 3).as("status_x3"),
+        reverse(col("o_orderstatus")).as("status_rev"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"),
+        // bit + numeric
+        (col("o_orderkey").bitwiseAND(255)).as("key_and"),
+        (col("o_orderkey").bitwiseXOR(lit(170L))).as("key_xor"),
+        shiftleft(col("o_orderkey") % 16, 3).cast("long").as("key_shl"),
+        signum(col("o_orderkey") - 1000).cast("long").as("key_sign"),
+        greatest(col("o_orderkey") % 7, col("o_orderkey") % 11,
+          col("o_orderkey") % 13).as("key_greatest"),
+        pow(lit(2), col("o_orderkey") % 10).cast("long").as("key_pow2"))
+      .orderBy(col("o_orderkey"))
+
+  val scalarFunctionsArraySql: String =
+    """SELECT o_orderkey,
+      |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+      |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE),
+      |    '%Y-%m-%d') AS plus_2m,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+      |    AS month_end,
+      |  strftime(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+      |    AS DATE), '%Y-%m-%d') AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+      |    AS BIGINT) AS days_to_eoy98,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_sun0,
+      |  array_to_string(str_split(o_orderpriority, '-'), '|') AS prio_parts,
+      |  str_split(o_orderpriority, '-')[1] AS prio_first,
+      |  CAST(len(str_split(o_orderpriority, '-')) AS BIGINT)
+      |    AS prio_n_parts,
+      |  list_contains(str_split(o_orderpriority, '-'), 'URGENT')
+      |    AS has_urgent,
+      |  array_to_string(list_sort(str_split(o_orderpriority, '-')), '|')
+      |    AS prio_sorted,
+      |  array_to_string(list_reverse(str_split(o_orderpriority, '-')), '|')
+      |    AS prio_reversed,
+      |  array_to_string(str_split(o_orderpriority, '-')[1:1], '|')
+      |    AS prio_head,
+      |  array_to_string(list_transform(range(1, o_orderkey % 3 + 2),
+      |    x -> x::VARCHAR), ',') AS seq_csv,
+      |  regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_num,
+      |  regexp_replace(o_orderpriority, '[0-9]', '#', 'g') AS prio_masked,
+      |  translate(o_orderpriority, '-', '_') AS prio_translated,
+      |  repeat(o_orderstatus, 3) AS status_x3,
+      |  reverse(o_orderstatus) AS status_rev,
+      |  CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+      |  o_orderkey & 255 AS key_and,
+      |  xor(o_orderkey, 170) AS key_xor,
+      |  CAST((o_orderkey % 16) << 3 AS BIGINT) AS key_shl,
+      |  CAST(sign(o_orderkey - 1000) AS BIGINT) AS key_sign,
+      |  greatest(o_orderkey % 7, o_orderkey % 11, o_orderkey % 13)
+      |    AS key_greatest,
+      |  CAST(power(2, o_orderkey % 10) AS BIGINT) AS key_pow2
+      |FROM orders
+      |WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin
 }

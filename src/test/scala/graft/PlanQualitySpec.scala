@@ -605,5 +605,18 @@ class PlanQualitySpec extends SparkTestBase {
         .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
         s"$name windows must all be keyed")
     }
+    // scalar battery 2: one map-only projection — no join, no window,
+    // no aggregate below the final sort.
+    val sc2 = graft.queries.ScalarQueries.scalarFunctionsArray(spark, sf0001)
+    assert(!plan(sc2).contains("Join"),
+      "scalar battery must stay a map-only projection")
+    assert(sc2.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty,
+      "scalar battery must stay window-free")
+    // BFS: every frontier expansion is a keyed join + anti join — no
+    // cartesian pairing anywhere in the unrolled rounds.
+    val bfs = plan(graft.queries.GraphMore.bfsDistanceHistogram(spark, sf0001))
+    assert(!bfs.contains("CartesianProduct"),
+      "BFS frontier joins must stay keyed:\n" + bfs)
   }
 }
