@@ -28,7 +28,14 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "winsorized_stats",        // per-group order statistics + clamped sums
     "kll_error_bound",         // verdict booleans under buffer-merge variance
     "watermark_lateness_histogram", // running max under hash-permuted order
-    "seasonal_decompose_weekday")   // 128-bit moment fold
+    "seasonal_decompose_weekday",   // 128-bit moment fold
+    // round-5 continuation additions
+    "bootstrap_ci_mean",       // replicate-mean double ordering + rank pick
+    "pca_power_iteration",     // integer matvec sums + truncating rescale
+    "graph_assortativity",     // DECIMAL moment fold over edge endpoints
+    "collocation_pmi",         // top-200 vocab tie-break + fixed-point lift
+    "mann_whitney_u",          // value-histogram window + DECIMAL U terms
+    "dedup_eval_pairs")        // banded-join candidates vs exact pair join
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {
