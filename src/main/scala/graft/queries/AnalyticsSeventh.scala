@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Checkpoints.StableCheckpoint
+
+/** Round-5 analytics additions, batch 7: Apriori-style frequent triple
+  * mining, a promo diff-in-diff revenue contrast, and a discrete
+  * churn-hazard curve — the itemset-mining / causal-contrast / survival
+  * shapes rounding out the warehouse-analytics surface.
+  *
+  * Exactness discipline as everywhere: integer cents and counts, global
+  * windows only above aggregated bounded domains, doubles only in final
+  * single divisions.
+  */
+object AnalyticsSeventh {
+
+  // ----------------------------------------------------- frequent triples
+
+  /** Frequent co-purchase TRIPLES (support ≥ 2 orders), the Apriori step
+    * past `market_basket_lift`'s pairs. The cubic per-basket fan-out is
+    * bounded by a deterministic 16-item cap per order (16C3 = 560
+    * candidate triples per basket regardless of basket size — the same
+    * hot-basket guard as the pair miner, mirrored verbatim in the
+    * oracle); the triple aggregation keys on the triple itself and the
+    * result is a distributed partial top-20.
+    */
+  def frequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .dropDuplicates("ok", "pk")
+      .withColumn("rn", row_number().over(perOrder))
+      .filter(col("rn") <= 16)
+      .drop("rn")
+      .stableCheckpoint() // three join probes below
+    items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), Seq("ok")).filter(col("pa") < col("pb"))
+      .join(items.toDF("ok", "pc"), Seq("ok")).filter(col("pb") < col("pc"))
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("support_cnt"))
+      .filter(col("support_cnt") >= 2)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("pc").as("part_c"), col("support_cnt"))
+      .orderBy(col("support_cnt").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+      .limit(20)
+  }
+
+  val frequentTriplesSql: String =
+    """WITH it AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT l_orderkey AS ok, l_partkey AS pk,
+      |      row_number() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_partkey) AS rn
+      |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+      |  WHERE rn <= 16)
+      |SELECT a.pk AS part_a, b.pk AS part_b, c.pk AS part_c,
+      |  CAST(count(*) AS BIGINT) AS support_cnt
+      |FROM it a
+      |JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+      |JOIN it c ON b.ok = c.ok AND b.pk < c.pk
+      |GROUP BY a.pk, b.pk, c.pk
+      |HAVING count(*) >= 2
+      |ORDER BY support_cnt DESC, part_a, part_b, part_c
+      |LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------- diff-in-diff
+
+  /** Promo diff-in-diff: revenue change across the ship-date midpoint
+    * for promo parts versus the non-promo control —
+    * `(P_late − P_early) − (N_late − N_early)` — the causal-contrast
+    * shape behind "did the promotion move revenue beyond the trend?".
+    * The midpoint is one broadcast scalar (integer day arithmetic), the
+    * 2×2 cells are ONE conditional aggregation over the keyed
+    * lineitem→part join, and every output is an exact BIGINT of cents —
+    * no doubles at all.
+    */
+  def diffInDiffPromo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    // (min+max) div 2, never /2+cast — DuckDB CAST(DOUBLE AS BIGINT)
+    // rounds to nearest, Spark truncates; an odd sum would split the
+    // engines one day apart.
+    val mid = li.agg(expr("(min(day) + max(day)) div 2").as("mid_day"))
+    val pr = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_type").startsWith("PROMO")
+        .as("is_promo"))
+    li.join(pr, col("l_partkey") === col("p_partkey"))
+      .crossJoin(broadcast(mid))
+      .select(col("is_promo"), (col("day") > col("mid_day")).as("is_late"),
+        col("cents"))
+      .agg(
+        sum(when(col("is_promo") && !col("is_late"), col("cents"))
+          .otherwise(0L)).as("promo_early_cents"),
+        sum(when(col("is_promo") && col("is_late"), col("cents"))
+          .otherwise(0L)).as("promo_late_cents"),
+        sum(when(!col("is_promo") && !col("is_late"), col("cents"))
+          .otherwise(0L)).as("ctrl_early_cents"),
+        sum(when(!col("is_promo") && col("is_late"), col("cents"))
+          .otherwise(0L)).as("ctrl_late_cents"))
+      .select(col("promo_early_cents"), col("promo_late_cents"),
+        col("ctrl_early_cents"), col("ctrl_late_cents"),
+        ((col("promo_late_cents") - col("promo_early_cents"))
+          - (col("ctrl_late_cents") - col("ctrl_early_cents")))
+          .as("did_cents"))
+  }
+
+  val diffInDiffPromoSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+      |      AS day,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |mid AS (
+      |  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid_day
+      |  FROM li),
+      |cells AS (
+      |  SELECT p_type LIKE 'PROMO%' AS is_promo, day > mid_day AS is_late,
+      |    cents
+      |  FROM li JOIN part ON l_partkey = p_partkey, mid)
+      |SELECT
+      |  CAST(sum(CASE WHEN is_promo AND NOT is_late THEN cents ELSE 0 END)
+      |    AS BIGINT) AS promo_early_cents,
+      |  CAST(sum(CASE WHEN is_promo AND is_late THEN cents ELSE 0 END)
+      |    AS BIGINT) AS promo_late_cents,
+      |  CAST(sum(CASE WHEN NOT is_promo AND NOT is_late THEN cents
+      |    ELSE 0 END) AS BIGINT) AS ctrl_early_cents,
+      |  CAST(sum(CASE WHEN NOT is_promo AND is_late THEN cents ELSE 0 END)
+      |    AS BIGINT) AS ctrl_late_cents,
+      |  CAST(sum(CASE WHEN is_promo AND is_late THEN cents ELSE 0 END)
+      |    - sum(CASE WHEN is_promo AND NOT is_late THEN cents ELSE 0 END)
+      |    - (sum(CASE WHEN NOT is_promo AND is_late THEN cents ELSE 0 END)
+      |       - sum(CASE WHEN NOT is_promo AND NOT is_late THEN cents
+      |           ELSE 0 END)) AS BIGINT) AS did_cents
+      |FROM cells""".stripMargin
+
+  // ----------------------------------------------------- churn hazard
+
+  /** Discrete churn-hazard curve: for each lifetime week k, the number
+    * of users still active at k (at-risk set) and the number whose LAST
+    * activity falls in week k (churn events), with the hazard ratio —
+    * the Kaplan-Meier-style table (hazards only: the cumulative
+    * survival product is not cross-engine hashable, the per-week hazard
+    * is). One pass to per-user (first, last) — the natural user_id
+    * aggregation — then a lifetime histogram; the at-risk counts come
+    * from a reverse cumulative window ABOVE the aggregated lifetime
+    * domain (weeks are calendar-bounded, never raw users).
+    */
+  def churnHazardCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val life = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("first_d"),
+        max(col("ts").cast("date")).as("last_d"))
+      // `div`, never `/`+cast: DuckDB CAST(DOUBLE AS BIGINT) ROUNDS to
+      // nearest while Spark's cast truncates — integral division is the
+      // only cross-engine-safe way to bucket.
+      .select(expr("datediff(last_d, first_d) div 7").cast("long")
+        .as("week_k"))
+    val hist = life.groupBy(col("week_k"))
+      .agg(count(lit(1)).as("events"))
+    val w = Window.orderBy(col("week_k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("at_risk", sum(col("events")).over(w))
+      .select(col("week_k"), col("at_risk"), col("events"),
+        (col("events").cast("double") / col("at_risk").cast("double"))
+          .as("hazard"))
+      .orderBy(col("week_k"))
+  }
+
+  val churnHazardCurveSql: String =
+    """WITH life AS (
+      |  SELECT CAST(date_diff('day', min(CAST(ts AS DATE)),
+      |      max(CAST(ts AS DATE))) // 7 AS BIGINT) AS week_k
+      |  FROM events GROUP BY user_id),
+      |hist AS (
+      |  SELECT week_k, CAST(count(*) AS BIGINT) AS events
+      |  FROM life GROUP BY week_k),
+      |r AS (
+      |  SELECT week_k, events,
+      |    CAST(sum(events) OVER (ORDER BY week_k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS at_risk
+      |  FROM hist)
+      |SELECT week_k, at_risk, events,
+      |  CAST(events AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+      |FROM r
+      |ORDER BY week_k""".stripMargin
+}

@@ -420,4 +420,89 @@ object SimQueries {
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
   }
+
+  /** DBSCAN-style density classification of the embedding table:
+    * core (≥ 3 neighbors at cosine ≥ 0.25), border (adjacent to a core
+    * point but not core), noise (the rest) — the density-clustering
+    * triage behind outlier-aware semantic dedup. Neighbor edges reuse
+    * the `dedup_semantic_components` candidate machinery (LSH bucket
+    * equi-join + exact cosine verify — never all-pairs; note: like that
+    * query, the neighborhood is the IN-BUCKET one, the documented LSH
+    * approximation). Degrees and the core-adjacency check are keyed
+    * aggregations/semi-joins; output is the 3-row class histogram.
+    */
+  def dbscanCorePoints(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
+      .stableCheckpoint()
+    val pairs = v.toDF("id_a", "e_a", "bucket")
+      .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= expr("cast(0.25 as double)"))
+      .select(col("id_a"), col("id_b"))
+      .stableCheckpoint() // degrees + adjacency probes below
+    val adj = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val classified = v.select(col("vec_id"))
+      .join(deg.toDF("vec_id", "deg"), Seq("vec_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+    val core = classified.filter(col("deg") >= 3).select(col("vec_id"))
+    // border: non-core with at least one CORE neighbor (semi join)
+    val borderIds = adj.join(core.toDF("v"), Seq("v"), "left_semi")
+      .select(col("u").as("vec_id")).distinct()
+      .join(core, Seq("vec_id"), "left_anti")
+    classified
+      .join(core.withColumn("is_core", lit(true)), Seq("vec_id"), "left")
+      .join(borderIds.withColumn("is_border", lit(true)), Seq("vec_id"),
+        "left")
+      .select(
+        when(col("is_core"), "core")
+          .when(col("is_border"), "border")
+          .otherwise("noise").as("point_class"))
+      .groupBy(col("point_class"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("point_class"))
+  }
+
+  val dbscanCorePointsSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  WHERE round(list_dot_product(a.e, b2.e)
+       |        / (sqrt(list_dot_product(a.e, a.e))
+       |           * sqrt(list_dot_product(b2.e, b2.e))), 6)
+       |    >= CAST(0.25 AS DOUBLE)),
+       |adj AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj
+       |  GROUP BY u),
+       |core AS (SELECT u AS vec_id FROM deg WHERE deg >= 3),
+       |border AS (
+       |  SELECT DISTINCT adj.u AS vec_id
+       |  FROM adj JOIN core c ON adj.v = c.vec_id
+       |  WHERE adj.u NOT IN (SELECT vec_id FROM core)),
+       |cls AS (
+       |  SELECT v.vec_id,
+       |    CASE WHEN v.vec_id IN (SELECT vec_id FROM core) THEN 'core'
+       |         WHEN v.vec_id IN (SELECT vec_id FROM border) THEN 'border'
+       |         ELSE 'noise' END AS point_class
+       |  FROM v)
+       |SELECT point_class, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM cls
+       |GROUP BY point_class
+       |ORDER BY point_class""".stripMargin
+  }
 }

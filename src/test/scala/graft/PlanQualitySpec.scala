@@ -618,5 +618,29 @@ class PlanQualitySpec extends SparkTestBase {
     val bfs = plan(graft.queries.GraphMore.bfsDistanceHistogram(spark, sf0001))
     assert(!bfs.contains("CartesianProduct"),
       "BFS frontier joins must stay keyed:\n" + bfs)
+    // batch 7: dbscan pairs bucket-keyed; triples order-keyed with a
+    // distributed top-20; DiD cells one aggregation; hazard's global
+    // window orders the aggregated week domain.
+    Seq(
+      "dbscan_core_points" ->
+        graft.queries.SimQueries.dbscanCorePoints(spark, sf0001),
+      "frequent_triples" ->
+        graft.queries.AnalyticsSeventh.frequentTriples(spark, sf0001),
+      "diff_in_diff_promo" ->
+        graft.queries.AnalyticsSeventh.diffInDiffPromo(spark, sf0001)
+    ).foreach { case (name, df) =>
+      assert(!plan(df).contains("CartesianProduct"),
+        s"$name joins must stay keyed or broadcast")
+    }
+    assert(plan(graft.queries.AnalyticsSeventh.frequentTriples(spark, sf0001))
+      .contains("TakeOrderedAndProject"),
+      "triple top-20 must be a distributed partial top-k")
+    val haz = graft.queries.AnalyticsSeventh.churnHazardCurve(spark, sf0001)
+    haz.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "hazard at-risk window must order the aggregated week domain")
+    }
   }
 }
