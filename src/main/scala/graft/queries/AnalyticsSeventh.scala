@@ -194,4 +194,164 @@ object AnalyticsSeventh {
       |  CAST(events AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
       |FROM r
       |ORDER BY week_k""".stripMargin
+
+  // ------------------------------------------------------- supplier HHI
+
+  /** Herfindahl–Hirschman concentration of supplier revenue per nation —
+    * the antitrust-style "is this market one big supplier or many
+    * small?" index, in exact fixed point:
+    * `HHI_fp = Σ_i s_i² · 10⁶ div S²` (share² sums scaled to ppm).
+    * Per-supplier revenue is one keyed aggregation; squares widen to
+    * DECIMAL (revenue² reaches ~10²⁸ at 100 TB); the integral division
+    * is the cross-engine-safe `div`/`//` pair. 10 000 ppm-HHI ≈ the
+    * classic 0.01 threshold × 10⁶.
+    */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    rev.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("total_cents"),
+        sum(expr("cast(cents as decimal(38,0)) * cast(cents as decimal(38,0))"))
+          .as("sum_sq"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("total_cents"),
+        expr("""cast((sum_sq * 1000000)
+          div (cast(total_cents as decimal(38,0))
+          * cast(total_cents as decimal(38,0))) as long)""").as("hhi_ppm"))
+      .orderBy(col("nation"))
+  }
+
+  val supplierHhiSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST((sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) * 1000000)
+      |    // (CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT))
+      |    AS BIGINT) AS hhi_ppm
+      |FROM rev
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------ weighted median price
+
+  /** Quantity-weighted median price per return flag: the "what price
+    * does the typical UNIT ship at" statistic (row-median ignores that
+    * cheap lines carry more units). Classic histogram trick per group:
+    * aggregate (flag, price-cents) with summed quantity weights, then a
+    * FLAG-KEYED cumulative window over distinct prices picks the
+    * smallest value whose cumulative weight reaches ⌈W/2⌉ — integral
+    * arithmetic end to end, no global window anywhere.
+    */
+  def weightedMedianPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("wt"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h
+      .withColumn("cum", sum(col("wt")).over(cumW))
+      .withColumn("total_w", sum(col("wt")).over(byFlag))
+      .withColumn("r", expr("(total_w + 1) div 2"))
+      .filter(col("cum") >= col("r") && col("cum") - col("wt") < col("r"))
+      .select(col("l_returnflag"), col("total_w").as("total_units"),
+        col("cents").as("weighted_median_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedMedianPriceSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      AS cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      |  FROM lineitem GROUP BY l_returnflag, cents),
+      |c AS (
+      |  SELECT l_returnflag, cents, wt,
+      |    CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+      |      AS total_w
+      |  FROM h)
+      |SELECT l_returnflag, total_w AS total_units,
+      |  cents AS weighted_median_cents
+      |FROM c
+      |WHERE cum >= (total_w + 1) // 2 AND cum - wt < (total_w + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------- weekly user jaccard
+
+  /** Week-over-week active-user Jaccard similarity — audience-drift as
+    * set overlap: |A∩B| / |A∪B| for each consecutive week pair. Active
+    * sets are distinct (week, user) rows; the intersection is ONE
+    * user-keyed self-join constrained to adjacent weeks (never a
+    * cross-week cartesian); union size is inclusion-exclusion on exact
+    * integers; Jaccard is the one division. Week index uses `div`
+    * (cross-engine truncation).
+    */
+  def weeklyUserJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'2024-01-01') div 7")
+          .cast("long").as("wk"))
+      .distinct()
+      .stableCheckpoint() // sizes + adjacent-week self-join
+    val sizes = ev.groupBy(col("wk")).agg(count(lit(1)).as("n_users"))
+    val common = ev.toDF("user_id", "wa")
+      .join(ev.toDF("user_id", "wb"), Seq("user_id"))
+      .filter(col("wb") === col("wa") + 1)
+      .groupBy(col("wa")).agg(count(lit(1)).as("n_common"))
+    sizes.toDF("wa", "n_prev")
+      .join(sizes.toDF("wb", "n_next").withColumn("wa", col("wb") - 1),
+        Seq("wa"))
+      .join(common, Seq("wa"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("wa").as("week"), col("n_prev"), col("n_next"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_prev") + col("n_next") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("week"))
+  }
+
+  val weeklyUserJaccardSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+      |      AS BIGINT) AS wk
+      |  FROM events),
+      |sizes AS (
+      |  SELECT wk, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM ev GROUP BY wk),
+      |common AS (
+      |  SELECT a.wk AS wa, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM ev a JOIN ev b
+      |    ON a.user_id = b.user_id AND b.wk = a.wk + 1
+      |  GROUP BY a.wk)
+      |SELECT p.wk AS week, p.n_users AS n_prev, n.n_users AS n_next,
+      |  coalesce(c.n_common, 0) AS n_common,
+      |  CAST(coalesce(c.n_common, 0) AS DOUBLE)
+      |    / CAST(p.n_users + n.n_users - coalesce(c.n_common, 0) AS DOUBLE)
+      |    AS jaccard
+      |FROM sizes p
+      |JOIN sizes n ON n.wk = p.wk + 1
+      |LEFT JOIN common c ON c.wa = p.wk
+      |ORDER BY week""".stripMargin
 }

@@ -642,5 +642,21 @@ class PlanQualitySpec extends SparkTestBase {
       assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
         "hazard at-risk window must order the aggregated week domain")
     }
+    // HHI / weighted median / weekly jaccard: keyed joins + keyed
+    // windows only.
+    Seq(
+      "supplier_hhi" ->
+        graft.queries.AnalyticsSeventh.supplierHhi(spark, sf0001),
+      "weighted_median_price" ->
+        graft.queries.AnalyticsSeventh.weightedMedianPrice(spark, sf0001),
+      "weekly_user_jaccard" ->
+        graft.queries.AnalyticsSeventh.weeklyUserJaccard(spark, sf0001)
+    ).foreach { case (name, df) =>
+      assert(!plan(df).contains("CartesianProduct"),
+        s"$name joins must stay keyed or broadcast")
+      assert(df.queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name windows must all be keyed")
+    }
   }
 }
