@@ -155,4 +155,123 @@ object CorpusSeventh {
       |FROM pairs, n
       |ORDER BY c_ab DESC, ta, tb
       |LIMIT 30""".stripMargin
+
+  // -------------------------------------- token percentiles by source
+
+  /** Per-source token-count percentiles (p50/p90/p99) from the LENGTH
+    * HISTOGRAM — the per-feed sizing profile a batch planner reads
+    * before picking sequence lengths. The repo's rank convention
+    * (value at ⌊p·(n−1)⌋+1) picked per source from a SOURCE-KEYED
+    * cumulative window over distinct lengths — no global window, no
+    * row-level sort; everything integer.
+    */
+  def tokenPercentilesBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def pick(p: String, as: String) =
+      max(when(col("cum") >=
+        expr(s"cast(floor(cast($p as double) * cast(n - 1 as double)) as bigint) + 1") &&
+        col("cum") - col("cnt") <
+          expr(s"cast(floor(cast($p as double) * cast(n - 1 as double)) as bigint) + 1"),
+        col("n_tok"))).as(as)
+    h
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(bySrc))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        pick("0.5", "p50_tokens"), pick("0.9", "p90_tokens"),
+        pick("0.99", "p99_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val tokenPercentilesBySourceSql: String =
+    """WITH h AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |      AS BIGINT) AS n_tok,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY source, n_tok),
+      |c AS (
+      |  SELECT source, n_tok, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.5 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.5 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_tok END)
+      |    AS p50_tokens,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.9 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.9 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_tok END)
+      |    AS p90_tokens,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.99 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.99 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_tok END)
+      |    AS p99_tokens
+      |FROM c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ RAG chunk plan
+
+  /** RAG-ingest sizing: chunk every document at 512 tokens with a
+    * 64-token overlap (stride 448) and report, per source, the chunk
+    * count, padded token volume, and padding overhead — the capacity
+    * plan a retrieval pipeline runs before embedding a corpus.
+    * `n_chunks = max(1, ⌈(tokens − 64) / 448⌉)` in pure integral
+    * arithmetic (`(x + 447) div 448` — cross-engine-safe truncation);
+    * map-only into a per-source aggregate; overhead is the one
+    * division.
+    */
+  def ragChunkPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .withColumn("n_chunks",
+        greatest(lit(1L), expr("(n_tok - 64 + 447) div 448")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chunks")).as("total_chunks"),
+        sum(col("n_chunks") * 512).as("padded_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chunks"), col("padded_tokens"),
+        (col("padded_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("overhead_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val ragChunkPlanSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tok,
+      |    GREATEST(1, (n_tok - 64 + 447) // 448) AS n_chunks
+      |  FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+      |  CAST(sum(n_chunks * 512) AS BIGINT) AS padded_tokens,
+      |  CAST(sum(n_chunks * 512) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+      |    AS overhead_ratio
+      |FROM c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

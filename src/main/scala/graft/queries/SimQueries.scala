@@ -505,4 +505,76 @@ object SimQueries {
        |GROUP BY point_class
        |ORDER BY point_class""".stripMargin
   }
+
+  /** Label-noise scan: vectors whose LSH-bucket neighbors vote a
+    * DIFFERENT majority label than their own — the standard candidate
+    * list for mislabeled training data (kNN-disagreement, restricted to
+    * the bucket neighborhood so the pairing stays an equi-join, never
+    * all-pairs). Votes are integer counts; the per-vector majority is a
+    * keyed rank-1 pick with deterministic ties (count DESC, label ASC);
+    * the output aggregates disagreement per true label with the one
+    * final rate division. Vectors alone in their bucket have no voters
+    * and are excluded (both engines identically).
+    */
+  def labelNoiseScan(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")),
+          LshBits, Dim).as("bucket"))
+      .stableCheckpoint()
+    val votes = v.toDF("vec_id", "own_label", "bucket")
+      .join(v.select(col("vec_id").as("nbr_id"), col("label")
+        .as("nbr_label"), col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .groupBy(col("vec_id"), col("own_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cnt").desc, col("nbr_label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("own_label").as("label"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("nbr_label") =!= col("own_label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("label"), col("n_checked"), col("n_disagree"),
+        (col("n_disagree").cast("double") / col("n_checked").cast("double"))
+          .as("disagree_rate"))
+      .orderBy(col("label"))
+  }
+
+  val labelNoiseScanSql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, label, CAST($bitTerms AS BIGINT) AS bucket
+       |  FROM v),
+       |votes AS (
+       |  SELECT a.vec_id, a.label AS own_label, n.label AS nbr_label,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b a JOIN b n
+       |    ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+       |  GROUP BY a.vec_id, a.label, n.label),
+       |pick AS (
+       |  SELECT vec_id, own_label, nbr_label FROM (
+       |    SELECT vec_id, own_label, nbr_label,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cnt DESC, nbr_label) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT own_label AS label, CAST(count(*) AS BIGINT) AS n_checked,
+       |  CAST(sum(CASE WHEN nbr_label <> own_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_disagree,
+       |  CAST(sum(CASE WHEN nbr_label <> own_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS disagree_rate
+       |FROM pick
+       |GROUP BY own_label
+       |ORDER BY label""".stripMargin
+  }
 }

@@ -658,5 +658,22 @@ class PlanQualitySpec extends SparkTestBase {
         .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
         s"$name windows must all be keyed")
     }
+    // label noise: bucket-keyed voting, WindowGroupLimit majority pick;
+    // token percentiles: source-keyed windows only; rag plan: map-only.
+    val lns = graft.queries.SimQueries.labelNoiseScan(spark, sf0001)
+    assert(plan(lns).contains("WindowGroupLimit"),
+      "label-noise majority pick lost the partial top-k pushdown")
+    assert(lns.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "label-noise windows must all be vector-keyed")
+    val tps = graft.queries.CorpusSeventh
+      .tokenPercentilesBySource(spark, sf0001)
+    assert(tps.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "token percentiles must use source-keyed windows only")
+    val rcp = graft.queries.CorpusSeventh.ragChunkPlan(spark, sf0001)
+    assert(!plan(rcp).contains("Join") && rcp.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty,
+      "rag chunk plan must stay a map-only aggregate")
   }
 }
