@@ -84,4 +84,93 @@ object AggregatesMore {
       |FROM long
       |GROUP BY l_returnflag, measure
       |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ------------------------------------------------ null semantics battery
+
+  /** Null-propagation semantics in one projection: null-safe equality
+    * (`<=>` ≙ IS NOT DISTINCT FROM), nvl/nvl2 chains, nullif round-trips,
+    * null ordering inside scalar conditionals, and null-tolerant
+    * aggregates (count vs count(col) vs count distinct on a nullable
+    * derivation) — the semantics corner every SQL port gets subtly
+    * wrong, pinned value-exact cross-engine. The nullable column is
+    * derived deterministically (`nullif(status,'F')`) so both engines
+    * see identical null positions.
+    */
+  def nullSemanticsBattery(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        nullif(col("o_orderstatus"), lit("F")).as("maybe"))
+    o.select(
+      col("o_orderkey"),
+      (col("maybe") <=> lit("O")).as("nullsafe_eq_o"),
+      (col("maybe") <=> lit(null).cast("string")).as("nullsafe_eq_null"),
+      (col("maybe") === lit("O")).as("plain_eq_o"), // null where maybe null
+      coalesce(col("maybe"), lit("fallback")).as("nvl_value"),
+      when(col("maybe").isNull, "was_null").otherwise("had_value")
+        .as("nvl2_branch"),
+      isnull(col("maybe")).as("is_null_flag"),
+      nullif(coalesce(col("maybe"), lit("F")), lit("F")).as("roundtrip"))
+      .filter(col("o_orderkey") <= 2000)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val nullSemanticsBatterySql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    nullif(o_orderstatus, 'F') AS maybe
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  maybe IS NOT DISTINCT FROM 'O' AS nullsafe_eq_o,
+      |  maybe IS NOT DISTINCT FROM CAST(NULL AS VARCHAR)
+      |    AS nullsafe_eq_null,
+      |  maybe = 'O' AS plain_eq_o,
+      |  coalesce(maybe, 'fallback') AS nvl_value,
+      |  CASE WHEN maybe IS NULL THEN 'was_null' ELSE 'had_value' END
+      |    AS nvl2_branch,
+      |  maybe IS NULL AS is_null_flag,
+      |  nullif(coalesce(maybe, 'F'), 'F') AS roundtrip
+      |FROM o
+      |WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------ union-by-name drift
+
+  /** Schema-drift-tolerant ingestion: two projections of the same table
+    * with different column ORDER and one side missing a column are
+    * merged with `unionByName(allowMissingColumns)` — the append-only
+    * ingest pattern when a feed adds fields mid-stream. The missing
+    * column nulls in, the aggregate counts both sides — DuckDB's
+    * `UNION ALL BY NAME` replays it exactly.
+    */
+  def unionByNameDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v2 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus")) // no cents: drifted
+    v1.unionByName(v2.withColumn("cents", lit(null).cast("long")),
+        allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_with_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val unionByNameDriftSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(cents) AS BIGINT) AS n_with_cents,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM merged
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }
