@@ -354,4 +354,94 @@ object AnalyticsSeventh {
       |JOIN sizes n ON n.wk = p.wk + 1
       |LEFT JOIN common c ON c.wa = p.wk
       |ORDER BY week""".stripMargin
+
+  // ------------------------------------------------------ event-type venn
+
+  /** Full Venn decomposition of user behaviour across the 5 event types
+    * via the BIT-MASK aggregate (`bit_or(1 << type_idx)` per user —
+    * the repo's standard replacement for `collect_set` over a small
+    * enumerable domain: one long per user instead of a spilled object
+    * set). Every non-empty type combination gets its exact user count,
+    * with the mask decoded to a readable label — 31 possible rows,
+    * pure integers.
+    */
+  def eventTypeVenn(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = typedLit(Map("click" -> 0, "error" -> 1, "purchase" -> 2,
+      "signup" -> 3, "view" -> 4))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val masks = Tables.events(spark, sfDir)
+      .select(col("user_id"), element_at(idx, col("event_type")).as("i"))
+      .select(col("user_id"),
+        expr("shiftleft(cast(1 as bigint), i)").as("bit"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(bit)").as("mask"))
+    val label = concat_ws("+", types.zipWithIndex.flatMap { case (t, i) =>
+      Seq(when(expr(s"(mask div ${1L << i}) % 2") === 1, t)) }: _*)
+    masks.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("combo", label)
+      .select(col("combo"), col("mask"), col("n_users"))
+      .orderBy(col("mask"))
+  }
+
+  val eventTypeVennSql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    CAST(bit_or(1 << (CASE event_type
+      |      WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+      |      ELSE 4 END)) AS BIGINT) AS mask
+      |  FROM events GROUP BY user_id)
+      |SELECT array_to_string(list_filter([
+      |    CASE WHEN (mask // 1) % 2 = 1 THEN 'click' END,
+      |    CASE WHEN (mask // 2) % 2 = 1 THEN 'error' END,
+      |    CASE WHEN (mask // 4) % 2 = 1 THEN 'purchase' END,
+      |    CASE WHEN (mask // 8) % 2 = 1 THEN 'signup' END,
+      |    CASE WHEN (mask // 16) % 2 = 1 THEN 'view' END],
+      |    x -> x IS NOT NULL), '+') AS combo,
+      |  mask, CAST(count(*) AS BIGINT) AS n_users
+      |FROM m
+      |GROUP BY mask
+      |ORDER BY mask""".stripMargin
+
+  // ------------------------------------------------------ YoY growth
+
+  /** Year-over-year revenue growth: annual order revenue with the
+    * previous year's and the growth ratio — the board-slide query. The
+    * lag window orders the AGGREGATED year domain (≤ a handful of
+    * rows); growth is the one division, null for the first year.
+    */
+  def revenueYoyGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val yearly = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    // Global window over the YEAR domain — calendar-bounded aggregate.
+    val w = Window.orderBy(col("yr"))
+    yearly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("yr"), col("n_orders"), col("rev_cents"),
+        col("prev_cents"),
+        when(col("prev_cents").isNull, lit(null).cast("double"))
+          .otherwise((col("rev_cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double")).as("yoy_growth"))
+      .orderBy(col("yr"))
+  }
+
+  val revenueYoyGrowthSql: String =
+    """WITH y AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT yr, n_orders, rev_cents,
+      |  lag(rev_cents) OVER (ORDER BY yr) AS prev_cents,
+      |  CASE WHEN lag(rev_cents) OVER (ORDER BY yr) IS NULL THEN NULL
+      |    ELSE CAST(rev_cents - lag(rev_cents) OVER (ORDER BY yr)
+      |        AS DOUBLE)
+      |      / CAST(lag(rev_cents) OVER (ORDER BY yr) AS DOUBLE) END
+      |    AS yoy_growth
+      |FROM y
+      |ORDER BY yr""".stripMargin
 }

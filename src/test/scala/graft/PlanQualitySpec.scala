@@ -675,5 +675,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan(rcp).contains("Join") && rcp.queryExecution.optimizedPlan
       .collect { case w: LWindow => w }.isEmpty,
       "rag chunk plan must stay a map-only aggregate")
+    // venn: bitmask aggregate, no windows/joins; yoy: global window
+    // only over the aggregated year domain.
+    val venn = graft.queries.AnalyticsSeventh.eventTypeVenn(spark, sf0001)
+    assert(!plan(venn).contains("Join") && venn.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty,
+      "venn must stay a two-level bitmask aggregate")
+    val yoy = graft.queries.AnalyticsSeventh.revenueYoyGrowth(spark, sf0001)
+    yoy.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "yoy lag window must order the aggregated year domain")
+    }
   }
 }
