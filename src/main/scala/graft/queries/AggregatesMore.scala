@@ -173,4 +173,34 @@ object AggregatesMore {
       |FROM merged
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------ string distance matrix
+
+  /** Pairwise edit-distance matrix over the (bounded, 5-value) order
+    * priority domain — the fuzzy-matching primitive (`levenshtein`)
+    * value-pinned cross-engine, plus shared-prefix length as the cheap
+    * pre-filter real fuzzy joins use. The pairing is DISTINCT values ×
+    * DISTINCT values (25 rows) after aggregation — a bounded-domain
+    * broadcast nested loop, never a row-level cross join.
+    */
+  def stringDistanceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("s")).distinct()
+    vals.toDF("s_a").crossJoin(broadcast(vals.toDF("s_b")))
+      .filter(col("s_a") < col("s_b"))
+      .select(col("s_a"), col("s_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("edit_dist"),
+        length(col("s_a")).cast("long").as("len_a"),
+        length(col("s_b")).cast("long").as("len_b"))
+      .orderBy(col("s_a"), col("s_b"))
+  }
+
+  val stringDistanceMatrixSql: String =
+    """WITH v AS (SELECT DISTINCT o_orderpriority AS s FROM orders)
+      |SELECT a.s AS s_a, b.s AS s_b,
+      |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist,
+      |  CAST(length(a.s) AS BIGINT) AS len_a,
+      |  CAST(length(b.s) AS BIGINT) AS len_b
+      |FROM v a JOIN v b ON a.s < b.s
+      |ORDER BY s_a, s_b""".stripMargin
 }
