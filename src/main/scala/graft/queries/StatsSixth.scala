@@ -438,4 +438,86 @@ object StatsSixth {
       |FROM g
       |GROUP BY bucket_order
       |ORDER BY bucket_order""".stripMargin
+
+  // ---------------------------------------------------------- welch t
+
+  /** Welch's t statistic for the urgent-vs-routine order-value contrast —
+    * the parametric companion to [[mannWhitneyU]] (same populations,
+    * moment-based instead of rank-based). All sufficient statistics are
+    * exact integers (n, Σx, Σx² per group, the squares in DECIMAL —
+    * Σx² reaches ~10³⁴ at 100 TB), carried in ONE conditional
+    * aggregation pass; the t value and the two group means are the only
+    * doubles, each a single fixed-association expression over those
+    * integers. Sample variance uses the n−1 divisor:
+    * `s² = (n·Σx² − (Σx)²) / (n·(n−1))`.
+    */
+  def welchTStatistic(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("in_a"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_a"), col("cents")).otherwise(0L)).as("s_a"),
+      sum(when(col("in_a"),
+        expr("cast(cents as decimal(38,0)) * cast(cents as decimal(38,0))"))
+        .otherwise(expr("cast(0 as decimal(38,0))"))).as("q_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("s_b"),
+      sum(when(!col("in_a"),
+        expr("cast(cents as decimal(38,0)) * cast(cents as decimal(38,0))"))
+        .otherwise(expr("cast(0 as decimal(38,0))"))).as("q_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("s_a").cast("double") / col("n_a").cast("double"))
+          .as("mean_a_cents"),
+        (col("s_b").cast("double") / col("n_b").cast("double"))
+          .as("mean_b_cents"),
+        // t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b), one expression
+        // with identical association in both engines
+        ((col("s_a").cast("double") / col("n_a").cast("double")
+          - col("s_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(
+            ((col("n_a").cast("decimal(38,0)") * col("q_a")
+              - col("s_a").cast("decimal(38,0)")
+              * col("s_a").cast("decimal(38,0)")).cast("double") /
+              (col("n_a").cast("double") * (col("n_a") - 1).cast("double")))
+              / col("n_a").cast("double") +
+            ((col("n_b").cast("decimal(38,0)") * col("q_b")
+              - col("s_b").cast("decimal(38,0)")
+              * col("s_b").cast("decimal(38,0)")).cast("double") /
+              (col("n_b").cast("double") * (col("n_b") - 1).cast("double")))
+              / col("n_b").cast("double"))).as("t_stat"))
+  }
+
+  val welchTStatisticSql: String =
+    """WITH v AS (
+      |  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS in_a,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |s AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+      |    sum(CASE WHEN in_a THEN CAST(cents AS HUGEINT)
+      |      * CAST(cents AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS q_a,
+      |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN in_a THEN 0 ELSE cents END) AS BIGINT) AS s_b,
+      |    sum(CASE WHEN in_a THEN CAST(0 AS HUGEINT)
+      |      ELSE CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT) END)
+      |      AS q_b
+      |  FROM v)
+      |SELECT n_a, n_b,
+      |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a_cents,
+      |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b_cents,
+      |  (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |  / sqrt(
+      |    (CAST(CAST(n_a AS HUGEINT) * q_a
+      |        - CAST(s_a AS HUGEINT) * CAST(s_a AS HUGEINT) AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)))
+      |      / CAST(n_a AS DOUBLE)
+      |    + (CAST(CAST(n_b AS HUGEINT) * q_b
+      |        - CAST(s_b AS HUGEINT) * CAST(s_b AS HUGEINT) AS DOUBLE)
+      |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)))
+      |      / CAST(n_b AS DOUBLE)) AS t_stat
+      |FROM s""".stripMargin
 }
