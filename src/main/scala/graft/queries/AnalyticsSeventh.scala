@@ -444,4 +444,62 @@ object AnalyticsSeventh {
       |    AS yoy_growth
       |FROM y
       |ORDER BY yr""".stripMargin
+
+  // ----------------------------------------------- error-rate p-chart
+
+  /** Hour-of-day error-rate control chart (p-chart): per hour bucket,
+    * the error fraction against 3σ binomial control limits around the
+    * overall rate — `p̄ ± 3·√(p̄(1−p̄)/n_h)` — the SRE-style "which hours
+    * are statistically anomalous" audit. Counts are one conditional
+    * aggregation over the 24-row hour domain; the overall rate rides a
+    * 1-row broadcast; limits and the in-control verdict are computed
+    * with the identical double formula in both engines.
+    */
+  def errorRateControlChart(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHour = Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("hour"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err"))
+    val overall = byHour.agg(sum(col("n")).as("tot"),
+      sum(col("n_err")).as("tot_err"))
+    val pbar = col("tot_err").cast("double") / col("tot").cast("double")
+    val sigma = sqrt(pbar * (lit(1.0d) - pbar) / col("n").cast("double"))
+    val rate = col("n_err").cast("double") / col("n").cast("double")
+    byHour.crossJoin(broadcast(overall))
+      .select(col("hour"), col("n"), col("n_err"), rate.as("err_rate"),
+        (rate <= pbar + lit(3.0d) * sigma &&
+          rate >= greatest(lit(0.0d), pbar - lit(3.0d) * sigma))
+          .as("in_control"))
+      .orderBy(col("hour"))
+  }
+
+  val errorRateControlChartSql: String =
+    """WITH h AS (
+      |  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_err
+      |  FROM events GROUP BY 1),
+      |o AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+      |  CAST(sum(n_err) AS BIGINT) AS tot_err FROM h)
+      |SELECT hour, n, n_err,
+      |  CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
+      |  (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+      |    <= CAST(tot_err AS DOUBLE) / CAST(tot AS DOUBLE)
+      |      + CAST(3.0 AS DOUBLE)
+      |        * sqrt(CAST(tot_err AS DOUBLE) / CAST(tot AS DOUBLE)
+      |          * (CAST(1.0 AS DOUBLE)
+      |            - CAST(tot_err AS DOUBLE) / CAST(tot AS DOUBLE))
+      |          / CAST(n AS DOUBLE)))
+      |  AND (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+      |    >= greatest(CAST(0.0 AS DOUBLE),
+      |      CAST(tot_err AS DOUBLE) / CAST(tot AS DOUBLE)
+      |      - CAST(3.0 AS DOUBLE)
+      |        * sqrt(CAST(tot_err AS DOUBLE) / CAST(tot AS DOUBLE)
+      |          * (CAST(1.0 AS DOUBLE)
+      |            - CAST(tot_err AS DOUBLE) / CAST(tot AS DOUBLE))
+      |          / CAST(n AS DOUBLE)))) AS in_control
+      |FROM h, o
+      |ORDER BY hour""".stripMargin
 }

@@ -577,4 +577,88 @@ object SimQueries {
        |GROUP BY own_label
        |ORDER BY label""".stripMargin
   }
+
+  /** Newman modularity of the GROUND-TRUTH label partition on the
+    * semantic-similarity graph — "do the labels actually correspond to
+    * similarity communities?" as one exact number. Edges are the
+    * `dedup_semantic_components` candidate pairs; with m edges, L_c
+    * intra-community edges and d_c community degree sums, modularity is
+    * `Q = Σ_c (4·m·L_c − d_c²) / (4m²)` — the numerator is exact
+    * DECIMAL integer arithmetic (d_c² reaches ~10²⁴ at corpus scale),
+    * the division happens ONCE at the end. Per-community rows carry the
+    * integer ingredients; the verdict-style exactness means a labeling
+    * or similarity regression shifts Q bit-visibly.
+    */
+  def labelModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
+      .stableCheckpoint()
+    val pairs = v.toDF("id_a", "la", "e_a", "bucket")
+      .join(v.toDF("id_b", "lb", "e_b", "bucket"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= expr("cast(0.25 as double)"))
+      .select(col("id_a"), col("la"), col("id_b"), col("lb"))
+      .stableCheckpoint() // m, L_c and d_c all derive from this edge set
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val intra = pairs.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("l_c"))
+    val degSum = pairs.select(col("la").as("label"))
+      .unionAll(pairs.select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("d_c"))
+    degSum.join(intra, Seq("label"), "left")
+      .withColumn("l_c", coalesce(col("l_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("l_c"), col("d_c"), col("m"),
+        ((lit(4) * col("m").cast("decimal(38,0)")
+          * col("l_c").cast("decimal(38,0)")
+          - col("d_c").cast("decimal(38,0)")
+          * col("d_c").cast("decimal(38,0)")).cast("double") /
+          (lit(4).cast("decimal(38,0)") * col("m").cast("decimal(38,0)")
+            * col("m").cast("decimal(38,0)")).cast("double"))
+          .as("q_contrib"))
+      .orderBy(col("label"))
+  }
+
+  val labelModularitySql: String = {
+    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
+    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, label, e, CAST($bitTerms AS BIGINT) AS bucket
+       |  FROM v),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, a.label AS la,
+       |    b2.vec_id AS id_b, b2.label AS lb
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  WHERE round(list_dot_product(a.e, b2.e)
+       |        / (sqrt(list_dot_product(a.e, a.e))
+       |           * sqrt(list_dot_product(b2.e, b2.e))), 6)
+       |    >= CAST(0.25 AS DOUBLE)),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       |intra AS (
+       |  SELECT la AS label, CAST(count(*) AS BIGINT) AS l_c
+       |  FROM pairs WHERE la = lb GROUP BY la),
+       |deg AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS d_c FROM (
+       |    SELECT la AS label FROM pairs
+       |    UNION ALL SELECT lb AS label FROM pairs)
+       |  GROUP BY label)
+       |SELECT deg.label, coalesce(intra.l_c, 0) AS l_c, deg.d_c, m.m,
+       |  CAST(4 * CAST(m.m AS HUGEINT) * CAST(coalesce(intra.l_c, 0)
+       |      AS HUGEINT)
+       |    - CAST(deg.d_c AS HUGEINT) * CAST(deg.d_c AS HUGEINT)
+       |    AS DOUBLE)
+       |  / CAST(4 * CAST(m.m AS HUGEINT) * CAST(m.m AS HUGEINT) AS DOUBLE)
+       |    AS q_contrib
+       |FROM deg LEFT JOIN intra ON deg.label = intra.label, m
+       |ORDER BY deg.label""".stripMargin
+  }
 }
