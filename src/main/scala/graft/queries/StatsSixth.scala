@@ -520,4 +520,101 @@ object StatsSixth {
       |      / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)))
       |      / CAST(n_b AS DOUBLE)) AS t_stat
       |FROM s""".stripMargin
+
+  // ------------------------------------------------- capture-recapture
+
+  /** Lincoln–Petersen capture-recapture estimate of the active-user
+    * population from two deterministic hash "captures" (disjoint md5
+    * buckets of event ids): users seen in capture 1 (n1), capture 2
+    * (n2), and both (m) give `N̂ = n1·n2/m` — the mark-recapture
+    * estimator a pipeline uses to size a population it can only sample.
+    * Membership is map-only hash arithmetic; the overlap is one
+    * user-keyed aggregation; n1·n2 widens to DECIMAL; the estimate is
+    * the one division. The exact distinct-user count rides along so the
+    * estimator's quality is visible in the gated output.
+    */
+  def captureRecaptureUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) % 10")
+          .as("bucket"))
+      .select(col("user_id"),
+        (col("bucket") < 3).as("in_c1"),
+        (col("bucket") >= 3 && col("bucket") < 6).as("in_c2"))
+      .groupBy(col("user_id"))
+      .agg(max(col("in_c1")).as("c1"), max(col("in_c2")).as("c2"))
+    tagged.agg(
+      sum(when(col("c1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("c1") && col("c2"), 1L).otherwise(0L)).as("m"),
+      count(lit(1)).as("true_users"))
+      .select(col("n1"), col("n2"), col("m"), col("true_users"),
+        ((col("n1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)"))
+          .cast("double") / col("m").cast("double")).as("estimated_users"))
+  }
+
+  val captureRecaptureUsersSql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 10
+      |      AS bucket
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN bucket < 3 THEN 1 ELSE 0 END) = 1 AS c1,
+      |    max(CASE WHEN bucket >= 3 AND bucket < 6 THEN 1 ELSE 0 END) = 1
+      |      AS c2
+      |  FROM t GROUP BY user_id)
+      |SELECT
+      |  CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+      |  CAST(count(*) AS BIGINT) AS true_users,
+      |  CAST(CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS HUGEINT) AS DOUBLE)
+      |    / CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS estimated_users
+      |FROM u""".stripMargin
+
+  // ------------------------------------------------ multinomial GoF
+
+  /** Multinomial goodness-of-fit of the event-type mix against the
+    * uniform null — "is traffic evenly spread across the 5 types?"
+    * Per-cell chi-square contributions from the exact integer identity
+    * `(k·n_obs − N)² / (k·N)` over k = 5 cells (same per-cell-row
+    * convention as `chi_square_promo_returns`: no cross-cell double
+    * sum). Products widen to DECIMAL; the one double per row is the
+    * final contribution.
+    */
+  def eventTypeGof(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = cells.agg(sum(col("n_obs")).as("n_total"),
+      count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_obs"),
+        ((col("k").cast("decimal(38,0)") * col("n_obs").cast("decimal(38,0)")
+          - col("n_total").cast("decimal(38,0)")).cast("double") *
+          (col("k").cast("decimal(38,0)") * col("n_obs").cast("decimal(38,0)")
+            - col("n_total").cast("decimal(38,0)")).cast("double") /
+          (col("k").cast("double") * col("n_total").cast("double")))
+          .as("chi2_contrib"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventTypeGofSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total,
+      |  CAST(count(*) AS BIGINT) AS k FROM c)
+      |SELECT event_type, n_obs,
+      |  CAST(CAST(k AS HUGEINT) * CAST(n_obs AS HUGEINT)
+      |      - CAST(n_total AS HUGEINT) AS DOUBLE)
+      |    * CAST(CAST(k AS HUGEINT) * CAST(n_obs AS HUGEINT)
+      |      - CAST(n_total AS HUGEINT) AS DOUBLE)
+      |    / (CAST(k AS DOUBLE) * CAST(n_total AS DOUBLE)) AS chi2_contrib
+      |FROM c, t
+      |ORDER BY event_type""".stripMargin
 }
