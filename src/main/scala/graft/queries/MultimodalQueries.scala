@@ -73,4 +73,37 @@ object MultimodalQueries {
       |  round(f0, 4) AS feat0, round(f7, 4) AS feat7
       |FROM resized
       |ORDER BY media_id""".stripMargin
+
+  /** Binary-column governance: per media kind, row count, byte volume,
+    * largest object and distinct-content count (content-hash dedup
+    * check) — the storage audit run before shipping a media corpus to
+    * an object store. Byte length is OCTET length of the binary column
+    * in both engines (UTF-8-safe); one kind-keyed aggregation, all
+    * integers.
+    */
+  def multimodalSizeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+      .toDF()
+      .select(col("kind"), length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        countDistinct(col("content_hash")).as("n_distinct_contents"))
+      .orderBy(col("kind"))
+  }
+
+  val multimodalSizeAuditSql: String =
+    """WITH media AS (
+      |  SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    md5(text) AS content_hash
+      |  FROM documents)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+      |  CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_contents
+      |FROM media
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
 }
