@@ -178,10 +178,11 @@ object AggregatesMore {
 
   /** Pairwise edit-distance matrix over the (bounded, 5-value) order
     * priority domain — the fuzzy-matching primitive (`levenshtein`)
-    * value-pinned cross-engine, plus shared-prefix length as the cheap
-    * pre-filter real fuzzy joins use. The pairing is DISTINCT values ×
-    * DISTINCT values (25 rows) after aggregation — a bounded-domain
-    * broadcast nested loop, never a row-level cross join.
+    * value-pinned cross-engine, with both lengths alongside (the length
+    * difference lower-bounds the distance — the cheap pre-filter real
+    * fuzzy joins use). The pairing is DISTINCT values × DISTINCT values
+    * (25 rows) after aggregation — a bounded-domain broadcast nested
+    * loop, never a row-level cross join.
     */
   def stringDistanceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val vals = Tables.orders(spark, sfDir)

@@ -366,11 +366,18 @@ object AnalyticsSeventh {
     * pure integers.
     */
   def eventTypeVenn(spark: SparkSession, sfDir: String): DataFrame = {
-    val idx = typedLit(Map("click" -> 0, "error" -> 1, "purchase" -> 2,
-      "signup" -> 3, "view" -> 4))
     val types = Seq("click", "error", "purchase", "signup", "view")
+    // CASE with ELSE 4, exactly like the oracle: an out-of-domain event
+    // type folds into the last bit in BOTH engines rather than silently
+    // dropping (a map lookup would null out unknown types on the Spark
+    // side only — a latent cross-engine asymmetry).
     val masks = Tables.events(spark, sfDir)
-      .select(col("user_id"), element_at(idx, col("event_type")).as("i"))
+      .select(col("user_id"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "error", 1)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 3)
+          .otherwise(4).as("i"))
       .select(col("user_id"),
         expr("shiftleft(cast(1 as bigint), i)").as("bit"))
       .groupBy(col("user_id"))

@@ -106,11 +106,19 @@ object CorpusSeventh {
     * side), with the lift emitted as the exact integer quotient.
     */
   def collocationPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.StableCheckpoint
+    // Materialized once: the tokenize+distinct+explode pass feeds the df
+    // aggregate AND the pair probe (exchange reuse does not fire across
+    // the renamed sides — same rationale as the MinHash signature pass).
     val docTok = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col("text"))))
           .as("tok"))
-    val nDocs = docTok.agg(countDistinct(col("doc_id")).as("n_docs"))
+      .stableCheckpoint()
+    // Every document tokenizes to ≥1 token, so n_docs is the plain
+    // document count — no distinct over the exploded token relation.
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
     val df = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // top-200 df vocabulary; ties broken by token for determinism
     val vocab = df.orderBy(col("df").desc, col("tok")).limit(200)

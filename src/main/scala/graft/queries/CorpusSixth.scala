@@ -310,13 +310,10 @@ object CorpusSixth {
     * the ONE double expression is the final pieces/words ratio.
     */
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    val piecesPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     Tables.documents(spark, sfDir)
       .select(col("lang"),
-        size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
-          .as("words"),
-        size(regexp_extract_all(lower(trim(col("text"))), lit(piecesPat),
-          lit(0))).cast("long").as("pieces"))
+        graft.text.TextFunctions.tokenCount(col("text")).as("words"),
+        graft.text.TextFunctions.subwordCount(col("text")).as("pieces"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("total_words"),
         sum(col("pieces")).as("total_pieces"))

@@ -83,6 +83,21 @@ object GraphMore {
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col("deg").as("k_thr"))
 
+  /** Distinct co-purchase edge list (pa < pb): the shared graph of the
+    * clustering-coefficient / rich-club / BFS queries. One definition so
+    * a future cap or dedup tweak applies to every consumer at once.
+    */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+      .distinct()
+  }
+
   /** Local clustering coefficient for the TOP-20-degree parts: how
     * interconnected each hub's neighborhood is —
     * closed_wedges / (deg·(deg−1)/2) — the community-density probe run
@@ -94,15 +109,7 @@ object GraphMore {
     * the `triangle_count` wedge-close shape, localized.
     */
   def clusteringCoeffTop(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.toDF("ok", "pa")
-      .join(items.toDF("ok", "pb"), "ok")
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-      .distinct()
-      .stableCheckpoint()
+    val edges = coPurchaseEdges(spark, sfDir).stableCheckpoint()
     // undirected adjacency (both directions) for neighbor sets
     val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
@@ -215,15 +222,8 @@ object GraphMore {
     * final double division per k.
     */
   def richClubCoefficient(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.toDF("ok", "pa")
-      .join(items.toDF("ok", "pb"), "ok")
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-      .distinct()
-      .stableCheckpoint() // reused: degrees + hub-hub edge counts
+    // reused: degrees + hub-hub edge counts
+    val edges = coPurchaseEdges(spark, sfDir).stableCheckpoint()
     val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -289,14 +289,7 @@ object GraphMore {
     * a depth-bounded recursive CTE. Output is pure integer counts.
     */
   def bfsDistanceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = items.toDF("ok", "pa")
-      .join(items.toDF("ok", "pb"), "ok")
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-      .distinct()
+    val edges = coPurchaseEdges(spark, sfDir)
     val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
       .stableCheckpoint() // probed once per BFS round

@@ -19,6 +19,38 @@ object SimQueries {
   private val Dim = 64
   private val LshBits = 8
 
+  /** The shared DuckDB literal for the LSH bucket expression (one CASE
+    * term per hyperplane bit) — a single generator so every oracle uses
+    * the identical bucket definition.
+    */
+  private def lshBitTermsSql: String =
+    Similarity.hyperplaneWeights(LshBits, Dim).zipWithIndex.map {
+      case (w, i) =>
+        val arr = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The shared semantic edge set (LSH bucket candidates verified at
+    * cosine ≥ 0.25) that `dedup_semantic_components`, the DBSCAN triage
+    * and the modularity eval all claim to operate on — ONE definition so
+    * a threshold or rounding change cannot silently diverge them.
+    * Emits (id_a, la, id_b, lb); label columns are free to drop.
+    */
+  private def semanticPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        Similarity.toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
+      .stableCheckpoint() // both self-join sides read stored partitions
+    v.toDF("id_a", "la", "e_a", "bucket")
+      .join(v.toDF("id_b", "lb", "e_b", "bucket"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= expr("cast(0.25 as double)"))
+      .select(col("id_a"), col("la"), col("id_b"), col("lb"))
+  }
+
   /** Exact brute-force top-5 neighbors for the first 20 vectors. */
   def simTopKBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -80,11 +112,7 @@ object SimQueries {
   }
 
   val simLshTopKSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
        |scored AS (
@@ -114,11 +142,7 @@ object SimQueries {
   }
 
   val simLshMultiProbeSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     val flips = (0 until LshBits).map(i => s"xor(home_bucket, ${1L << i})")
       .mkString("[", ", ", ", home_bucket]")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -168,28 +192,14 @@ object SimQueries {
     * iteration is one shuffle of (id, label).
     */
   def dedupSemanticComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    Similarity.registerCosine(spark)
-    val v = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
-      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
-      .stableCheckpoint() // both self-join sides read stored partitions
-    val pairs = v.toDF("id_a", "e_a", "bucket")
-      .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
-      .filter(col("sim") >= expr("cast(0.25 as double)"))
-      .select(col("id_a"), col("id_b"))
+    val pairs = semanticPairs(spark, sfDir).select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(pairs)
       .select(col("src").as("vec_id"), col("lbl").as("component"))
       .orderBy(col("vec_id"))
   }
 
   val dedupSemanticComponentsSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH RECURSIVE v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
@@ -243,11 +253,7 @@ object SimQueries {
   }
 
   val annRecallAuditSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
        |exact AS (
@@ -384,11 +390,7 @@ object SimQueries {
   }
 
   val hardNegativePairsSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v)
        |SELECT a.bucket, a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -407,11 +409,7 @@ object SimQueries {
     * embedded as literal DOUBLE[] arrays.
     */
   val simLshBucketsSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |bucketed AS (SELECT vec_id, label, CAST($bitTerms AS BIGINT) AS bucket FROM v)
        |SELECT bucket, count(*) AS n_vectors,
@@ -432,22 +430,13 @@ object SimQueries {
     * aggregations/semi-joins; output is the 3-row class histogram.
     */
   def dbscanCorePoints(spark: SparkSession, sfDir: String): DataFrame = {
-    Similarity.registerCosine(spark)
-    val v = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
-      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
-      .stableCheckpoint()
-    val pairs = v.toDF("id_a", "e_a", "bucket")
-      .join(v.toDF("id_b", "e_b", "bucket"), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
-      .filter(col("sim") >= expr("cast(0.25 as double)"))
+    val pairs = semanticPairs(spark, sfDir)
       .select(col("id_a"), col("id_b"))
       .stableCheckpoint() // degrees + adjacency probes below
     val adj = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val classified = v.select(col("vec_id"))
+    val classified = Tables.embeddings(spark, sfDir).select(col("vec_id"))
       .join(deg.toDF("vec_id", "deg"), Seq("vec_id"), "left")
       .withColumn("deg", coalesce(col("deg"), lit(0L)))
     val core = classified.filter(col("deg") >= 3).select(col("vec_id"))
@@ -469,11 +458,7 @@ object SimQueries {
   }
 
   val dbscanCorePointsSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |b AS (SELECT vec_id, e, CAST($bitTerms AS BIGINT) AS bucket FROM v),
@@ -545,11 +530,7 @@ object SimQueries {
   }
 
   val labelNoiseScanSql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),
@@ -590,18 +571,7 @@ object SimQueries {
     * or similarity regression shifts Q bit-visibly.
     */
   def labelModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    Similarity.registerCosine(spark)
-    val v = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"),
-        Similarity.toDoubleVec(col("embedding")).as("e"))
-      .withColumn("bucket", Similarity.lshBucket(col("e"), LshBits, Dim))
-      .stableCheckpoint()
-    val pairs = v.toDF("id_a", "la", "e_a", "bucket")
-      .join(v.toDF("id_b", "lb", "e_b", "bucket"), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(Similarity.cosine(col("e_a"), col("e_b")), 6))
-      .filter(col("sim") >= expr("cast(0.25 as double)"))
-      .select(col("id_a"), col("la"), col("id_b"), col("lb"))
+    val pairs = semanticPairs(spark, sfDir)
       .stableCheckpoint() // m, L_c and d_c all derive from this edge set
     val m = pairs.agg(count(lit(1)).as("m"))
     val intra = pairs.filter(col("la") === col("lb"))
@@ -624,11 +594,7 @@ object SimQueries {
   }
 
   val labelModularitySql: String = {
-    val weights = Similarity.hyperplaneWeights(LshBits, Dim)
-    val bitTerms = weights.zipWithIndex.map { case (w, i) =>
-      val arr = w.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, CAST($arr AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bitTerms = lshBitTermsSql
     s"""WITH v AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),

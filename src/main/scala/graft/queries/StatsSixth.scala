@@ -257,11 +257,15 @@ object StatsSixth {
     */
   def bloomFprAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val numBits = 1 << 20
+    // Materialized once: the tokenize+ngram+explode pass feeds the eval
+    // set, the bloom build and the probe side.
     val grams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(Dedup.ngramSetOfTokens(col("toks"), 5)).as("g"))
+      .stableCheckpoint()
     val ev = grams.filter(col("doc_id") % 89 === 0).select(col("g")).distinct()
+      .stableCheckpoint() // bloom build + exact anti-join probe filter
     val probes = grams.filter(col("doc_id") % 89 =!= 0)
       .select(col("g")).distinct()
       .join(ev, Seq("g"), "left_anti") // provably-absent probes only
