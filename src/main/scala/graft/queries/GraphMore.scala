@@ -344,4 +344,52 @@ object GraphMore {
       |SELECT CAST(-1 AS BIGINT), CAST(n_total - n_seen AS BIGINT)
       |FROM tot, seen
       |ORDER BY dist""".stripMargin
+
+  // --------------------------------------------- neighbor degree function
+
+  /** Average-neighbor-degree function k_nn(k) — the degree-resolved
+    * refinement of the scalar assortativity: for nodes of degree k, the
+    * mean degree of their neighbors. Rising k_nn(k) = assortative hubs,
+    * falling = hub-periphery. Degrees come off the shared co-purchase
+    * edge list; the neighbor-degree sum is ONE adjacency⋈degree keyed
+    * join aggregated per node then per k — integer sums end to end with
+    * the single mean division. Σ of neighbor degrees per k reaches
+    * ~10¹⁴ at catalog scale → stays in BIGINT comfortably; the k domain
+    * is degree-bounded (≤ 2·√|E| distinct values, the `kcore` argument).
+    */
+  def neighborDegreeFunction(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir).stableCheckpoint()
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .stableCheckpoint() // joined twice: own degree + neighbor degree
+    adj.join(deg.toDF("v", "nbr_deg"), Seq("v"))
+      .join(deg, Seq("u"))
+      .groupBy(col("deg").as("k"))
+      .agg(countDistinct(col("u")).as("n_nodes"),
+        count(lit(1)).as("n_edge_ends"),
+        sum(col("nbr_deg")).as("sum_nbr_deg"))
+      .select(col("k"), col("n_nodes"),
+        (col("sum_nbr_deg").cast("double") /
+          col("n_edge_ends").cast("double")).as("k_nn"))
+      .orderBy(col("k"))
+  }
+
+  val neighborDegreeFunctionSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+      |adj AS (
+      |  SELECT pa AS u, pb AS v FROM e
+      |  UNION ALL SELECT pb AS u, pa AS v FROM e),
+      |d AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u)
+      |SELECT du.deg AS k, CAST(count(DISTINCT adj.u) AS BIGINT) AS n_nodes,
+      |  CAST(sum(dv.deg) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS k_nn
+      |FROM adj
+      |JOIN d dv ON adj.v = dv.u
+      |JOIN d du ON adj.u = du.u
+      |GROUP BY du.deg
+      |ORDER BY k""".stripMargin
 }

@@ -421,4 +421,50 @@ object RelationalFourth {
       |FROM l
       |GROUP BY bucket_order
       |ORDER BY bucket_order""".stripMargin
+
+  // ------------------------------------------------- substitute parts
+
+  /** Substitution-candidate catalog: parts interchangeable on
+    * (type, size) but offered under different brands — per group, the
+    * part/brand counts and the exact number of CROSS-BRAND pairs
+    * `C(n,2) − Σ_brand C(c_b,2)` (pure integer identity: all pairs
+    * minus same-brand pairs — no pair enumeration, just two aggregation
+    * levels). The sourcing-alternatives query a procurement pipeline
+    * runs; top-20 groups by substitutability.
+    */
+  def substituteParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val perBrand = Tables.part(spark, sfDir)
+      .groupBy(col("p_type"), col("p_size"), col("p_brand"))
+      .agg(count(lit(1)).as("c_b"))
+    perBrand
+      .groupBy(col("p_type"), col("p_size"))
+      .agg(sum(col("c_b")).as("n_parts"),
+        count(lit(1)).as("n_brands"),
+        sum(expr("c_b * (c_b - 1) div 2")).as("same_brand_pairs"))
+      .filter(col("n_brands") >= 2)
+      .select(col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("n_parts"), col("n_brands"),
+        (expr("n_parts * (n_parts - 1) div 2") - col("same_brand_pairs"))
+          .as("n_substitute_pairs"))
+      .orderBy(col("n_substitute_pairs").desc, col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  val substitutePartsSql: String =
+    """WITH pb AS (
+      |  SELECT p_type, p_size, p_brand, CAST(count(*) AS BIGINT) AS c_b
+      |  FROM part GROUP BY p_type, p_size, p_brand),
+      |g AS (
+      |  SELECT p_type, p_size,
+      |    CAST(sum(c_b) AS BIGINT) AS n_parts,
+      |    CAST(count(*) AS BIGINT) AS n_brands,
+      |    CAST(sum(c_b * (c_b - 1) // 2) AS BIGINT) AS same_brand_pairs
+      |  FROM pb GROUP BY p_type, p_size)
+      |SELECT p_type, CAST(p_size AS BIGINT) AS p_size, n_parts, n_brands,
+      |  CAST(n_parts * (n_parts - 1) // 2 - same_brand_pairs AS BIGINT)
+      |    AS n_substitute_pairs
+      |FROM g
+      |WHERE n_brands >= 2
+      |ORDER BY n_substitute_pairs DESC, p_type, p_size
+      |LIMIT 20""".stripMargin
 }

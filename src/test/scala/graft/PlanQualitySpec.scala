@@ -688,5 +688,15 @@ class PlanQualitySpec extends SparkTestBase {
       assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
         "yoy lag window must order the aggregated year domain")
     }
+    // k_nn(k): keyed adjacency⋈degree joins, no windows; substitutes:
+    // pure two-level aggregate with a distributed top-20.
+    val knn = graft.queries.GraphMore.neighborDegreeFunction(spark, sf0001)
+    assert(!plan(knn).contains("CartesianProduct") &&
+      knn.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }.isEmpty,
+      "neighbor-degree function must stay keyed and window-free")
+    val sub = plan(graft.queries.RelationalFourth.substituteParts(spark, sf0001))
+    assert(!sub.contains("Join") && sub.contains("TakeOrderedAndProject"),
+      "substitute parts must be a join-free aggregate with partial top-k")
   }
 }
