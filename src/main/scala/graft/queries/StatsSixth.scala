@@ -621,4 +621,122 @@ object StatsSixth {
       |    / (CAST(k AS DOUBLE) * CAST(n_total AS DOUBLE)) AS chi2_contrib
       |FROM c, t
       |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------- daily metric corr matrix
+
+  /** Pearson correlation matrix over three daily order metrics (revenue
+    * cents, order count, distinct customers) — the metric-redundancy
+    * audit run before picking KPIs. ONE aggregation pass over the daily
+    * table collects every integer moment (sums, squares, cross products
+    * — all DECIMAL, Σxy reaches ~10²⁶ at scale), then the three
+    * pairwise r values are identical-association double expressions
+    * over those integers. The daily table is the calendar-bounded
+    * aggregate every series query here shares.
+    */
+  def dailyMetricCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"),
+        countDistinct(col("o_custkey")).as("cust"))
+    def d(c: String) = expr(s"cast($c as decimal(38,0))")
+    val moments = daily.agg(
+      count(lit(1)).as("n"),
+      sum(d("rev")).as("s_rev"), sum(d("cnt")).as("s_cnt"),
+      sum(d("cust")).as("s_cust"),
+      sum(d("rev") * d("rev")).as("q_rev"),
+      sum(d("cnt") * d("cnt")).as("q_cnt"),
+      sum(d("cust") * d("cust")).as("q_cust"),
+      sum(d("rev") * d("cnt")).as("x_rev_cnt"),
+      sum(d("rev") * d("cust")).as("x_rev_cust"),
+      sum(d("cnt") * d("cust")).as("x_cnt_cust"))
+    def r(x: String, y: String, sx: String, sy: String, qx: String,
+        qy: String, xy: String) =
+      ((expr(s"cast(n as decimal(38,0))") * col(xy)
+        - col(sx) * col(sy)).cast("double") /
+        (sqrt((expr(s"cast(n as decimal(38,0))") * col(qx)
+          - col(sx) * col(sx)).cast("double")) *
+          sqrt((expr(s"cast(n as decimal(38,0))") * col(qy)
+            - col(sy) * col(sy)).cast("double")))).as(s"r_${x}_$y")
+    moments.select(col("n").cast("long").as("n_days"),
+      r("rev", "cnt", "s_rev", "s_cnt", "q_rev", "q_cnt", "x_rev_cnt"),
+      r("rev", "cust", "s_rev", "s_cust", "q_rev", "q_cust", "x_rev_cust"),
+      r("cnt", "cust", "s_cnt", "s_cust", "q_cnt", "q_cust", "x_cnt_cust"))
+  }
+
+  val dailyMetricCorrMatrixSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust
+      |  FROM orders GROUP BY o_orderdate),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(rev AS HUGEINT)) AS s_rev,
+      |    sum(CAST(cnt AS HUGEINT)) AS s_cnt,
+      |    sum(CAST(cust AS HUGEINT)) AS s_cust,
+      |    sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS q_rev,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS q_cnt,
+      |    sum(CAST(cust AS HUGEINT) * CAST(cust AS HUGEINT)) AS q_cust,
+      |    sum(CAST(rev AS HUGEINT) * CAST(cnt AS HUGEINT)) AS x_rev_cnt,
+      |    sum(CAST(rev AS HUGEINT) * CAST(cust AS HUGEINT)) AS x_rev_cust,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cust AS HUGEINT)) AS x_cnt_cust
+      |  FROM daily)
+      |SELECT n AS n_days,
+      |  CAST(CAST(n AS HUGEINT) * x_rev_cnt - s_rev * s_cnt AS DOUBLE)
+      |    / (sqrt(CAST(CAST(n AS HUGEINT) * q_rev - s_rev * s_rev
+      |        AS DOUBLE))
+      |      * sqrt(CAST(CAST(n AS HUGEINT) * q_cnt - s_cnt * s_cnt
+      |        AS DOUBLE))) AS r_rev_cnt,
+      |  CAST(CAST(n AS HUGEINT) * x_rev_cust - s_rev * s_cust AS DOUBLE)
+      |    / (sqrt(CAST(CAST(n AS HUGEINT) * q_rev - s_rev * s_rev
+      |        AS DOUBLE))
+      |      * sqrt(CAST(CAST(n AS HUGEINT) * q_cust - s_cust * s_cust
+      |        AS DOUBLE))) AS r_rev_cust,
+      |  CAST(CAST(n AS HUGEINT) * x_cnt_cust - s_cnt * s_cust AS DOUBLE)
+      |    / (sqrt(CAST(CAST(n AS HUGEINT) * q_cnt - s_cnt * s_cnt
+      |        AS DOUBLE))
+      |      * sqrt(CAST(CAST(n AS HUGEINT) * q_cust - s_cust * s_cust
+      |        AS DOUBLE))) AS r_cnt_cust
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------ active days histogram
+
+  /** Engagement-frequency distribution: how many users were active on
+    * exactly d distinct days — the DAU-composition histogram behind
+    * "are actives daily habits or one-shots". Two keyed aggregations
+    * (per-user distinct days, then the day-count histogram), all
+    * integers; share is the one division.
+    */
+  def activeDaysHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+    val hist = perUser.groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum(col("n_users")).as("total_users"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("active_days"), col("n_users"),
+        (col("n_users").cast("double") / col("total_users").cast("double"))
+          .as("user_share"))
+      .orderBy(col("active_days"))
+  }
+
+  val activeDaysHistogramSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+      |      AS active_days
+      |  FROM events GROUP BY user_id),
+      |h AS (
+      |  SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM pu GROUP BY active_days),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total_users FROM h)
+      |SELECT active_days, n_users,
+      |  CAST(n_users AS DOUBLE) / CAST(total_users AS DOUBLE)
+      |    AS user_share
+      |FROM h, t
+      |ORDER BY active_days""".stripMargin
 }
