@@ -467,4 +467,52 @@ object RelationalFourth {
       |WHERE n_brands >= 2
       |ORDER BY n_substitute_pairs DESC, p_type, p_size
       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- brand return rates
+
+  /** Return-rate league table by brand: lineitems flagged 'R' as a
+    * share of each brand's volume, with the returned revenue — the
+    * merchandising quality scan. One keyed lineitem→part join into a
+    * brand aggregate (brands are a bounded domain); a 100-item volume
+    * floor keeps rates statistically meaningful; rate is the one
+    * division. Top-20 worst brands, distributed partial top-k.
+    */
+  def brandReturnRates(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (col("l_returnflag") === "R").as("is_ret"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val pr = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    li.join(pr, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("is_ret"), 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("is_ret"), col("cents")).otherwise(0L))
+          .as("returned_cents"))
+      .filter(col("n_items") >= 100)
+      .select(col("p_brand"), col("n_items"), col("n_returned"),
+        col("returned_cents"),
+        (col("n_returned").cast("double") / col("n_items").cast("double"))
+          .as("return_rate"))
+      .orderBy(col("return_rate").desc, col("p_brand"))
+      .limit(20)
+  }
+
+  val brandReturnRatesSql: String =
+    """WITH j AS (
+      |  SELECT p_brand, l_returnflag = 'R' AS is_ret,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CASE WHEN is_ret THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returned,
+      |  CAST(sum(CASE WHEN is_ret THEN cents ELSE 0 END) AS BIGINT)
+      |    AS returned_cents,
+      |  CAST(sum(CASE WHEN is_ret THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS return_rate
+      |FROM j
+      |GROUP BY p_brand
+      |HAVING count(*) >= 100
+      |ORDER BY return_rate DESC, p_brand
+      |LIMIT 20""".stripMargin
 }
