@@ -515,4 +515,105 @@ object RelationalFourth {
       |HAVING count(*) >= 100
       |ORDER BY return_rate DESC, p_brand
       |LIMIT 20""".stripMargin
+
+  // -------------------------------------------- supplier YoY retention
+
+  /** Supplier-base year-over-year retention: of the suppliers that
+    * shipped in year y, what fraction also shipped in y+1 — the
+    * supply-chain churn gauge. Distinct (year, supplier) rows, a
+    * supplier-keyed self-join constrained to adjacent years, and the
+    * one retention division — the `weekly_user_jaccard` shape on the
+    * supplier axis.
+    */
+  def supplierYoyRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.lineitem(spark, sfDir)
+      .select(year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_suppkey"))
+      .distinct()
+      .stableCheckpoint() // sizes + adjacent-year self-join
+    val sizes = active.groupBy(col("yr")).agg(count(lit(1)).as("n_suppliers"))
+    val retained = active.toDF("ya", "l_suppkey")
+      .join(active.toDF("yb", "l_suppkey"), Seq("l_suppkey"))
+      .filter(col("yb") === col("ya") + 1)
+      .groupBy(col("ya")).agg(count(lit(1)).as("n_retained"))
+    sizes.toDF("ya", "n_year")
+      .join(sizes.toDF("yb", "n_next").withColumn("ya", col("yb") - 1),
+        Seq("ya"))
+      .join(retained, Seq("ya"), "left")
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .select(col("ya").as("year"), col("n_year"), col("n_next"),
+        col("n_retained"),
+        (col("n_retained").cast("double") / col("n_year").cast("double"))
+          .as("retention_rate"))
+      .orderBy(col("year"))
+  }
+
+  val supplierYoyRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)
+      |      AS yr,
+      |    l_suppkey
+      |  FROM lineitem),
+      |sizes AS (
+      |  SELECT yr, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY yr),
+      |ret AS (
+      |  SELECT x.yr AS ya, CAST(count(*) AS BIGINT) AS n_retained
+      |  FROM a x JOIN a y
+      |    ON x.l_suppkey = y.l_suppkey AND y.yr = x.yr + 1
+      |  GROUP BY x.yr)
+      |SELECT p.yr AS year, p.n AS n_year, q.n AS n_next,
+      |  coalesce(r.n_retained, 0) AS n_retained,
+      |  CAST(coalesce(r.n_retained, 0) AS DOUBLE) / CAST(p.n AS DOUBLE)
+      |    AS retention_rate
+      |FROM sizes p
+      |JOIN sizes q ON q.yr = p.yr + 1
+      |LEFT JOIN ret r ON r.ya = p.yr
+      |ORDER BY year""".stripMargin
+
+  // ---------------------------------------------------- brand margins
+
+  /** Realized-vs-list margin by brand: per-unit realized price
+    * (extendedprice/quantity) against the part's list retailprice, in
+    * exact integer cents aggregated per brand — the pricing-power scan.
+    * The per-line margin is kept integer by scaling before the
+    * quantity division (`(100·extprice_cents·1) div qty` would lose
+    * exactness, so instead Σ extprice and Σ qty·retail are aggregated
+    * separately and the single ratio compares revenue to list value).
+    */
+  def brandMarginStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("ext_cents"))
+    val pr = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+    li.join(pr, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("ext_cents")).as("revenue_cents"),
+        sum(expr("cast(qty as decimal(38,0)) * cast(retail_cents as decimal(38,0))"))
+          .cast("long").as("list_value_cents"))
+      .select(col("p_brand"), col("n_lines"), col("revenue_cents"),
+        col("list_value_cents"),
+        (col("revenue_cents").cast("double") /
+          col("list_value_cents").cast("double")).as("realized_ratio"))
+      .orderBy(col("p_brand"))
+  }
+
+  val brandMarginStatsSql: String =
+    """WITH j AS (
+      |  SELECT p_brand, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(ext_cents) AS BIGINT) AS revenue_cents,
+      |  CAST(sum(CAST(qty AS HUGEINT) * CAST(retail_cents AS HUGEINT))
+      |    AS BIGINT) AS list_value_cents,
+      |  CAST(sum(ext_cents) AS DOUBLE)
+      |    / CAST(sum(CAST(qty AS HUGEINT) * CAST(retail_cents AS HUGEINT))
+      |        AS DOUBLE) AS realized_ratio
+      |FROM j
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
 }

@@ -95,6 +95,79 @@ object StatsFifth {
       |    AS gini
       |FROM c""".stripMargin
 
+  /** Year-resolved twin of [[lorenzGini]]: the customer-revenue Gini per
+    * order year — "is revenue concentration drifting?" as a trend, not a
+    * scalar. Same binned-Lorenz construction, but every step keys on the
+    * year: per-(year, customer) cents, per-year min/max (a bounded
+    * broadcast), 1000 fixed bins, YEAR-KEYED cumulative windows (never
+    * global), and one trapezoid division per year. Identical binning in
+    * both engines keeps it bit-exact; binning error ≤ 1/1000 of each
+    * year's range as documented on the global version.
+    */
+  def giniByYear(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val mm = rev.groupBy(col("yr"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val bins = rev.join(broadcast(mm), Seq("yr"))
+      .select(col("yr"),
+        expr("((cents - mn) * 1000) div (mx - mn + 1)").as("bin"),
+        col("cents"))
+      .groupBy(col("yr"), col("bin"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("s_cents"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_s", sum(col("s_cents")).over(w))
+      .select(col("yr"), col("n_cust"), col("s_cents"),
+        (expr("cast(n_cust as decimal(19,0))") *
+          expr("cast(2 * cum_s - s_cents as decimal(19,0))")).as("term"))
+      .groupBy(col("yr"))
+      .agg(sum(col("n_cust")).as("n_customers"),
+        sum(col("s_cents")).as("total_cents"),
+        sum(col("term")).as("t"))
+      .select(col("yr"), col("n_customers"), col("total_cents"),
+        (lit(1.0d) - (col("t").cast("double") /
+          (col("n_customers").cast("double") *
+            col("total_cents").cast("double")))).as("gini"))
+      .orderBy(col("yr"))
+  }
+
+  val giniByYearSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |    o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, o_custkey),
+      |mm AS (SELECT yr, min(cents) AS mn, max(cents) AS mx FROM rev
+      |  GROUP BY yr),
+      |b AS (
+      |  SELECT rev.yr, ((cents - mn) * 1000) // (mx - mn + 1) AS bin, cents
+      |  FROM rev JOIN mm ON rev.yr = mm.yr),
+      |g AS (
+      |  SELECT yr, bin, CAST(count(*) AS BIGINT) AS n_cust,
+      |    CAST(sum(cents) AS BIGINT) AS s_cents
+      |  FROM b GROUP BY yr, bin),
+      |c AS (
+      |  SELECT yr, n_cust, s_cents,
+      |    CAST(sum(s_cents) OVER (PARTITION BY yr ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_s
+      |  FROM g)
+      |SELECT yr, CAST(sum(n_cust) AS BIGINT) AS n_customers,
+      |  CAST(sum(s_cents) AS BIGINT) AS total_cents,
+      |  CAST(1 AS DOUBLE)
+      |    - CAST(sum(CAST(n_cust AS HUGEINT)
+      |        * CAST(2 * cum_s - s_cents AS HUGEINT)) AS DOUBLE)
+      |      / (CAST(sum(n_cust) AS DOUBLE) * CAST(sum(s_cents) AS DOUBLE))
+      |    AS gini
+      |FROM c
+      |GROUP BY yr
+      |ORDER BY yr""".stripMargin
+
   // ---------------------------------------------------- chi-square cells
 
   /** Chi-square test of independence between part promotion status

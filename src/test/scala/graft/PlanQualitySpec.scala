@@ -698,5 +698,21 @@ class PlanQualitySpec extends SparkTestBase {
     val sub = plan(graft.queries.RelationalFourth.substituteParts(spark, sf0001))
     assert(!sub.contains("Join") && sub.contains("TakeOrderedAndProject"),
       "substitute parts must be a join-free aggregate with partial top-k")
+    // gini-by-year: cumulative windows must be YEAR-keyed (the global
+    // lorenz's bounded-domain argument does not transfer — per-year
+    // partitions make it moot); retention/margins: keyed joins only.
+    val gby = graft.queries.StatsFifth.giniByYear(spark, sf0001)
+    assert(gby.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "gini_by_year windows must be year-keyed")
+    Seq(
+      "supplier_yoy_retention" ->
+        graft.queries.RelationalFourth.supplierYoyRetention(spark, sf0001),
+      "brand_margin_stats" ->
+        graft.queries.RelationalFourth.brandMarginStats(spark, sf0001)
+    ).foreach { case (name, df) =>
+      assert(!plan(df).contains("CartesianProduct"),
+        s"$name joins must stay keyed or broadcast")
+    }
   }
 }
