@@ -725,6 +725,73 @@ object StatsSixth {
       .orderBy(col("active_days"))
   }
 
+  /** Customer order-frequency quartiles from the COUNT HISTOGRAM — how
+    * many orders the p25/p50/p75/p90 customer places, the
+    * lifetime-frequency profile behind loyalty tiering. Per-customer
+    * counts (keyed aggregate), then the repo's exact rank convention
+    * picked from the bounded distinct-count domain via one global
+    * cumulative window ABOVE the aggregate (the kcore argument: the
+    * distinct order-count domain is ≤ 2·√Σcounts).
+    */
+  def orderFrequencyQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val hist = perCust.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("n_orders"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    def pick(p: String, as: String) =
+      max(when(col("cum") >=
+        expr(s"cast(floor(cast($p as double) * cast(n - 1 as double)) as bigint) + 1") &&
+        col("cum") - col("cnt") <
+          expr(s"cast(floor(cast($p as double) * cast(n - 1 as double)) as bigint) + 1"),
+        col("n_orders"))).as(as)
+    ranked.agg(max(col("n")).as("n_customers"),
+      pick("0.25", "p25_orders"), pick("0.5", "p50_orders"),
+      pick("0.75", "p75_orders"), pick("0.9", "p90_orders"))
+  }
+
+  val orderFrequencyQuartilesSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (
+      |  SELECT n_orders, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM pc GROUP BY n_orders),
+      |c AS (
+      |  SELECT n_orders, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY n_orders
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM h)
+      |SELECT CAST(max(n) AS BIGINT) AS n_customers,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.25 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.25 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_orders END)
+      |    AS p25_orders,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.5 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.5 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_orders END)
+      |    AS p50_orders,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.75 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.75 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_orders END)
+      |    AS p75_orders,
+      |  max(CASE WHEN cum >= CAST(floor(CAST(0.9 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |    AND cum - cnt < CAST(floor(CAST(0.9 AS DOUBLE)
+      |      * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 THEN n_orders END)
+      |    AS p90_orders
+      |FROM c""".stripMargin
+
   val activeDaysHistogramSql: String =
     """WITH pu AS (
       |  SELECT user_id, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)

@@ -714,5 +714,17 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!plan(df).contains("CartesianProduct"),
         s"$name joins must stay keyed or broadcast")
     }
+    // order-frequency quartiles: the global cumulative window must sit
+    // above the count-histogram aggregate (bounded distinct-count domain).
+    val ofq = graft.queries.StatsSixth.orderFrequencyQuartiles(spark, sf0001)
+    val ofqGlobals = ofq.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(ofqGlobals.nonEmpty,
+      "order-frequency quartiles should use its bounded-domain window")
+    ofqGlobals.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "quartile window must order the aggregated count histogram")
+    }
   }
 }
