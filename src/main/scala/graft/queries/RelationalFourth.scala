@@ -616,4 +616,54 @@ object RelationalFourth {
       |FROM j
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------------- nation trade matrix
+
+  /** Full customer-nation × supplier-nation trade-flow matrix — q7
+    * generalized from one nation pair to the complete 25×25 grid, the
+    * international-commerce OLAP cube slice. The star join is the q5/q7
+    * shape (fact scans shuffle on their natural keys; the two nation
+    * dims ride broadcasts); revenue is exact integer cents; top-20
+    * flows by volume via distributed partial top-k.
+    */
+  def nationTradeMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.toDF("ck", "cust_nation")),
+        col("c_nationkey") === col("ck"))
+      .join(broadcast(nat.toDF("sk", "supp_nation")),
+        col("s_nationkey") === col("sk"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("trade_cents"))
+      .orderBy(col("trade_cents").desc, col("cust_nation"),
+        col("supp_nation"))
+      .limit(20)
+  }
+
+  val nationTradeMatrixSql: String =
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS trade_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY cn.n_name, sn.n_name
+      |ORDER BY trade_cents DESC, cust_nation, supp_nation
+      |LIMIT 20""".stripMargin
 }
