@@ -666,4 +666,46 @@ object RelationalFourth {
       |GROUP BY cn.n_name, sn.n_name
       |ORDER BY trade_cents DESC, cust_nation, supp_nation
       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ segment priority mix
+
+  /** Market-segment × order-priority revenue mix with each cell's share
+    * of its segment — the "who orders urgently" merchandising slice
+    * (5×5 bounded grid). One orders→customer keyed join, a cell
+    * aggregation, segment totals via a SEGMENT-KEYED window over the
+    * 25-cell aggregate, and the one share division per cell.
+    */
+  def segmentPriorityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    cells
+      .withColumn("seg_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("n_orders"),
+        col("rev_cents"),
+        (col("rev_cents").cast("double") / col("seg_cents").cast("double"))
+          .as("segment_share"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  val segmentPriorityMixSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_orderpriority)
+      |SELECT c_mktsegment, o_orderpriority, n_orders, rev_cents,
+      |  CAST(rev_cents AS DOUBLE)
+      |    / CAST(sum(rev_cents) OVER (PARTITION BY c_mktsegment)
+      |        AS DOUBLE) AS segment_share
+      |FROM cells
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 }
