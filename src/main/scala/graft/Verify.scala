@@ -38,10 +38,23 @@ object Verify {
           names.toSeq.sorted.mkString(", "))
     }
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // Dtype lint (VERDICT r6): an output column typed decimal(p>18)
+    // hashes differently from the oracle's BIGINT even with identical
+    // values — collect violators while dumping, fail loudly at the end.
+    val lintViolations = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val wide = DtypeLint.wideDecimalColumns(df)
+        if (wide.nonEmpty) {
+          lintViolations += s"$name: ${wide.mkString(", ")}"
+          System.err.println(
+            s"[verify] DTYPE LINT: $name emits decimal(p>18) columns " +
+              s"${wide.mkString(", ")} — cast the finals to BIGINT " +
+              "(see DtypeLint.scala)")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -61,5 +74,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail AFTER all dumps + oracle json are on disk so a violation is
+    // loud (non-zero exit) without hiding the rest of the gate's data.
+    require(lintViolations.isEmpty,
+      "dtype lint violations (decimal p>18 output columns):\n  " +
+        lintViolations.mkString("\n  "))
   }
 }

@@ -271,7 +271,11 @@ object CorpusFifth {
     * integer arithmetic (DECIMAL(38,0) / HUGEINT — a 1e13-token corpus
     * would wrap the naive BIGINT product) so the RANKING is pure integer
     * arithmetic at any corpus size (the same trick as `tfidf_top_terms`
-    * — no double comparisons anywhere near a rank). The curation use: what vocabulary defines each class/slice
+    * — no double comparisons anywhere near a rank). Bound on the EMITTED
+    * value: the integral divide narrows lift_fp to BIGINT, and since
+    * c_t ≥ c_lt ≥ 5 the worst case is 10⁶·N/5 — exact for corpora up to
+    * N ≈ 4.6·10¹³ tokens; past that the final would have to stay
+    * DECIMAL (the 128-bit intermediates are safe to 10³² regardless). The curation use: what vocabulary defines each class/slice
     * of a corpus. Two token-keyed aggregations + a per-class top-5
     * window over the (class, token) domain — at 100 TB the window input
     * is vocabulary-sized, not corpus-sized.
@@ -295,7 +299,8 @@ object CorpusFifth {
       // a 1e13-token corpus — silent Long wrap in non-ANSI Spark, a bind
       // error in DuckDB. DECIMAL(38,0) here / HUGEINT in the oracle keep
       // the integer ranking exact at every scale; IntegralDivide then
-      // returns the BIGINT lift both engines hash.
+      // returns the BIGINT lift both engines hash (exact while
+      // 10⁶·N/5 ≤ Long.Max, i.e. N ≲ 4.6e13 tokens — see docstring).
       .withColumn("lift_fp",
         expr("(cast(c_lt as decimal(38,0)) * cast(n_total as decimal(38,0))" +
           " * 1000000) div (cast(n_l as decimal(38,0)) * cast(c_t as decimal(38,0)))"))

@@ -207,7 +207,9 @@ object CorpusSixth {
     * inside the ARRAY via a higher-order `aggregate`/`list_sum` — no
     * explode, no shuffle of 64× component rows; the per-label sum widens
     * to DECIMAL (10¹²  vectors × ~10⁷ per-vector norm passes a long at
-    * 100 TB). The one double is the final mean.
+    * 100 TB) and the emitted column narrows back to BIGINT per the repo
+    * gate convention (fits int64 at every gate sf). The one double is
+    * the final mean.
     */
   def embeddingNormAudit(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -221,7 +223,7 @@ object CorpusSixth {
         sum(when(col("norm2q") === 0, 1L).otherwise(0L)).as("n_zero"),
         sum(expr("cast(norm2q as decimal(19,0))")).as("sum_norm2q"))
       .select(col("label"), col("n_vecs"), col("n_zero"),
-        col("sum_norm2q").cast("decimal(38,0)").as("sum_norm2q"),
+        col("sum_norm2q").cast("long").as("sum_norm2q"),
         (col("sum_norm2q").cast("double") / col("n_vecs").cast("double"))
           .as("mean_norm2q"))
       .orderBy(col("label"))
@@ -235,7 +237,7 @@ object CorpusSixth {
       |  FROM embeddings)
       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
       |  CAST(sum(CASE WHEN norm2q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-      |  CAST(sum(norm2q) AS HUGEINT) AS sum_norm2q,
+      |  CAST(CAST(sum(norm2q) AS HUGEINT) AS BIGINT) AS sum_norm2q,
       |  CAST(sum(norm2q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm2q
       |FROM q
       |GROUP BY label

@@ -317,7 +317,10 @@ object StatsFifth {
     * bit-exact cross-engine — the usual L2 normalization only rescales
     * rank order, so top-k by a₂ is top-k by authority. Iterate
     * magnitudes reach ~10¹⁷ at 100 TB (deg ~30, |C| ~10⁷), so the last
-    * two sums widen to DECIMAL/HUGEINT before they can wrap.
+    * two sums widen to DECIMAL/HUGEINT before they can wrap; the FINAL
+    * column is narrowed back to BIGINT (repo gate convention — the
+    * driver's hasher normalizes decimal128 and int64 differently, and
+    * authority fits int64 at every gate sf).
     *
     * Scale shape: the edge list is localCheckpointed once and reused by
     * three keyed aggregation joins (never recomputed from base tables);
@@ -339,7 +342,7 @@ object StatsFifth {
       .agg(sum(col("h2")).as("authority"))
       .orderBy(col("authority").desc, col("p"))
       .limit(20)
-      .select(col("p").as("p_partkey"), col("authority"))
+      .select(col("p").as("p_partkey"), col("authority").cast("long").as("authority"))
   }
 
   val hitsPowerIterationSql: String =
@@ -353,7 +356,7 @@ object StatsFifth {
       |h2 AS (
       |  SELECT c, CAST(sum(CAST(a1 AS HUGEINT)) AS HUGEINT) AS h2
       |  FROM edges JOIN a1 USING (p) GROUP BY c)
-      |SELECT p AS p_partkey, CAST(sum(h2) AS HUGEINT) AS authority
+      |SELECT p AS p_partkey, CAST(CAST(sum(h2) AS HUGEINT) AS BIGINT) AS authority
       |FROM edges JOIN h2 USING (c)
       |GROUP BY p
       |ORDER BY authority DESC, p
@@ -438,7 +441,9 @@ object StatsFifth {
     * 9 independent estimator rows × 64 sign counters each: signs come
     * from bit 0 of `xxhash64(user_id, j)`, per-row sums-of-64-z² are
     * EXACT integers (widened to DECIMAL — z ~ 10¹² at 100 TB squares
-    * past long), and the median-of-9 is picked by sorting the 9-element
+    * past long; the emitted f2_exact narrows back to BIGINT per the
+    * repo gate convention since it fits int64 at every gate sf), and
+    * the median-of-9 is picked by sorting the 9-element
     * collected array — every arithmetic step deterministic, no doubles
     * anywhere. Like the KLL gates, the emitted row is a VERDICT: the
     * median row-sum must lie within 25% of 64·F2_exact (mean-of-64
@@ -472,14 +477,14 @@ object StatsFifth {
     val f2 = f.agg(
       sum(expr("cast(fu as decimal(19,0)) * cast(fu as decimal(19,0))")).as("f2_exact"))
     f2.crossJoin(broadcast(med))
-      .select(col("f2_exact").cast("decimal(38,0)").as("f2_exact"),
+      .select(col("f2_exact").cast("long").as("f2_exact"),
         (abs(col("med_sum") - lit(cols) * col("f2_exact")) <=
           lit(cols / 4) * col("f2_exact")).as("within_bound"))
   }
 
   val amsF2MomentSql: String =
     """WITH f AS (SELECT count(*) AS c FROM events GROUP BY user_id)
-      |SELECT CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+      |SELECT CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT)
       |    AS f2_exact,
       |  TRUE AS within_bound
       |FROM f""".stripMargin

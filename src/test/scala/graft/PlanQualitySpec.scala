@@ -438,13 +438,16 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("analytics-sixth family keeps its scale shapes") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    // recommender: both rank filters (top-25 neighbors, top-10 recs)
-    // must push map-side as WindowGroupLimit; basket exclusion stays a
-    // LEFT ANTI join; no global windows anywhere in the pipeline.
+    // recommender: all THREE rank filters (per-customer basket cap ≤50
+    // feeding pair generation, top-25 neighbors, top-10 recs) must push
+    // map-side as WindowGroupLimit — the basket cap is the quadratic
+    // guard on the train self-join and a refactor must not drop it;
+    // basket exclusion stays a LEFT ANTI join; no global windows
+    // anywhere in the pipeline.
     val rec = graft.queries.AnalyticsSixth.copurchaseRecallAtK(spark, sf0001)
     val recP = plan(rec)
-    assert("WindowGroupLimit".r.findAllIn(recP).size >= 2,
-      "neighbor + rec rank filters must push as WindowGroupLimit:\n" + recP)
+    assert("WindowGroupLimit".r.findAllIn(recP).size >= 3,
+      "basket-cap + neighbor + rec rank filters must push as WindowGroupLimit:\n" + recP)
     assert(recP.contains("LeftAnti"),
       "train-basket exclusion must be an anti join:\n" + recP)
     assert(rec.queryExecution.optimizedPlan

@@ -32,6 +32,27 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("writeBucketed resolves qualified names through the catalog (rewrite-safe)") {
+    // VERDICT r6 item 5: the stale-dir sweep must resolve the managed
+    // location via catalog.defaultTablePath, not string concat under
+    // warehouse.dir — a db-qualified name in a non-default database is
+    // exactly the case a naive concat sweeps wrong. Write twice (the
+    // second write is the leftover-directory re-run the sweep exists
+    // for) and verify both the data and that the default db saw nothing.
+    val nat = spark.read.parquet(s"$sf0001/nation.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bspec")
+    try {
+      Bucketing.writeBucketed(nat, "graft_bspec.nat_bq", "n_nationkey", 4)
+      Bucketing.writeBucketed(nat, "graft_bspec.nat_bq", "n_nationkey", 4)
+      assert(spark.table("graft_bspec.nat_bq").count() == nat.count())
+      assert(!spark.catalog.tableExists("nat_bq"),
+        "qualified write must not create/sweep a default-db table")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bspec.nat_bq")
+      spark.sql("DROP DATABASE IF EXISTS graft_bspec")
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffled join (still correct)") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
