@@ -52,17 +52,33 @@ object Bench {
     val fast = bySlow.drop(40).filter(_._2 >= 0)
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""omitted":${fast.size},"omitted_sec":${f(fast.map(_._2).sum)},""" +
+        s""""n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir"}"""
     try {
       val full = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+      val line =
+        s"""{"epoch_ms":${System.currentTimeMillis()},"total":${f(total)},""" +
+          s""""n":${results.size},"repeat":$repeat,"sf":"$sfDir","queries":$full}"""
+      // latest snapshot (back-compat) ...
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_queries_full.json"),
-        s"""{"total":${f(total)},"n":${results.size},"sf":"$sfDir","queries":$full}""")
+        java.nio.file.Paths.get("bench_queries_full.json"), line)
+      // ... plus an APPEND-ONLY history so round-over-round comparisons
+      // (e.g. the iterative-family variance question) never need git
+      // archaeology on an overwritten snapshot
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      // the parsed one-line summary as a file, so downstream consumers
+      // don't have to scrape it out of an sbt-prefixed stdout tail
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_summary.json"), summary)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-      s""""omitted":${fast.size},"omitted_sec":${f(fast.map(_._2).sum)},""" +
-      s""""n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

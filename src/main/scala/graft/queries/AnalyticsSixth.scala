@@ -60,9 +60,19 @@ object AnalyticsSixth {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-    val train = split(0).localCheckpoint()
+    // Fan-out parallelism: the two explosion stages (basket self-join →
+    // ~25× rows; scoring join → ~25× rows) read SMALL inputs (few MB of
+    // (c,p) keys), so AQE — which sizes post-shuffle partitions by input
+    // bytes, blind to output fan-out — would coalesce them onto 1-2
+    // tasks and serialize the heaviest work in the query. An EXPLICIT
+    // numbered repartition on the customer key (AQE never coalesces a
+    // user-specified partition count) pins the explosions at full
+    // parallelism; the extra 300k-row shuffle is noise next to the 30×
+    // row blow-up it parallelizes.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val train = split(0).repartition(nPart, col("c")).localCheckpoint()
     val test = split(1).localCheckpoint()
-    val basket = train
+    val basket = train.repartition(nPart, col("c"))
       .withColumn("brn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("p"))))
       .filter(col("brn") <= 50)
@@ -78,15 +88,24 @@ object AnalyticsSixth {
     val evalUsers = train.select(col("c")).distinct()
       .join(test.select(col("c")).distinct(), "c")
       .localCheckpoint()
-    val scored = train.join(pairs, "p")
+    // Scoring is the expensive join of the suite: |train| rows fan out
+    // by up to 25 neighbors each. The truncated model (`pairs`,
+    // ≤25·|parts| rows — a few MB even at sf1) and the eval-user set
+    // (distinct customers) are both broadcast, so the big side never
+    // shuffles for either join: train is filtered to eval customers
+    // BEFORE the fan-out (identical model — non-eval customers were
+    // dropped post-aggregation anyway), then joined map-side against
+    // the broadcast model, and the (c, q) aggregation partial-aggregates
+    // map-side before the single keyed shuffle into the anti join.
+    val scored = train.join(broadcast(evalUsers), "c")
+      .join(broadcast(pairs), "p")
       .groupBy(col("c"), col("q")).agg(sum(col("w")).as("score"))
       .join(train.toDF("c", "q"), Seq("c", "q"), "left_anti")
-      .join(evalUsers, "c")
     val topk = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("score").desc, col("q"))))
       .filter(col("rn") <= 10)
-    val hits = topk.join(test.toDF("c", "q"), Seq("c", "q"))
+    val hits = topk.join(broadcast(test.toDF("c", "q")), Seq("c", "q"))
       .select(col("c")).distinct()
     evalUsers.agg(count(lit(1)).as("n_users"))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))

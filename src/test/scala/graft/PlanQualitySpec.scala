@@ -453,6 +453,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(rec.queryExecution.optimizedPlan
       .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
       "recommender windows must all be keyed")
+    // r8: the truncated item-item model and the eval-user set are
+    // broadcast into the scoring join — the big (train) side must not
+    // shuffle for either; only the post-aggregation (c,q) anti join
+    // exchanges. Pin ≥2 BroadcastHashJoins (model + eval users; the
+    // final scalar crossJoin broadcast is a third).
+    assert("BroadcastHashJoin".r.findAllIn(recP).size >= 2,
+      "scoring must broadcast the truncated model and eval users:\n" + recP)
     // LTV curve + weekday outliers: keyed windows only (cohort/weekday)
     Seq(
       "cohort_ltv_curve" ->
