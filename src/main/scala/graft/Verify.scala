@@ -42,6 +42,10 @@ object Verify {
     // hashes differently from the oracle's BIGINT even with identical
     // values — collect violators while dumping, fail loudly at the end.
     val lintViolations = scala.collection.mutable.ListBuffer.empty[String]
+    // r7 generalization: every query's full output schema (names +
+    // dtypes — catches int32-vs-int64 and timestamp NTZ/LTZ drift, not
+    // just wide decimals) must match the checked-in pin snapshot.
+    val pinned = DtypeLint.loadPinned()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -52,6 +56,10 @@ object Verify {
             s"[verify] DTYPE LINT: $name emits decimal(p>18) columns " +
               s"${wide.mkString(", ")} — cast the finals to BIGINT " +
               "(see DtypeLint.scala)")
+        }
+        DtypeLint.schemaViolation(name, df, pinned).foreach { v =>
+          lintViolations += v
+          System.err.println(s"[verify] SCHEMA PIN: $v")
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
@@ -77,7 +85,7 @@ object Verify {
     // Fail AFTER all dumps + oracle json are on disk so a violation is
     // loud (non-zero exit) without hiding the rest of the gate's data.
     require(lintViolations.isEmpty,
-      "dtype lint violations (decimal p>18 output columns):\n  " +
+      "dtype lint violations (wide-decimal outputs / schema-pin drift):\n  " +
         lintViolations.mkString("\n  "))
   }
 }

@@ -146,6 +146,44 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** REAL PNG fixture corpus (r7 verdict item 5): one deterministic
+    * constant-gray PNG per document, encoded on the EXECUTORS with the
+    * JDK's ImageIO writer — width `8 + doc_id % 33` (≥8 so every one of
+    * the 8 luminance strips is non-empty), height `1 + doc_id % 17`,
+    * every pixel gray level `doc_id % 256`. PNG is lossless, so
+    * whatever byte layout the encoder picks, [[ImageIoCodec]] must
+    * decode back the exact generator parameters — which a SQL oracle
+    * can predict from `doc_id` arithmetic alone. This is how the REAL
+    * codec gets onto a hash-gated hot path without shipping binary
+    * fixtures in testdata.
+    */
+  def pngFixturesFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 33).toInt
+          val h = (1 + id % 17).toInt
+          val g = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image", bos.toByteArray)
+        }
+      }
+  }
+
   /** Batched decode + feature extraction: iterator-of-batches inside each
     * partition (`grouped(BatchSize)`), one codec "session" per batch.
     * Codec defaults to the session conf `spark.graft.multimodal.codec`

@@ -74,6 +74,46 @@ object MultimodalQueries {
       |FROM resized
       |ORDER BY media_id""".stripMargin
 
+  /** The REAL ImageIO codec on a hash-gated hot path (r7 verdict item
+    * 5): executors encode one deterministic constant-gray PNG per
+    * document ([[Multimodal.pngFixturesFromDocuments]]), then
+    * [[Multimodal.ImageIoCodec]] — explicitly, not the stub — decodes
+    * the bytes and extracts strip-luminance features. The oracle
+    * predicts every output from `doc_id` arithmetic: decoded width and
+    * height must equal the generator's, and each luminance feature must
+    * be `2·(3g/765)−1` (constant-gray image ⇒ every strip mean is the
+    * pixel luminance; PNG is lossless so the roundtrip is exact).
+    * Features are compared at micro precision via `floor(x·1e6 + 0.5)`
+    * — identical truncation in both engines, and the value grid (g/51
+    * rationals) keeps every point ≥ ~1e-2 from a half-integer while
+    * accumulated double error is ≤ ~1e-13, so the comparison is exact
+    * in practice. `f_spread_micro` (max−min over the 8 strips) pins ALL
+    * strips, not just the first.
+    */
+  def multimodalImageioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.pngFixturesFromDocuments(
+      Tables.documents(spark, sfDir))
+    Multimodal.decodeAndFeaturize(media, Multimodal.ImageIoCodec)
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        floor(element_at(col("feat"), 1) * 1e6 + lit(0.5)).cast("long")
+          .as("f_first_micro"),
+        floor((array_max(col("feat")) - array_min(col("feat"))) * 1e6
+          + lit(0.5)).cast("long").as("f_spread_micro"))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalImageioDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  8 + doc_id % 33 AS width,
+      |  1 + doc_id % 17 AS height,
+      |  CAST(1 AS BIGINT) AS n_frames,
+      |  CAST(FLOOR(1e6 * (2 * ((3.0 * (doc_id % 256)) / 765.0) - 1) + 0.5)
+      |    AS BIGINT) AS f_first_micro,
+      |  CAST(0 AS BIGINT) AS f_spread_micro
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   /** Binary-column governance: per media kind, row count, byte volume,
     * largest object and distinct-content count (content-hash dedup
     * check) — the storage audit run before shipping a media corpus to

@@ -30,4 +30,54 @@ class OutputDtypeLintSpec extends SparkTestBase {
       "decimal(p>18) output columns (cast finals to BIGINT):\n  " +
         offenders.mkString("\n  "))
   }
+
+  test("every gated query's emitted schema matches the checked-in pin") {
+    val pinned = DtypeLint.loadPinned()
+    assert(pinned.size > 100, s"pin snapshot missing/short (${pinned.size}) — " +
+      "run `sbt 'runMain graft.tools.PinSchemas'`")
+    var audited = 0
+    val drifted = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val v = DtypeLint.schemaViolation(name, fn(spark, sf0001), pinned)
+          audited += 1
+          v
+        } catch { case _: Throwable => None } // builder side effects; Verify owns those
+    }
+    assert(audited > 100, s"pin sweep must cover the surface (covered $audited)")
+    assert(drifted.isEmpty,
+      "output-schema drift vs expected_schemas.tsv (if intentional, " +
+        "regenerate via graft.tools.PinSchemas):\n  " + drifted.mkString("\n  "))
+  }
+
+  test("pin lint catches an injected int-width violation") {
+    // a query pinned with a BIGINT column that starts emitting INT must
+    // be flagged — int32 parquet hashes differently from the oracle's
+    // int64 even when every value fits
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3).select(col("id").cast("int").as("n_users"))
+    val v = DtypeLint.schemaViolation(
+      "injected", df, Map("injected" -> "n_users:BIGINT"))
+    assert(v.exists(_.contains("schema drift")), s"int-width drift missed: $v")
+  }
+
+  test("pin lint catches an injected timestamp-unit/zone violation") {
+    // TIMESTAMP (LTZ) vs the pinned TIMESTAMP_NTZ serializes tz-aware
+    // parquet — the r4 lesson; the pin must flag the zone flip
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val v = DtypeLint.schemaViolation(
+      "injected", df, Map("injected" -> "ts:TIMESTAMP_NTZ"))
+    assert(v.exists(_.contains("schema drift")), s"timestamp drift missed: $v")
+  }
+
+  test("pin lint refuses an unpinned query") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(lit(1L).as("x"))
+    val v = DtypeLint.schemaViolation("brand_new_query", df, Map.empty)
+    assert(v.exists(_.contains("UNPINNED")), s"unpinned query missed: $v")
+  }
 }
