@@ -57,6 +57,79 @@ class StatefulOpsSpec extends SparkTestBase {
     }
   }
 
+  test("kill-and-resume keeps transformWithState state, with and without " +
+      "RocksDB changelog checkpointing") {
+    // Spark 4 state-store feature the suite didn't exercise (r7 verdict
+    // item 7): with changelog checkpointing the provider uploads per-batch
+    // CHANGELOGS instead of full SST snapshots — restart must replay them
+    // onto the last snapshot and land in the identical state. Run the same
+    // kill-and-resume scenario under both modes and assert the final
+    // per-user totals are equal (and correct) in each.
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> null)
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      val finals = Seq(false, true).map { changelog =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          changelog.toString)
+        val dir = Files.createTempDirectory(s"graft-tws-cl-$changelog").toString
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[SpendEvent]
+        // memory sink can't recover from a checkpoint; foreachBatch can —
+        // collect update-mode rows into a driver-side buffer
+        val seen = new java.util.concurrent.ConcurrentLinkedQueue[StatefulOps.SpendTotal]
+        def start() = StatefulOps.runningSpend(mem.toDF())
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[StatefulOps.SpendTotal], _: Long) =>
+              batch.collect().foreach(seen.add)
+          }
+          .start()
+        // life 1: two micro-batches of state buildup, then KILL
+        val q1 = start()
+        try {
+          mem.addData(SpendEvent(1L, 100L), SpendEvent(2L, 40L))
+          q1.processAllAvailable()
+          mem.addData(SpendEvent(1L, 250L), SpendEvent(3L, 7L))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        // life 2: NEW query object, same checkpoint — state must resume,
+        // not restart from zero
+        val q2 = start()
+        try {
+          mem.addData(SpendEvent(1L, 1L), SpendEvent(2L, 2L), SpendEvent(3L, 3L))
+          q2.processAllAvailable()
+          import scala.jdk.CollectionConverters._
+          seen.asScala.toSeq
+            .groupBy(_.user_id)
+            .map { case (u, ts) => u -> {
+              val last = ts.maxBy(_.n_events); (last.n_events, last.total_cents)
+            } }
+        } finally q2.stop()
+      }
+      finals.zip(Seq("snapshot", "changelog")).foreach { case (got, mode) =>
+        assert(got(1L) == ((3L, 351L)), s"$mode: user 1 state lost: $got")
+        assert(got(2L) == ((2L, 42L)), s"$mode: user 2 state lost: $got")
+        assert(got(3L) == ((2L, 10L)), s"$mode: user 3 state lost: $got")
+      }
+      assert(finals.head == finals.last,
+        "changelog-checkpointed resume must equal snapshot-checkpointed resume")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("list state keeps a bounded last-N trail per key across batches") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
