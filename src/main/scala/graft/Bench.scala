@@ -33,6 +33,18 @@ object Bench {
           val elapsed = (System.nanoTime() - t0) / 1e9
           if (ok) elapsed else -1.0 // min() below keeps the error marker
         }.min
+        // Drop the query's localCheckpoint blocks before the next query
+        // runs. ContextCleaner frees them only when the driver GCs the
+        // RDD handles, so across a 272-query run the block manager
+        // accumulates gigabytes of dead blocks — by the tail of the
+        // run new checkpoints evict/spill and the iterative family
+        // (checkpoint-heavy by design) measures 1.5-1.7x slower than
+        // the same binary in isolation (the r7 "bench variance"
+        // mystery). Each query is an independent job on a real
+        // cluster; clearing session-cached state between them is the
+        // like-for-like measurement.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> t
       }
     // The harness captures only a bounded tail of stdout, so the one-line
