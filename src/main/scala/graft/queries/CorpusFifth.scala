@@ -229,6 +229,9 @@ object CorpusFifth {
     // posting-list self-join.
     val masks = Tables.documents(spark, sfDir)
       .filter(col("n_chars") >= G)
+      // explicit numbered repartition after the pushed filter: the
+      // one-row-group scan otherwise leaves the gram explosion on 1 task
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(expr("cast(substring(source, 4) as int)").as("si"),
         col("text"),
         explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))

@@ -62,7 +62,13 @@ object CorpusSixth {
     * ratio.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // explicit numbered repartition: documents arrives as ONE parquet
+    // row group, and the per-row gram hashing below is the query's CPU
+    // bill — without this the whole transform runs on a single task
+    // (AQE can't help: it sizes by bytes and never splits a scan)
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
     val tok = docs.select(col("doc_id"), explode(gramsExpr).as("tok"))
     val rare = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select(col("tok"))

@@ -134,7 +134,11 @@ object CorpusThird {
   def knnGraphGrams(spark: SparkSession, sfDir: String): DataFrame = {
     val spread = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      // NUMBERED repartition: without the explicit count AQE coalesces
+      // this exchange to 1 partition (input is <1 MB of bytes) and the
+      // gram explosion below single-threads
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val postings = spread
@@ -146,6 +150,13 @@ object CorpusThird {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("g"))
+      // NUMBERED repartition on the join key before the checkpoint: the
+      // window's exchange gets AQE-coalesced to ~3 partitions (small
+      // bytes), and the checkpoint would freeze that — leaving the
+      // posting self-join's pair explosion on 3 tasks. Pinning g-keyed
+      // partitions here keeps the explosion wide
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("g"))
       .stableCheckpoint() // both self-join sides read stored partitions
     val shared = postings.toDF("a", "g")
       .join(postings.toDF("b", "g"), Seq("g"))

@@ -152,7 +152,11 @@ object TextQueries {
     */
   def ppjoinExactPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explicit numbered repartition: the one-row-group documents scan
+    // would otherwise run the 8-gram explosion below on a single task
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
     // character 8-grams, NOT tokens: this corpus's ~31-type vocabulary
     // makes every token posting list corpus-sized (no token is "rare"),
     // which defeats prefix filtering; the gram alphabet is large enough
