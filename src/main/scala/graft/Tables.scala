@@ -46,4 +46,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `embeddings` spread across an explicit NUMBERED vec_id-keyed
+    * repartition. The testdata ships each table as a single parquet row
+    * group, so a plain scan is ONE input partition — and a query whose
+    * cost is CPU-heavy per-row work above the scan (PQ code assignment,
+    * 500-term distance chains) single-threads there; AQE cannot help
+    * (it sizes by bytes and never splits a scan) and would coalesce an
+    * un-numbered repartition right back. Use THIS loader only when
+    * per-row compute dwarfs the row bytes; at cluster scale a large
+    * vector corpus arrives pre-split by file layout and the plain
+    * loader is right.
+    */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    load(s, d, "embeddings").repartition(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+  }
 }

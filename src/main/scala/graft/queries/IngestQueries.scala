@@ -25,8 +25,12 @@ object IngestQueries {
     val k = 16; val bandCount = 2; val rowsPerBand = 8
     val par = spark.sparkContext.defaultParallelism
     val sigs = Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id").as("id"), col("text"))
+      // repartition BEFORE tokenizing: the one-row-group scan is 1 task,
+      // and tokenize+minhash is the query's CPU bill — spread raw text,
+      // then compute wide
       .repartition(par)
+      .select(col("id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("id"),
         Dedup.minhashSignatureOfTokens(col("toks"), k).as("sig"))
       .stableCheckpoint()

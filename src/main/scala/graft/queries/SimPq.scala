@@ -74,7 +74,7 @@ object SimPq {
       val dists = array(cb(m).map(c => encDist(m, c)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
     }
-    val withCodes = Tables.embeddings(spark, sfDir)
+    val withCodes = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       .select(col("vec_id") +: codeCols: _*)
     // ADC: distance = Σ_m table_m[code_m] — exact long arithmetic
@@ -175,7 +175,7 @@ object SimPq {
       val lut = array(table(m).map(v => lit(v)): _*)
       element_at(lut, col(s"c$m") + 1)
     }.reduceLeft(_ + _)
-    Tables.embeddings(spark, sfDir)
+    Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       .withColumn("list_id",
         (array_position(cDists, array_min(cDists)) - 1).cast("long"))
@@ -274,7 +274,7 @@ object SimPq {
       x * x
     }.reduceLeft(_ + _)
     val rankLut = array(ranks.map(r => lit(r)): _*)
-    val scored = Tables.embeddings(spark, sfDir)
+    val scored = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       .withColumn("list_id",
         (array_position(cDists, array_min(cDists)) - 1).cast("int"))
