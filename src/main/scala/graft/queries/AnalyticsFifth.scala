@@ -41,11 +41,17 @@ object AnalyticsFifth {
     * CTEs otherwise — the documented O(k^N) blowup).
     */
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    // NUMBERED repartition before the checkpoint: the distinct's
+    // AQE-coalesced 2-3 partition layout would otherwise be frozen by
+    // the checkpoint, leaving every map-side partial aggregation of the
+    // three propagation rounds on 2-3 tasks
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
+      .repartition(nPart, col("p"))
       .localCheckpoint()
 
     // mode(label) per key with deterministic smallest-label tiebreak

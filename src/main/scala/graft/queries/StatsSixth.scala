@@ -179,6 +179,11 @@ object StatsSixth {
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .dropDuplicates("ok", "pk")
+      // NUMBERED repartition: AQE coalesces the small dedup exchange to
+      // 2-3 partitions and the per-order pair explosion below would
+      // serialize there (the copurchase fan-out pathology)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("ok"))
       .withColumn("rn", row_number().over(perOrder))
       .filter(col("rn") <= 64)
       .drop("rn")

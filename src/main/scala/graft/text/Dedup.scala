@@ -81,8 +81,14 @@ object Dedup {
     // between the token projection and the signature projection, so
     // CollapseProject cannot inline the (single-use) token array back into
     // the signature expression — which would re-run the regexp split.
+    // ... and spread the RAW TEXT first: tokenize itself (regexp split)
+    // is the second-biggest map cost and would otherwise run inside the
+    // one-partition scan stage. Two cheap 5k-row exchanges buy a fully
+    // parallel tokenize AND signature pass while keeping the barrier.
     val sigs = docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(par)
+      .select(col("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(par)
       .select(col("id"), minhashSignatureOfTokens(col("toks"), k).as("sig"))
       .stableCheckpoint()
