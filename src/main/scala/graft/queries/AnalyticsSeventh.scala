@@ -261,6 +261,9 @@ object AnalyticsSeventh {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("w"))
+      // NUMBERED repartition: spread the 600k-row partial aggregation
+      // off the single-partition scan
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("wt"))
     val byFlag = Window.partitionBy(col("l_returnflag"))

@@ -181,6 +181,9 @@ object SketchQueries {
     val hll = HyperLogLogAggregator.hllSketch
     val ev = Tables.events(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
+      // NUMBERED repartition: parallelize the per-row HLL hashing that
+      // would otherwise run inside the single-partition scan stage
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val days = ev.select(col("day").as("win_end")).distinct()
     val merged = ev.groupBy(col("day"))
       .agg(hll(col("user_id").cast("string")).as("regs"))

@@ -333,6 +333,9 @@ object StatsSixth {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
+      // NUMBERED repartition: the one-row-group scan is 1 task, and the
+      // 100x resample fan-out with per-row md5 below is the query's cost
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val means = purchases.crossJoin(broadcast(reps))
       .filter(
         expr("cast(conv(substring(md5(concat(cast(event_id as string), ':', cast(b as string))), 1, 15), 16, 10) as bigint) % 2") === 0)
