@@ -164,7 +164,11 @@ object CorpusSixth {
     * `n_novel / n_grams`.
     */
   def noveltyVsReference(spark: SparkSession, sfDir: String): DataFrame = {
+    // NUMBERED repartition: spread the 8-gram explosion off the
+    // single-partition documents scan
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
     val grams = docs.select(col("doc_id"), explode(gramsExpr).as("g"))
     val ref = grams.filter(col("doc_id") % 2 === 0).select(col("g")).distinct()
     val tgt = grams.filter(col("doc_id") % 2 === 1)

@@ -265,6 +265,11 @@ object StatsSixth {
     // Materialized once: the tokenize+ngram+explode pass feeds the eval
     // set, the bloom build and the probe side.
     val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      // NUMBERED repartition: spread the tokenize+ngram explosion off
+      // the single-partition scan before the checkpoint freezes layout
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(Dedup.ngramSetOfTokens(col("toks"), 5)).as("g"))
