@@ -35,7 +35,13 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "graph_assortativity",     // DECIMAL moment fold over edge endpoints
     "collocation_pmi",         // top-200 vocab tie-break + fixed-point lift
     "mann_whitney_u",          // value-histogram window + DECIMAL U terms
-    "dedup_eval_pairs")        // banded-join candidates vs exact pair join
+    "dedup_eval_pairs",        // banded-join candidates vs exact pair join
+    // round-8 additions
+    "embedding_scatter_spectrum", // integer scatter sums + driver Jacobi
+    "bpe_train_rounds",        // per-round argmax pair + island merges
+    "embedding_class_separation", // fixed-point centroids, negative-safe div
+    "multimodal_imageio_decode",  // PNG roundtrip per row, order-free
+    "copurchase_recall_at_k")  // r8 broadcast + fan-out repartition rewrite
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {
