@@ -30,9 +30,12 @@ object SearchQueries {
   def rrfHybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val postings = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"))
+      // repartition RAW text first: tokenize is the map cost and would
+      // otherwise run inside the one-partition scan stage
       .repartition(par)
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
       .stableCheckpoint() // both index sides read stored partitions
     val lexW = Window.partitionBy(col("q")).orderBy(col("shared").desc, col("c"))
     val lex = postings.toDF("q", "tok").filter(col("q") < 5)
