@@ -176,19 +176,12 @@ object CorpusFourth {
       .orderBy(col("component"))
   }
 
+  // Candidate generation via TextQueries.gramSimPairsSqlPreamble's
+  // inverted-index join (not all-pairs) — see its Scaladoc; the all-pairs
+  // form was one of the four sf0.1 replay oracle timeouts.
   val dedupSurvivorsSql: String =
-    """WITH RECURSIVE grams AS (
-      |  SELECT lang, doc_id AS id,
-      |    list_distinct([array_to_string(t[i:i+2], ' ')
-      |      for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS g
-      |  FROM (SELECT lang, doc_id,
-      |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      |        FROM documents)),
-      |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b
-      |  FROM grams a JOIN grams b ON a.lang = b.lang AND a.id < b.id
-      |  WHERE round(len(list_intersect(a.g, b.g))
-      |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4) > 0.2),
+    "WITH RECURSIVE " + TextQueries.gramSimPairsSqlPreamble + """,
+      |pairs AS (SELECT id_a, id_b FROM simpairs WHERE jaccard_sim > 0.2),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),

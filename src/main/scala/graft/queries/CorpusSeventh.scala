@@ -52,8 +52,12 @@ object CorpusSeventh {
           .as("pair_recall"))
   }
 
+  // Ground-truth pairs come from TextQueries.gramSimPairsSqlPreamble's
+  // inverted-index join (not all-pairs) — see its Scaladoc; the all-pairs
+  // form was one of the four sf0.1 replay oracle timeouts.
   val dedupEvalPairsSql: String =
-    """WITH toks AS (
+    "WITH " + TextQueries.gramSimPairsSqlPreamble + """,
+      |toks AS (
       |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |  FROM documents),
       |sigs AS (
@@ -67,19 +71,7 @@ object CorpusSeventh {
       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
-      |grams AS (
-      |  SELECT lang, doc_id AS id,
-      |    list_distinct([array_to_string(t3[i:i+2], ' ')
-      |      for i in range(1, greatest(len(t3) - 2, 1) + 1)]) AS g
-      |  FROM (SELECT lang, doc_id,
-      |          regexp_split_to_array(trim(lower(text)), '\s+') AS t3
-      |        FROM documents)),
-      |truth AS (
-      |  SELECT a.id AS id_a, b.id AS id_b
-      |  FROM grams a JOIN grams b ON a.lang = b.lang AND a.id < b.id
-      |  WHERE round(len(list_intersect(a.g, b.g))
-      |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4)
-      |    > 0.2),
+      |truth AS (SELECT id_a, id_b FROM simpairs WHERE jaccard_sim > 0.2),
       |m AS (
       |  SELECT CAST(count(*) AS BIGINT) AS tp
       |  FROM cand JOIN truth USING (id_a, id_b)),

@@ -1,20 +1,29 @@
 #!/usr/bin/env python3
 """10x-scale robustness replay (dev tool): local_verify against an sf0.1
-dump, one subprocess per oracle with a HARD kill timeout — the handful
-of deliberately heavyweight oracles (minhash/gram/connected-components
-families: tens of minutes in DuckDB at sf0.1, some inside
-non-interruptible operator loops) report TIMEOUT instead of stalling
-the sweep. Everything else must PASS except the documented KLL
-approximate-regime rows.
+dump, one subprocess per oracle with a HARD kill timeout (a safety net —
+since the r9 inverted-index oracle rewrites, no oracle needs it; the
+dedup family that used to take tens of minutes in DuckDB now runs in
+single-digit seconds). Everything must PASS except the documented KLL
+approximate-regime rows (KLL_ALLOWLIST); any other FAIL or any TIMEOUT
+makes the exit status nonzero so scripted use cannot silently
+green-light a regression. Writes a machine-readable summary to
+<outDir>/replay_summary.json.
 
 Usage: python3 tools/replay_sf01.py <outDir> <sfDir> [timeout_sec]
 """
 import json
 import multiprocessing as mp
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+# The three sketches documented (README "10x-scale robustness replay") as
+# leaving their provably-exact regime at sf0.1 (n >> k, ~0.1% rank error).
+# Their error-bound-gated VERDICT-ROWS variants still must pass.
+KLL_ALLOWLIST = {"sketch_quantile", "group_quantile_sketch",
+                 "equi_depth_histogram"}
 
 
 def check_one(out_dir, sf_dir, name, sql, q):
@@ -52,36 +61,55 @@ def check_one(out_dir, sf_dir, name, sql, q):
 def main(out_dir, sf_dir, timeout_sec=150):
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = n_timeout = 0
-    fails = []
+    fails, timeouts, allowed = [], [], []
+    per_query = {}
     for name, sql in sorted(oracle.items()):
         q = mp.Queue()
         proc = mp.Process(target=check_one,
                           args=(out_dir, sf_dir, name, sql, q))
+        t0 = time.time()
         proc.start()
         proc.join(timeout_sec)
+        elapsed = round(time.time() - t0, 1)
         if proc.is_alive():
             proc.terminate()
             proc.join(10)
             if proc.is_alive():
                 proc.kill()
                 proc.join()
-            print(f"TIMEOUT {name} (oracle > {timeout_sec}s at sf0.1 — "
-                  "excluded by design)", flush=True)
+            print(f"TIMEOUT {name} (oracle > {timeout_sec}s at sf0.1)",
+                  flush=True)
             n_timeout += 1
+            timeouts.append(name)
+            per_query[name] = {"status": "TIMEOUT", "sec": elapsed}
             continue
         status, detail = q.get() if not q.empty() else \
             ("FAIL", f"worker died (exit {proc.exitcode})")
         if status == "PASS":
             n_pass += 1
+        elif name in KLL_ALLOWLIST:
+            status = "ALLOWED"
+            allowed.append(name)
         else:
             n_fail += 1
             fails.append(name)
-        print(f"{status} {name}: {detail}" if status == "FAIL"
+        per_query[name] = {"status": status, "sec": elapsed,
+                           "detail": detail}
+        print(f"{status} {name}: {detail}" if status != "PASS"
               else f"PASS {name} ({detail})", flush=True)
-    print(f"\n{n_pass} pass / {n_fail} fail / {n_timeout} timeout")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_timeout} timeout / "
+          f"{len(allowed)} allowed-KLL")
     if fails:
         print("failing:", ", ".join(fails))
-    return 0
+    summary = {"sf_dir": sf_dir, "timeout_sec": timeout_sec,
+               "n_pass": n_pass, "n_fail": n_fail, "n_timeout": n_timeout,
+               "allowed_kll": sorted(allowed), "failing": sorted(fails),
+               "timing_out": sorted(timeouts), "queries": per_query}
+    (Path(out_dir) / "replay_summary.json").write_text(
+        json.dumps(summary, indent=1))
+    # Timeouts count as failures for exit purposes: an unadjudicated cell
+    # in the robustness matrix is not a pass.
+    return 1 if (n_fail > 0 or n_timeout > 0) else 0
 
 
 if __name__ == "__main__":
