@@ -52,14 +52,22 @@ object BpeTrainer {
       .localCheckpoint()
 
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-    for (round <- 1L to 5L) {
-      val top = seq
+    var exhausted = false
+    for (round <- 1L to 5L if !exhausted) {
+      // headOption, not collect()(0): a corpus whose words all reduce to
+      // single symbols leaves the pair relation empty — emit the rounds
+      // trained so far instead of ArrayIndexOutOfBounds (can't happen on
+      // this corpus, but the trainer shouldn't be input-brittle).
+      val topOpt = seq
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
+        .limit(1).collect().headOption
+      if (topOpt.isEmpty) { exhausted = true }
+      else {
+      val top = topOpt.get
       val (pa, pb, pf) = (top.getString(0), top.getString(1), top.getLong(2))
       // leftmost-first non-overlapping merge positions: islands of
       // consecutive matches keep offsets 0, 2, 4, … from the island start
@@ -87,6 +95,7 @@ object BpeTrainer {
         .repartition(nPart, col("w"))
         .localCheckpoint()
       out += ((round, pa, pb, pf, seq.count()))
+      }
     }
     import spark.implicits._
     out.result().toDF("round", "pair_a", "pair_b", "pair_freq",

@@ -16,10 +16,13 @@ import graft.Tables
   *
   * Exactness engineering: per-label vector SUMS over quantized
   * components `q = round(1000·x)` are exact integers (order-free,
-  * mergeable). Centroids are FIXED-POINT floor means — computed as
-  * `(S_d + 1000·n) div n − 1000` so the numerator is non-negative and
-  * truncating `div` (Spark) equals floor `//` (DuckDB) on every value,
-  * sidestepping the negative-division semantics split. Pairwise
+  * mergeable). Centroids are FIXED-POINT means computed as
+  * `(S_d + 1000·n) div n − 1000`. The offset makes the numerator
+  * non-negative, which is defensive rather than necessary: Spark's
+  * `div` and DuckDB's `//` BOTH truncate toward zero (verified on
+  * negatives, e.g. -7 // 2 = -3 in DuckDB), so the un-offset form
+  * would agree too — the offset just makes the truncate-vs-floor
+  * question moot on sight, at the cost of one add. Pairwise
   * centroid distances over those integer centroids and each label's
   * integer scatter trace `n·Σq² − (Σq)²` then hash-gate exactly; the
   * only double is the final separation ratio. One groupBy(label) pass

@@ -19,8 +19,15 @@ import graft.Tables
   * eigensolve — the same "aggregate big, solve tiny" split every
   * distributed PCA uses (the data pass is linear and mergeable; the
   * eigen problem is O(d³) on a matrix whose size is data-independent).
-  * At 100 TB nothing changes: the quantized moments partial-aggregate
-  * map-side and merge associatively.
+  * The quantized moments partial-aggregate map-side and merge
+  * associatively, so the pass shape survives any scale — but the
+  * exact-integer arithmetic has a real ceiling: the scatter term
+  * `n·Σq²` needs |n·Σq²| < 2⁶³, i.e. with |q| ≤ ~2000 (unit-norm-ish
+  * inputs at 1000× quantization) roughly n ≲ 10⁹ vectors per
+  * statistic; beyond that Spark longs wrap silently while DuckDB
+  * BIGINT errors. Past that bound, widen the moment columns to
+  * DECIMAL(38,0) (still exact, mergeable) and cast to long only for
+  * the 32 KB driver matrix — the plan shape is unchanged.
   *
   * Gate split: the integer aggregates (trace, diagonal max/argmax,
   * max |off-diagonal|) hash-gate EXACTLY; the eigensolve gates as

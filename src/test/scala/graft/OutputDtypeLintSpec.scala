@@ -11,21 +11,38 @@ package graft
   */
 class OutputDtypeLintSpec extends SparkTestBase {
 
-  test("no gated query emits a decimal(p>18) output column") {
-    var audited = 0
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+  // Builder side effects (stream dirs, warehouse tables) can throw on a
+  // repeat build in the same JVM; Verify owns those queries' audit. The
+  // skip budget is deliberately TIGHT and the skipped names are printed:
+  // the pre-r9 form swallowed every Throwable and only asserted
+  // audited > 100, which on a 276-query surface could silently exempt
+  // ~175 queries from the sweep (ADVICE r8).
+  private val maxSkipped = 8
+
+  private def sweep(check: (String,
+      org.apache.spark.sql.DataFrame) => Option[String]): Seq[String] = {
+    val skipped = Seq.newBuilder[String]
+    val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try {
-          val wide = DtypeLint.wideDecimalColumns(fn(spark, sf0001))
-          audited += 1
-          if (wide.nonEmpty) Some(s"$name: ${wide.mkString(", ")}") else None
-        } catch {
-          // builder side effects (stream dirs, warehouse tables) can
-          // throw on a repeat build in the same JVM; Verify owns those
-          case _: Throwable => None
+        try check(name, fn(spark, sf0001))
+        catch { case e: Throwable =>
+          skipped += s"$name (${e.getClass.getSimpleName})"
+          None
         }
     }
-    assert(audited > 100, s"lint must cover the surface (covered $audited)")
+    val sk = skipped.result()
+    assert(sk.size <= maxSkipped,
+      s"${sk.size} queries escaped the schema sweep (budget $maxSkipped):\n  " +
+        sk.mkString("\n  "))
+    if (sk.nonEmpty) info(s"sweep skipped ${sk.size}: ${sk.mkString(", ")}")
+    findings
+  }
+
+  test("no gated query emits a decimal(p>18) output column") {
+    val offenders = sweep { (name, df) =>
+      val wide = DtypeLint.wideDecimalColumns(df)
+      if (wide.nonEmpty) Some(s"$name: ${wide.mkString(", ")}") else None
+    }
     assert(offenders.isEmpty,
       "decimal(p>18) output columns (cast finals to BIGINT):\n  " +
         offenders.mkString("\n  "))
@@ -35,16 +52,9 @@ class OutputDtypeLintSpec extends SparkTestBase {
     val pinned = DtypeLint.loadPinned()
     assert(pinned.size > 100, s"pin snapshot missing/short (${pinned.size}) — " +
       "run `sbt 'runMain graft.tools.PinSchemas'`")
-    var audited = 0
-    val drifted = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try {
-          val v = DtypeLint.schemaViolation(name, fn(spark, sf0001), pinned)
-          audited += 1
-          v
-        } catch { case _: Throwable => None } // builder side effects; Verify owns those
+    val drifted = sweep { (name, df) =>
+      DtypeLint.schemaViolation(name, df, pinned)
     }
-    assert(audited > 100, s"pin sweep must cover the surface (covered $audited)")
     assert(drifted.isEmpty,
       "output-schema drift vs expected_schemas.tsv (if intentional, " +
         "regenerate via graft.tools.PinSchemas):\n  " + drifted.mkString("\n  "))
