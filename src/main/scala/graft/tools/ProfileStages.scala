@@ -59,14 +59,19 @@ object ProfileStages {
             fn(spark, sfDir).count()
             val total = (System.nanoTime() - t0) / 1e9
             Thread.sleep(300)
-            val hot = stages.synchronized {
-              stages.filter(s => s.ms > 800 && s.tasks <= 4).sortBy(-_.ms).toList
-            }
+            val snap = stages.synchronized(stages.sortBy(-_.ms).toList)
+            val hot = snap.filter(s => s.ms > 800 && s.tasks <= 4)
             val flag = if (hot.nonEmpty) "  <-- UNDERPARALLELIZED" else ""
             println(f"QUERY $name%-28s ${total}%6.2f s$flag")
             hot.foreach(s => println(
               f"    stage ${s.id}%4d ${s.ms}%6d ms on ${s.tasks}%2d tasks, " +
                 f"shufW=${s.shufWMb}%4d MB"))
+            // top stages by wall-clock regardless of task count, for
+            // finding where an already-parallel query spends its time
+            if (sys.env.contains("SPARK_GRAFT_PROFILE_TOP"))
+              snap.takeWhile(_.ms > 200).take(8).foreach(s => println(
+                f"    top stage ${s.id}%4d ${s.ms}%6d ms on ${s.tasks}%3d " +
+                  f"tasks, shufW=${s.shufWMb}%4d MB"))
           } catch { case e: Throwable =>
             println(s"QUERY $name FAILED: ${e.getMessage}")
           }
