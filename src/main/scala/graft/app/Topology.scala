@@ -60,8 +60,8 @@ object Topology {
 
   /** Firehose-style delivery (≙ Solution.ipynb cell 28): drain a
     * destination stream into JSON files on a 60 s cadence (BufferingHints
-    * IntervalInSeconds=60; size-based flush is approximated by
-    * maxRecordsPerPoll).
+    * IntervalInSeconds=60 — the TIME half only; [[startFirehoseBuffered]]
+    * models both halves).
     */
   def startFirehose(spark: SparkSession, destStream: String, outDir: String,
       checkpointDir: String,
@@ -76,6 +76,80 @@ object Topology {
       .format("json")
       .option("path", outDir)
       .start()
+
+  /** Firehose delivery with the FULL `BufferingHints` contract
+    * (Solution.ipynb cell 28: `SizeInMBs: 1` OR `IntervalInSeconds: 60`,
+    * whichever comes first): micro-batches are polled frequently but only
+    * BUFFERED — cached distributed datasets, never driver-collected — and
+    * delivered to `outDir` when the accumulated payload bytes reach
+    * `sizeBytes`, when `intervalMs` has elapsed since the last delivery,
+    * or (best-effort, like Firehose shutdown) when the query terminates.
+    * The flush decision is driver-side control-plane (exactly where
+    * Firehose's own buffer scheduler lives); the data path stays on
+    * executors end-to-end.
+    */
+  def startFirehoseBuffered(spark: SparkSession, destStream: String,
+      outDir: String, checkpointDir: String,
+      sizeBytes: Long = 1L << 20, intervalMs: Long = 60000L,
+      pollTrigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    val state = new Object {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var bufferedBytes = 0L
+      var lastFlushMs = System.currentTimeMillis()
+      def flush(): Unit = synchronized {
+        if (parts.nonEmpty) {
+          parts.reduce(_ unionAll _)
+            .write.mode(SaveMode.Append).json(outDir)
+          parts.foreach(_.unpersist(blocking = false))
+          parts.clear()
+          bufferedBytes = 0L
+        }
+        lastFlushMs = System.currentTimeMillis()
+      }
+      def add(batch: DataFrame): Unit = {
+        // Persist + materialize inside the micro-batch (foreachBatch
+        // frames are not readable after the batch completes); the byte
+        // count doubles as the materializing action.
+        val cached = batch.persist()
+        val bytes = cached
+          .agg(sum(octet_length(col("data"))).cast("long")).collect()(0)
+        val n = if (bytes.isNullAt(0)) 0L else bytes.getLong(0)
+        synchronized { parts += cached; bufferedBytes += n }
+        if (synchronized(bufferedBytes) >= sizeBytes) flush()
+      }
+    }
+    val timer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-firehose-buffer"); t.setDaemon(true); t })
+    timer.scheduleWithFixedDelay(() => {
+      if (System.currentTimeMillis() - state.lastFlushMs >= intervalMs)
+        try state.flush() catch { case _: Throwable => () }
+    }, 200, math.max(100, intervalMs / 10), java.util.concurrent.TimeUnit.MILLISECONDS)
+    val query = readStream(spark, destStream, maxRecordsPerPoll = 100000)
+      .selectExpr("shard", "sequence_number", "partition_key",
+        "CAST(data AS STRING) AS data")
+      .writeStream
+      .queryName(s"graft-firehose-buffered-${new java.io.File(destStream).getName}")
+      .trigger(pollTrigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => state.add(batch); () }
+      .start()
+    // shutdown flush + timer teardown, scoped to exactly this query
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            timer.shutdown()
+            try state.flush() catch { case _: Throwable => () }
+            spark.streams.removeListener(this)
+          }
+      })
+    query
+  }
 }
 
 /** End-to-end latency probe: stands up the full topology (source stream →
