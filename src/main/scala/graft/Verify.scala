@@ -42,6 +42,12 @@ object Verify {
     // hashes differently from the oracle's BIGINT even with identical
     // values — collect violators while dumping, fail loudly at the end.
     val lintViolations = scala.collection.mutable.ListBuffer.empty[String]
+    // machine-readable sidecar (VERDICT r7/r8 minor): the violation and
+    // failure lists as JSON next to the dumps, so driver/judge tooling
+    // parses a file instead of scraping stderr/README
+    val wideDecimalJson = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val schemaPinJson = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val failedJson = scala.collection.mutable.ListBuffer.empty[(String, String)]
     // r7 generalization: every query's full output schema (names +
     // dtypes — catches int32-vs-int64 and timestamp NTZ/LTZ drift, not
     // just wide decimals) must match the checked-in pin snapshot.
@@ -52,6 +58,7 @@ object Verify {
         val wide = DtypeLint.wideDecimalColumns(df)
         if (wide.nonEmpty) {
           lintViolations += s"$name: ${wide.mkString(", ")}"
+          wideDecimalJson += name -> wide.mkString(", ")
           System.err.println(
             s"[verify] DTYPE LINT: $name emits decimal(p>18) columns " +
               s"${wide.mkString(", ")} — cast the finals to BIGINT " +
@@ -59,10 +66,12 @@ object Verify {
         }
         DtypeLint.schemaViolation(name, df, pinned).foreach { v =>
           lintViolations += v
+          schemaPinJson += name -> v
           System.err.println(s"[verify] SCHEMA PIN: $v")
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failedJson += name -> String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -81,6 +90,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/lint_report.json"),
+      s"""{"n_queries": ${SparkEntry.queries.count(kv => selected(kv._1))},""" +
+        s""" "wide_decimal": ${obj(wideDecimalJson.toSeq)},""" +
+        s""" "schema_pin": ${obj(schemaPinJson.toSeq)},""" +
+        s""" "failed": ${obj(failedJson.toSeq)}}""")
     spark.stop()
     // Fail AFTER all dumps + oracle json are on disk so a violation is
     // loud (non-zero exit) without hiding the rest of the gate's data.
