@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, TextFunctions}
+
+/** Round-9 curation/audit additions: corpus n-gram novelty profiling,
+  * perceptual-hash media dedup, per-dimension KS feature screening, and
+  * per-label covariance drift — four report shapes a training-data
+  * pipeline runs between ingest and mixture design.
+  *
+  * Usual discipline: integer/fixed-point statistics wherever the gate
+  * hashes them, one final double per report, gram/bucket/bounded-domain
+  * keyed shuffles only.
+  */
+object CurationEighth {
+
+  // ------------------------------------------------ n-gram novelty
+
+  /** Per-source novelty profile: how much of each source's 3-gram mass
+    * is corpus-unique (df = 1)? The inverse of boilerplate detection —
+    * high novelty sources contribute fresh content, low ones repeat
+    * what's already in the corpus (the signal behind "dedup then check
+    * what's left" mixture design).
+    *
+    * Scale shape: one tokenize+gram explode off a numbered repartition
+    * (full parallelism above the one-row-group scan), one gram-keyed
+    * df aggregate, one gram-keyed join back, one source-keyed final
+    * aggregate — all mergeable, no all-pairs anywhere; cost is linear
+    * in total gram postings exactly like the dedup family's inverted
+    * index. The gram relation is checkpointed once for its two
+    * consumers (df aggregate + join probe).
+    */
+  def ngramNoveltyProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.StableCheckpoint
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grams = Tables.documents(spark, sfDir)
+      .repartition(nPart)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.ngramSetOfTokens(col("toks"), 3)).as("g"))
+      .stableCheckpoint()
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_gram_occurrences"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_gram_occurrences").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val ngramNoveltyProfileSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS g
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |        FROM documents)),
+      |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+      |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_gram_occurrences,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty_ratio
+      |FROM grams JOIN dfreq USING (g)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** Perceptual-hash near-dup buckets over the media corpus: decode →
+    * 8-dim feature → order-bit fingerprint (bit j set iff
+    * feat[j] > feat[(j+1) mod 8] — the dHash idea applied to the
+    * feature vector) → bucket by (kind, phash). The multimodal twin of
+    * MinHash-LSH banding: candidate pairs come from bucket collisions,
+    * never from an all-pairs scan, so cost is Σ_bucket n_b² with
+    * 256-way hashing keeping buckets small. Runs on the deterministic
+    * stub codec so the oracle reproduces every fingerprint from the
+    * same md5 arithmetic (the real-codec path is exercised by
+    * `multimodal_imageio_decode`).
+    */
+  def multimodalPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val dec = Multimodal.decodeAndFeaturize(media).toDF()
+    val phash = (0 until 8).map { j =>
+      when(element_at(col("feat"), j + 1) >
+        element_at(col("feat"), ((j + 1) % 8) + 1), 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    dec.select(col("kind"), col("media_id"), phash.as("phash"))
+      .groupBy(col("kind"), col("phash"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("media_id")).as("min_media_id"),
+        max(col("media_id")).as("max_media_id"))
+      .filter(col("n_members") >= 2)
+      .withColumn("n_candidate_pairs",
+        expr("n_members * (n_members - 1) div 2"))
+      .orderBy(col("kind"), col("phash"))
+  }
+
+  val multimodalPhashDedupSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    md5(text) AS hex
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT media_id, kind,
+      |    [(('0x' || substr(md5(j::VARCHAR || ':' || hex), 1, 15))::BIGINT
+      |       % 2001 - 1000) / 1000.0 for j in range(0, 8)] AS f
+      |  FROM media),
+      |hashed AS (
+      |  SELECT media_id, kind,
+      |    CAST(list_sum([CASE WHEN f[j + 1] > f[((j + 1) % 8) + 1]
+      |                        THEN 1 << j ELSE 0 END
+      |                   for j in range(0, 8)]) AS BIGINT) AS phash
+      |  FROM sigs)
+      |SELECT kind, phash, CAST(count(*) AS BIGINT) AS n_members,
+      |  min(media_id) AS min_media_id, max(media_id) AS max_media_id,
+      |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_candidate_pairs
+      |FROM hashed
+      |GROUP BY kind, phash
+      |HAVING count(*) >= 2
+      |ORDER BY kind, phash""".stripMargin
+
+  // ------------------------------------------------ KS feature screen
+
+  /** Per-dimension two-sample KS screen between label groups (labels
+    * 0–4 vs 5–9): which embedding dimensions actually separate the
+    * classes? The feature-selection pass run before training a linear
+    * probe. The KS statistic is kept EXACT as the integer
+    * `max_t |cnt_A(v ≤ t)·n_B − cnt_B(v ≤ t)·n_A|` over the observed
+    * per-dimension value grid (cross-multiplied to avoid division),
+    * with `screened` marking the top-8 dimensions (deterministic ties
+    * by dimension).
+    *
+    * Scale shape: values quantize to a BOUNDED domain (≤2001 levels ×
+    * 64 dims), so the cumulative windows run over the aggregated
+    * (d, v) histogram — ≤128k rows regardless of corpus size — never
+    * over raw vectors; the raw pass is one mergeable groupBy. Cross
+    * products stay ≪ 2⁶³ for any n (cnt·n ≤ n²; n ≤ 3·10⁹ is safe).
+    */
+  def embeddingKsScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
+    val base = Tables.embeddingsSpread(spark, sfDir)
+      .select(col("label").cast("long").as("label"), q.as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+    val hist = base.groupBy(col("d"), col("v"))
+      .agg(sum(when(col("label") < 5, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("label") >= 5, 1L).otherwise(0L)).as("cb"))
+    val totals = hist.groupBy(col("d"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val cumWin = Window.partitionBy(col("d")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = hist
+      .withColumn("cuma", sum(col("ca")).over(cumWin))
+      .withColumn("cumb", sum(col("cb")).over(cumWin))
+      .join(totals, "d")
+      .groupBy(col("d"), col("na"), col("nb"))
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .as("ks_scaled"))
+    ks.withColumn("ks_rank", row_number().over(
+        Window.orderBy(col("ks_scaled").desc, col("d"))))
+      .withColumn("screened", col("ks_rank") <= 8)
+      .select(col("d").cast("long").as("d"), col("na"), col("nb"),
+        col("ks_scaled"), col("ks_rank").cast("long").as("ks_rank"),
+        col("screened"))
+      .orderBy(col("d"))
+  }
+
+  val embeddingKsScreenSql: String =
+    """WITH base AS (
+      |  SELECT CAST(label AS BIGINT) AS label, d - 1 AS d,
+      |    CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |hist AS (
+      |  SELECT d, v,
+      |    sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS cb
+      |  FROM base GROUP BY d, v),
+      |totals AS (
+      |  SELECT d, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM hist GROUP BY d),
+      |cum AS (
+      |  SELECT d, v,
+      |    sum(ca) OVER (PARTITION BY d ORDER BY v
+      |                  ROWS UNBOUNDED PRECEDING) AS cuma,
+      |    sum(cb) OVER (PARTITION BY d ORDER BY v
+      |                  ROWS UNBOUNDED PRECEDING) AS cumb
+      |  FROM hist),
+      |ks AS (
+      |  SELECT c.d, t.na, t.nb,
+      |    CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS ks_scaled
+      |  FROM cum c JOIN totals t USING (d)
+      |  GROUP BY c.d, t.na, t.nb),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY ks_scaled DESC, d) AS ks_rank
+      |  FROM ks)
+      |SELECT CAST(d AS BIGINT) AS d, na, nb, ks_scaled,
+      |  CAST(ks_rank AS BIGINT) AS ks_rank, ks_rank <= 8 AS screened
+      |FROM ranked
+      |ORDER BY d""".stripMargin
+
+  // ------------------------------------------------ covariance drift
+
+  private val D = 64
+
+  /** Pairwise per-label covariance drift: the scaled Frobenius distance
+    * `Σ_{d≤e} w·(S_a[d,e]·n_b − S_b[d,e]·n_a)²` between per-label
+    * integer scatter matrices (w = 2 off-diagonal — Frobenius counts
+    * both triangles). Class-separation (`embedding_class_separation`)
+    * compares label MEANS; this compares label SHAPES — two classes
+    * with identical centroids but different covariance still drift
+    * apart here (the check run before pooling sources or reusing a
+    * whitening transform across labels).
+    *
+    * Exactness: scatter entries `n·Σq_dq_e − Σq_d·Σq_e` are exact
+    * longs; cross-multiplying by the other label's n avoids rational
+    * normalization; the square overflows long and is carried in
+    * DECIMAL(38,0) (DuckDB HUGEINT) — bounded by ~10³⁰ for this
+    * corpus, well under 10³⁸ — and the emitted statistic is the exact
+    * integer quotient `div 10¹²` of that decimal, hashable as BIGINT.
+    * Scale shape: ONE pass builds all 10 scatter matrices (per-row
+    * upper-triangle product array → (label, d, e)-keyed mergeable
+    * aggregate, ≤ label·2080 keys); the pairwise stage joins 10·2080
+    * tiny rows. Same aggregate-big/solve-tiny split as
+    * `embedding_scatter_spectrum`, which also documents the int64
+    * ceiling (n ≲ 10⁹ per label before the moments need DECIMAL
+    * widening).
+    */
+  def embeddingCovarianceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
+    val base = Tables.embeddingsSpread(spark, sfDir)
+      .select(col("label").cast("long").as("label"), q.as("q"))
+      .localCheckpoint() // two consumers: counts+dim sums, cross moments
+    val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val dims = base
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d")).agg(sum(col("v")).as("s"))
+    val cross = base
+      .select(col("label"), explode(expr(
+        s"flatten(transform(sequence(0, ${D - 1}), d -> " +
+          s"transform(sequence(d, ${D - 1}), e -> " +
+          "struct(d, e, q[d] * q[e] as p))))")).as("t"))
+      .select(col("label"), col("t.d").as("d"), col("t.e").as("e"),
+        col("t.p").as("p"))
+      .groupBy(col("label"), col("d"), col("e")).agg(sum(col("p")).as("sp"))
+    val scatter = cross
+      .join(counts, "label")
+      .join(dims.toDF("label", "d", "sd"), Seq("label", "d"))
+      .join(dims.toDF("label", "e", "se"), Seq("label", "e"))
+      .select(col("label"), col("n"), col("d"), col("e"),
+        (col("n") * col("sp") - col("sd") * col("se")).as("scat"))
+    val a = scatter.toDF("label_a", "n_a", "d", "e", "scat_a")
+    val b = scatter.toDF("label_b", "n_b", "d", "e", "scat_b")
+    a.join(b, Seq("d", "e")).filter(col("label_a") < col("label_b"))
+      .withColumn("diff",
+        (col("scat_a") * col("n_b") - col("scat_b") * col("n_a"))
+          .cast("decimal(38,0)"))
+      .withColumn("term",
+        col("diff") * col("diff") *
+          when(col("d") === col("e"), lit(1)).otherwise(lit(2)))
+      .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"))
+      .agg(sum(col("term")).as("frob"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr("cast(frob div 1000000000000 as bigint)").as("drift_e12"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val embeddingCovarianceDriftSql: String =
+    """WITH base AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |     for x in embedding] AS q
+      |  FROM embeddings),
+      |counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |           FROM base GROUP BY label),
+      |dims AS (
+      |  SELECT label, d - 1 AS d, CAST(sum(v) AS BIGINT) AS s
+      |  FROM (SELECT label, unnest(q) AS v, generate_subscripts(q, 1) AS d
+      |        FROM base)
+      |  GROUP BY label, d),
+      |cross_m AS (
+      |  SELECT label, dd.range AS d, ee.range AS e,
+      |    CAST(sum(q[dd.range + 1] * q[ee.range + 1]) AS BIGINT) AS sp
+      |  FROM base, range(0, 64) dd, range(0, 64) ee
+      |  WHERE ee.range >= dd.range
+      |  GROUP BY label, dd.range, ee.range),
+      |scatter AS (
+      |  SELECT c.label, n.n, c.d, c.e,
+      |    n.n * c.sp - sd.s * se.s AS scat
+      |  FROM cross_m c
+      |  JOIN counts n ON n.label = c.label
+      |  JOIN dims sd ON sd.label = c.label AND sd.d = c.d
+      |  JOIN dims se ON se.label = c.label AND se.d = c.e)
+      |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+      |  CAST(sum((a.scat * b.n - b.scat * a.n)::HUGEINT
+      |           * (a.scat * b.n - b.scat * a.n)::HUGEINT
+      |           * (CASE WHEN a.d = a.e THEN 1 ELSE 2 END))
+      |       // 1000000000000 AS BIGINT) AS drift_e12
+      |FROM scatter a JOIN scatter b ON a.d = b.d AND a.e = b.e
+      |WHERE a.label < b.label
+      |GROUP BY a.label, b.label, a.n, b.n
+      |ORDER BY label_a, label_b""".stripMargin
+}

@@ -172,11 +172,24 @@ object TextQueries {
     val prefix = tok.join(dfreq, "tok").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= expr("sz - ((sz * 19 + 19) div 20) + 1"))
-      .select(col("tok"), col("doc_id"), col("sz"))
-    val cand = prefix.toDF("tok", "id_a", "sz_a")
-      .join(prefix.toDF("tok", "id_b", "sz_b"), "tok")
+      .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
+    // Positional filter (the "PP" in PPJoin): a pair sharing a prefix
+    // token at full-ordering ranks (ra, rb) can overlap by at most
+    // min(sz_a − ra, sz_b − rb) + 1 — both orderings agree past the
+    // shared token only on the common suffix — while J ≥ 19/20 needs
+    // overlap ≥ 19·(sz_a+sz_b)/39. Purely a pruning upper bound, so the
+    // result set is untouched; what it buys is SCALE SHAPE: when corpus
+    // growth inflates a prefix gram's posting list (df grows linearly
+    // with corpus size), the unfiltered candidate stage grows
+    // quadratically — the 10×-replica stress measured ×201 posting
+    // pairs for ×10 data — and the positional bound is what keeps the
+    // deep-rank share of those pairs out of verification.
+    val cand = prefix.toDF("tok", "id_a", "sz_a", "rn_a")
+      .join(prefix.toDF("tok", "id_b", "sz_b", "rn_b"), "tok")
       .filter(col("id_a") < col("id_b") &&
-        col("sz_a") * 19 <= col("sz_b") * 20 && col("sz_b") * 19 <= col("sz_a") * 20)
+        col("sz_a") * 19 <= col("sz_b") * 20 && col("sz_b") * 19 <= col("sz_a") * 20 &&
+        (least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1) * 39
+          >= (col("sz_a") + col("sz_b")) * 19)
       .select(col("id_a"), col("id_b")).distinct()
     val sets = docs.select(col("doc_id"), gramsExpr.as("ts"))
     cand
