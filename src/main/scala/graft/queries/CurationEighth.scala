@@ -74,6 +74,73 @@ object CurationEighth {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ mixture design
+
+  /** Token-budget mixture design: given target per-source weights
+    * (deterministic ppm shares derived from the source index — in a real
+    * pipeline these come from a tiny config table), compute the
+    * per-source sampling rate that realizes the mixture within one epoch
+    * of the corpus, plus the deficit for sources whose target exceeds
+    * their inventory (rate capped at 1e6 ppm — oversampling is an
+    * epochs decision, not a sampling-rate one). The arithmetic every
+    * data-mixing run does between "dedup finished" and "start sampling".
+    *
+    * Exactness: everything is integer — token inventory from one
+    * mergeable groupBy(source), target_ppm = (i+1)·1e6 div Σ(1..20),
+    * wanted = target_ppm·T_total div 1e6, rate_ppm = min(1e6,
+    * wanted·1e6 div T_s) — so Spark `div` ≡ DuckDB `//` row for row.
+    *
+    * Scale shape: one map + one 20-key aggregate; the corpus total
+    * joins back as a broadcast 1-row cross join. Nothing here grows
+    * with corpus size except the first mergeable pass.
+    */
+  def datasetMixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val inv = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("n_tokens"))
+    val total = inv.agg(sum(col("n_tokens")).as("t_total"))
+    val denom = (1 to 20).sum // Σ source-index weights
+    inv.crossJoin(broadcast(total))
+      .withColumn("src_idx",
+        expr("cast(substring(source, 4) as long)"))
+      .withColumn("target_ppm",
+        expr(s"(src_idx + 1) * 1000000 div $denom"))
+      .withColumn("wanted_tokens", expr("target_ppm * t_total div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("wanted_tokens * 1000000 div n_tokens")))
+      .withColumn("sampled_tokens", expr("rate_ppm * n_tokens div 1000000"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), expr("wanted_tokens - sampled_tokens")))
+      .select(col("source"), col("n_tokens"), col("target_ppm"),
+        col("rate_ppm"), col("sampled_tokens"), col("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val datasetMixtureWeightsSql: String =
+    """WITH inv AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+      |         AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM inv),
+      |calc AS (
+      |  SELECT source, n_tokens,
+      |    (CAST(substr(source, 4) AS BIGINT) + 1) * 1000000 // 210
+      |      AS target_ppm,
+      |    ((CAST(substr(source, 4) AS BIGINT) + 1) * 1000000 // 210)
+      |      * t_total // 1000000 AS wanted_tokens
+      |  FROM inv, tot)
+      |SELECT source, n_tokens, target_ppm,
+      |  least(1000000, wanted_tokens * 1000000 // n_tokens) AS rate_ppm,
+      |  least(1000000, wanted_tokens * 1000000 // n_tokens)
+      |    * n_tokens // 1000000 AS sampled_tokens,
+      |  greatest(0, wanted_tokens
+      |    - least(1000000, wanted_tokens * 1000000 // n_tokens)
+      |      * n_tokens // 1000000) AS deficit_tokens
+      |FROM calc
+      |ORDER BY source""".stripMargin
+
   // ------------------------------------------------ perceptual-hash dedup
 
   /** Perceptual-hash near-dup buckets over the media corpus: decode →

@@ -338,6 +338,13 @@ object SeriesFifth {
     val obsTs = when(col("tag") === 0, col("ts"))
     val obsV = when(col("tag") === 0, col("value"))
     unioned
+      // numbered event_type repartition: the union is ~1 MB, so AQE
+      // coalesces the window exchange to ONE task and all five types'
+      // ordered scans serialize (r9 sweep flag); pinning the count keeps
+      // one task per type, which HashPartitioning(event_type) already
+      // satisfies for both window directions
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("event_type"))
       .withColumn("pts", last(obsTs, ignoreNulls = true).over(behind))
       .withColumn("pv", last(obsV, ignoreNulls = true).over(behind))
       .withColumn("nts", last(obsTs, ignoreNulls = true).over(aheadRev))

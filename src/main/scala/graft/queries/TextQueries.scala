@@ -173,6 +173,14 @@ object TextQueries {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= expr("sz - ((sz * 19 + 19) div 20) + 1"))
       .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
+      // numbered tok-keyed repartition: the filtered prefix relation is
+      // small in BYTES, so AQE coalesces the self-join below to 1-2
+      // tasks — but its OUTPUT is the posting-pair explosion (the r9
+      // full-surface sweep measured 2 MB in → 18 MB out on 2 tasks).
+      // Pinning the count keeps the explosion at full parallelism and
+      // co-partitions both join sides in one exchange.
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("tok"))
     // Positional filter (the "PP" in PPJoin): a pair sharing a prefix
     // token at full-ordering ranks (ra, rb) can overlap by at most
     // min(sz_a − ra, sz_b − rb) + 1 — both orderings agree past the

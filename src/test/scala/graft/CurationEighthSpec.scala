@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.CurationEighth
+
+/** Value-level checks for the round-9 curation/audit queries against
+  * hand-computed fixtures (the DuckDB gate checks the full corpus; these
+  * pin the SEMANTICS on inputs small enough to verify by hand).
+  */
+class CurationEighthSpec extends SparkTestBase {
+
+  /** Write a documents/embeddings fixture as a parquet sfDir. */
+  private def fixtureDir(): String =
+    Files.createTempDirectory("curation8").toString
+
+  test("ngram_novelty_profile: corpus-unique 3-gram mass per source") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // grams: doc1 {"x y z","y z w"}, doc2 {"x y z"}, doc3 {"p q r","q r s"}
+    // df("x y z")=2 so only "y z w" is novel in source a.
+    Seq(
+      (1L, "x y z w", "en", "a", 7L),
+      (2L, "x y z", "en", "a", 5L),
+      (3L, "p q r s", "en", "b", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CurationEighth.ngramNoveltyProfile(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq(("a", 2L, 3L, 1L), ("b", 1L, 2L, 2L)))
+    assert(math.abs(rows(0).getDouble(4) - 1.0 / 3.0) < 1e-12)
+    assert(rows(1).getDouble(4) === 1.0)
+  }
+
+  test("embedding_ks_screen: exact cross-multiplied KS on a 4-dim fixture") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // Group A = labels < 5, group B = labels >= 5; na = nb = 2.
+    // dim0 separates fully (KS 2*2=4), dim3 likewise, dim1 partially
+    // (KS 2), dim2 identical (KS 0). Ranks tie-break by dimension.
+    Seq(
+      (1L, Array(0.0f, 0.1f, 0.5f, 0.9f), 0),
+      (2L, Array(0.0f, 0.2f, 0.5f, 0.9f), 1),
+      (3L, Array(1.0f, 0.1f, 0.5f, 0.1f), 7),
+      (4L, Array(1.0f, 0.3f, 0.5f, 0.1f), 9))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = CurationEighth.embeddingKsScreen(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq ===
+      Seq((0L, 2L, 2L, 4L, 1L, true), (1L, 2L, 2L, 2L, 3L, true),
+        (2L, 2L, 2L, 0L, 4L, true), (3L, 2L, 2L, 4L, 2L, true)))
+  }
+
+  test("embedding_covariance_drift: identical shapes drift 0, else exact") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // labels 0 and 1 hold IDENTICAL vector multisets {e0, e1} → their
+    // scatter matrices are equal and the pair's drift must be exactly 0.
+    // label 2 is a single row → zero scatter, so drift(0,2) = drift(1,2)
+    // = Σ w·S₀[d,e]² = 1e12 + 1e12 + 2·1e12 → div 1e12 = 4.
+    def basis(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a
+    }
+    Seq(
+      (1L, basis(0), 0), (2L, basis(1), 0),
+      (3L, basis(0), 1), (4L, basis(1), 1),
+      (5L, Array.fill(64)(0.25f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = CurationEighth.embeddingCovarianceDrift(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((0L, 1L, 2L, 2L, 0L), (0L, 2L, 2L, 1L, 4L), (1L, 2L, 2L, 1L, 4L)))
+  }
+
+  test("multimodal_phash_dedup: bucket arithmetic and determinism") {
+    val df = CurationEighth.multimodalPhashDedup(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "500-doc corpus over <=256 buckets must collide")
+    rows.foreach { r =>
+      val kind = r.getString(0)
+      val n = r.getLong(2)
+      assert(Set("image", "audio", "video")(kind))
+      assert(n >= 2, s"bucket emitted with $n members")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 256, "phash is 8 order bits")
+      assert(r.getLong(3) <= r.getLong(4), "min_media_id <= max_media_id")
+      assert(r.getLong(5) === n * (n - 1) / 2, "pair count formula")
+    }
+    // total bucketed members never exceed the media corpus
+    assert(rows.map(_.getLong(2)).sum <= 500)
+    val again = CurationEighth.multimodalPhashDedup(spark, sf0001).collect()
+    assert(rows.toSeq === again.toSeq, "fingerprints must be deterministic")
+  }
+}

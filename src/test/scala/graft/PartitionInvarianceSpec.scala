@@ -41,7 +41,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "bpe_train_rounds",        // per-round argmax pair + island merges
     "embedding_class_separation", // fixed-point centroids, negative-safe div
     "multimodal_imageio_decode",  // PNG roundtrip per row, order-free
-    "copurchase_recall_at_k")  // r8 broadcast + fan-out repartition rewrite
+    "copurchase_recall_at_k",  // r8 broadcast + fan-out repartition rewrite
+    // round-9 additions
+    "ngram_novelty_profile",   // gram df join + per-source mergeable sums
+    "multimodal_phash_dedup",  // order-bit fingerprint buckets
+    "embedding_ks_screen",     // cumulative histogram windows + rank ties
+    "embedding_covariance_drift") // integer scatter + DECIMAL square fold
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {

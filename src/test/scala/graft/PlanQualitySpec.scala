@@ -315,6 +315,11 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!ppj.contains("CartesianProduct") &&
       !ppj.contains("BroadcastNestedLoopJoin"),
       "ppjoin candidates must equi-join on prefix grams:\n" + ppj)
+    // r9: the prefix relation is tiny in bytes but its self-join output
+    // is the posting-pair explosion — the numbered tok repartition that
+    // pins its parallelism past AQE coalescing must survive
+    assert(ppj.contains("REPARTITION_BY_NUM"),
+      "ppjoin prefix self-join lost its numbered tok repartition:\n" + ppj)
   }
 
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
