@@ -278,6 +278,90 @@ object CurationEighth {
       |FROM ranked
       |ORDER BY d""".stripMargin
 
+  // ------------------------------------------------ clip calibration
+
+  /** Per-dimension quantile-clip calibration for int8 quantization:
+    * from the bounded (dim, value) histogram, the exact p1/p99 rank
+    * values (the clip range a calibrated quantizer would use instead of
+    * the outlier-hostage max|x| that `embed_quantize` models), the
+    * count of values that range would clip, and the resulting int8
+    * step in fixed point. The calibration pass every serving-side
+    * quantizer runs once per embedding model.
+    *
+    * Exactness: rank thresholds are integer ceilings (rank ≥
+    * ceil(n/100) ⇔ cum·100 ≥ n), the quantile VALUE is the first
+    * histogram level whose cumulative count crosses the threshold
+    * (min-over-qualifying — order-free), and the step is an integer
+    * div by 255 of the µ-scaled range. One final double (clip
+    * fraction).
+    *
+    * Scale shape: same as [[embeddingKsScreen]] — one mergeable
+    * groupBy builds the ≤(2001·64)-row histogram; every window runs on
+    * that bounded domain, never raw vectors; corpus growth only
+    * deepens the first aggregate.
+    */
+  def embeddingClipCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
+    val hist = Tables.embeddingsSpread(spark, sfDir)
+      .select(posexplode(q).as(Seq("d", "v")))
+      .groupBy(col("d"), col("v")).agg(count(lit(1)).as("c"))
+    val cumWin = Window.partitionBy(col("d")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(cumWin))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("d"))))
+    // p1 = smallest level with cum*100 >= n; p99 = smallest level with
+    // cum*100 >= 99*n (exact integer rank arithmetic, no division)
+    val ranges = cum.groupBy(col("d"), col("n"))
+      .agg(
+        min(when(col("cum") * 100 >= col("n"), col("v"))).as("p1_mu"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("p99_mu"))
+    val clipped = hist.join(ranges, "d")
+      .groupBy(col("d"), col("n"), col("p1_mu"), col("p99_mu"))
+      .agg(sum(when(col("v") < col("p1_mu") || col("v") > col("p99_mu"),
+        col("c")).otherwise(0L)).as("n_clipped"))
+    clipped
+      .withColumn("int8_step_mu", expr("(p99_mu - p1_mu) div 255"))
+      .withColumn("clip_fraction",
+        col("n_clipped").cast("double") / col("n").cast("double"))
+      .select(col("d").cast("long").as("d"), col("n"), col("p1_mu"),
+        col("p99_mu"), col("n_clipped"), col("int8_step_mu"),
+        col("clip_fraction"))
+      .orderBy(col("d"))
+  }
+
+  val embeddingClipCalibrationSql: String =
+    """WITH base AS (
+      |  SELECT d - 1 AS d, CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM (SELECT unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |hist AS (SELECT d, v, CAST(count(*) AS BIGINT) AS c
+      |         FROM base GROUP BY d, v),
+      |cum AS (
+      |  SELECT d, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY d ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY d) AS BIGINT) AS n
+      |  FROM hist),
+      |ranges AS (
+      |  SELECT d, n,
+      |    min(CASE WHEN cum * 100 >= n THEN v END) AS p1_mu,
+      |    min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99_mu
+      |  FROM cum GROUP BY d, n),
+      |clipped AS (
+      |  SELECT h.d, r.n, r.p1_mu, r.p99_mu,
+      |    CAST(sum(CASE WHEN h.v < r.p1_mu OR h.v > r.p99_mu
+      |                  THEN h.c ELSE 0 END) AS BIGINT) AS n_clipped
+      |  FROM hist h JOIN ranges r USING (d)
+      |  GROUP BY h.d, r.n, r.p1_mu, r.p99_mu)
+      |SELECT CAST(d AS BIGINT) AS d, n, p1_mu, p99_mu, n_clipped,
+      |  (p99_mu - p1_mu) // 255 AS int8_step_mu,
+      |  CAST(n_clipped AS DOUBLE) / CAST(n AS DOUBLE) AS clip_fraction
+      |FROM clipped
+      |ORDER BY d""".stripMargin
+
   // ------------------------------------------------ covariance drift
 
   private val D = 64

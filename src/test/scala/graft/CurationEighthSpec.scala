@@ -75,6 +75,24 @@ class CurationEighthSpec extends SparkTestBase {
       Seq((0L, 1L, 2L, 2L, 0L), (0L, 2L, 2L, 1L, 4L), (1L, 2L, 2L, 1L, 4L)))
   }
 
+  test("embedding_clip_calibration: exact integer rank thresholds") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // one dimension, 100 distinct values 1..100 µ (each count 1):
+    // p1 = first level with cum ≥ ⌈100/100⌉ = 1 → 1 µ;
+    // p99 = first level with cum ≥ ⌈99·100/100⌉ = 99 → 99 µ;
+    // clipped = {100 µ} → 1 row, fraction 0.01; step = 98 div 255 = 0.
+    (1 to 100).map(i => (i.toLong, Array(i / 1000.0f), i % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = CurationEighth.embeddingClipCalibration(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === (0L, 100L, 1L, 99L, 1L, 0L))
+    assert(math.abs(r.getDouble(6) - 0.01) < 1e-12)
+  }
+
   test("multimodal_phash_dedup: bucket arithmetic and determinism") {
     val df = CurationEighth.multimodalPhashDedup(spark, sf0001)
     val rows = df.collect()
