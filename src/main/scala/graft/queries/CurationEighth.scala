@@ -278,6 +278,102 @@ object CurationEighth {
       |FROM ranked
       |ORDER BY d""".stripMargin
 
+  // ------------------------------------------------ source similarity
+
+  /** Source-pair similarity matrix, sketch-audited: for every pair of
+    * the 20 sources, the EXACT word-3-gram-set Jaccard (via the gram
+    * posting join — never a source×source set materialization) next to
+    * the 16-permutation MinHash ESTIMATE built from per-source merged
+    * signatures. The corpus-level view of the doc-level dedup family:
+    * at 100 TB the mergeable signatures are what a mixture planner
+    * actually ships between clusters (64 B per source), and this query
+    * IS the audit that says how much the cheap estimate can be trusted.
+    *
+    * Determinism: signature slots are `min(md5(j || ':' || gram))` over
+    * lowercase-hex strings — identical ASCII ordering in both engines —
+    * and the estimate m/16 is an exact binary double.
+    *
+    * Scale shape: one distinct-(source, gram) shuffle; the signature
+    * build explodes ×16 over DISTINCT grams (vocabulary-bounded, not
+    * corpus-bounded) into a 20·16-row aggregate; the exact-intersection
+    * join is gram-keyed with per-gram fan-out ≤ C(sources, 2) = 190.
+    * Nothing is all-pairs over documents.
+    */
+  def sourceMinhashSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.StableCheckpoint
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grams = Tables.documents(spark, sfDir)
+      .repartition(nPart)
+      .select(col("source"),
+        explode(Dedup.ngramSet(col("text"), 3)).as("g"))
+      .distinct()
+      .stableCheckpoint() // two consumers: signature build, exact join
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = grams.toDF("sa", "g")
+      .join(grams.toDF("sb", "g"), "g")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    val sigs = grams
+      .select(col("source"), posexplode(expr(
+        "transform(sequence(0, 15), j -> md5(concat(cast(j as string), ':', g)))"))
+        .as(Seq("j", "h")))
+      .groupBy(col("source"), col("j")).agg(min(col("h")).as("sig"))
+    val est = sigs.toDF("sa", "j", "sig_a")
+      .join(sigs.toDF("sb", "j", "sig_b"), "j")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))
+        .as("match16"))
+    est
+      .join(inter, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.toDF("sa", "sz_a"), "sa")
+      .join(sizes.toDF("sb", "sz_b"), "sb")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union").cast("double"))
+          .as("jaccard_exact"),
+        col("match16"),
+        (col("match16").cast("double") / lit(16.0d)).as("jaccard_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceMinhashSimilaritySql: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+      |      for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS g
+      |  FROM (SELECT source,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |        FROM documents)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+      |          FROM grams GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS ni
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT source, j.range AS j,
+      |    min(md5(j.range::VARCHAR || ':' || g)) AS sig
+      |  FROM grams, range(0, 16) j GROUP BY 1, 2),
+      |est AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM sigs a JOIN sigs b ON a.j = b.j AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT e.sa AS source_a, e.sb AS source_b,
+      |  coalesce(i.ni, 0) AS n_inter,
+      |  x.sz + y.sz - coalesce(i.ni, 0) AS n_union,
+      |  CAST(coalesce(i.ni, 0) AS DOUBLE)
+      |    / (x.sz + y.sz - coalesce(i.ni, 0)) AS jaccard_exact,
+      |  e.m AS match16, CAST(e.m AS DOUBLE) / 16 AS jaccard_est
+      |FROM est e
+      |LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+      |JOIN sizes x ON x.source = e.sa
+      |JOIN sizes y ON y.source = e.sb
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------ clip calibration
 
   /** Per-dimension quantile-clip calibration for int8 quantization:

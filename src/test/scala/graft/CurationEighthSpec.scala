@@ -75,6 +75,36 @@ class CurationEighthSpec extends SparkTestBase {
       Seq((0L, 1L, 2L, 2L, 0L), (0L, 2L, 2L, 1L, 4L), (1L, 2L, 2L, 1L, 4L)))
   }
 
+  test("source_minhash_similarity: exact jaccard + independent sketch replay") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // source a grams {"x y z","y z w"}, b {"x y z"}, c {"p q r"}:
+    // (a,b) inter 1 / union 2, (a,c) and (b,c) disjoint.
+    Seq(
+      (1L, "x y z w", "en", "a", 7L),
+      (2L, "x y z", "en", "b", 5L),
+      (3L, "p q r", "en", "c", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // independent reimplementation of the 16-slot signature for the
+    // (a,b) pair: slots match exactly when a's min includes b's only gram
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedAB = (0 until 16).count { j =>
+      val ha = Seq(md5hex(s"$j:x y z"), md5hex(s"$j:y z w")).min
+      ha == md5hex(s"$j:x y z")
+    }.toLong
+    val rows = CurationEighth.sourceMinhashSimilarity(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(5))).toSeq ===
+      Seq(("a", "b", 1L, 2L, expectedAB), ("a", "c", 0L, 3L, 0L),
+        ("b", "c", 0L, 2L, 0L)))
+    assert(rows(0).getDouble(4) === 0.5)
+    assert(rows(0).getDouble(6) === expectedAB / 16.0)
+    assert(rows(1).getDouble(4) === 0.0 && rows(2).getDouble(4) === 0.0)
+  }
+
   test("embedding_clip_calibration: exact integer rank thresholds") {
     import spark.implicits._
     val dir = fixtureDir()

@@ -46,7 +46,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "ngram_novelty_profile",   // gram df join + per-source mergeable sums
     "multimodal_phash_dedup",  // order-bit fingerprint buckets
     "embedding_ks_screen",     // cumulative histogram windows + rank ties
-    "embedding_covariance_drift") // integer scatter + DECIMAL square fold
+    "embedding_covariance_drift", // integer scatter + DECIMAL square fold
+    "dataset_mixture_weights", // 20-key integer rates off a broadcast total
+    "embedding_clip_calibration", // integer rank thresholds over histogram
+    "source_minhash_similarity")  // min-hash string fold + posting join
 
   representatives.foreach { name =>
     test(s"$name is invariant to shuffle fan-out") {
