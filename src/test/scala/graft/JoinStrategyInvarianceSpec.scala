@@ -34,6 +34,32 @@ class JoinStrategyInvarianceSpec extends SparkTestBase {
       "broadcast vs shuffled-hash join results differ")
   }
 
+  test("r9 join-bearing queries survive a global planner flip") {
+    // Whole-query variant: disable broadcast + prefer SMJ vs defaults —
+    // the flip a 100 TB cluster's thresholds would make — and assert
+    // identical rows for the round-9 queries built on posting/df joins.
+    val reps = Seq("source_minhash_similarity", "ngram_novelty_profile",
+      "multimodal_phash_dedup")
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevPrefer = conf.get("spark.sql.join.preferSortMergeJoin")
+    try reps.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.join.preferSortMergeJoin", prevPrefer)
+      val default = fn(spark, sf0001).collect().map(_.toString).toSeq
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val flipped = fn(spark, sf0001).collect().map(_.toString).toSeq
+      assert(default.nonEmpty, s"$name returned no rows")
+      assert(default == flipped,
+        s"$name differs between default and no-broadcast/SMJ planning")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.join.preferSortMergeJoin", prevPrefer)
+    }
+  }
+
   test("hints actually change the physical join operator") {
     val li = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
     val o = Tables.orders(spark, sf0001).select(col("o_orderkey"))
