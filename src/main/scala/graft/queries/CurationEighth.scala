@@ -197,6 +197,81 @@ object CurationEighth {
       |HAVING count(*) >= 2
       |ORDER BY kind, phash""".stripMargin
 
+  // ------------------------------------------------ phash multi-probe
+
+  /** Hamming-1 multi-probe audit for the perceptual-hash dedup: per
+    * media kind, how many candidate pairs does exact-bucket collision
+    * (H0) yield versus widening to fingerprints one bit apart (H1 — the
+    * multi-probe recall lever, exactly as `sim_lsh_multiprobe` does for
+    * LSH buckets)? The planning number behind "do we need probes": if
+    * H1 mass is small relative to H0, exact banding suffices.
+    *
+    * Scale shape: the ENTIRE pair computation runs on the (kind, phash)
+    * bucket HISTOGRAM — a ≤3·256-row relation regardless of corpus
+    * size — H0 as Σ C(n,2) per bucket, H1 as Σ n_a·n_b over bucket
+    * pairs whose XOR is a power of two (≤ 256·8/2 pairs per kind). The
+    * only corpus-sized pass is the one mergeable groupBy; no per-item
+    * probe explosion is ever materialized.
+    */
+  def multimodalPhashHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    val dec = Multimodal.decodeAndFeaturize(media).toDF()
+    val phash = (0 until 8).map { j =>
+      when(element_at(col("feat"), j + 1) >
+        element_at(col("feat"), ((j + 1) % 8) + 1), 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    val hist = dec.select(col("kind"), phash.as("h"))
+      .groupBy(col("kind"), col("h")).agg(count(lit(1)).as("n"))
+    val h0 = hist.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("n * (n - 1) div 2")).as("h0_pairs"))
+    val h1 = hist.toDF("kind", "ha", "na")
+      .join(hist.toDF("kind", "hb", "nb"), "kind")
+      .filter(col("ha") < col("hb") &&
+        expr("(ha ^ hb) in (1, 2, 4, 8, 16, 32, 64, 128)"))
+      .groupBy(col("kind"))
+      .agg(sum(col("na") * col("nb")).as("h1_pairs"))
+    h0.join(h1, Seq("kind"), "left")
+      .na.fill(0L, Seq("h1_pairs"))
+      .select(col("kind"), col("n_buckets"), col("h0_pairs"),
+        col("h1_pairs"))
+      .orderBy(col("kind"))
+  }
+
+  val multimodalPhashHammingSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    md5(text) AS hex
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT media_id, kind,
+      |    [(('0x' || substr(md5(j::VARCHAR || ':' || hex), 1, 15))::BIGINT
+      |       % 2001 - 1000) / 1000.0 for j in range(0, 8)] AS f
+      |  FROM media),
+      |hashed AS (
+      |  SELECT media_id, kind,
+      |    CAST(list_sum([CASE WHEN f[j + 1] > f[((j + 1) % 8) + 1]
+      |                        THEN 1 << j ELSE 0 END
+      |                   for j in range(0, 8)]) AS BIGINT) AS h
+      |  FROM sigs),
+      |hist AS (SELECT kind, h, CAST(count(*) AS BIGINT) AS n
+      |         FROM hashed GROUP BY kind, h),
+      |h0 AS (
+      |  SELECT kind, CAST(count(*) AS BIGINT) AS n_buckets,
+      |    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS h0_pairs
+      |  FROM hist GROUP BY kind),
+      |h1 AS (
+      |  SELECT a.kind, CAST(sum(a.n * b.n) AS BIGINT) AS h1_pairs
+      |  FROM hist a JOIN hist b
+      |    ON a.kind = b.kind AND a.h < b.h
+      |   AND xor(a.h, b.h) IN (1, 2, 4, 8, 16, 32, 64, 128)
+      |  GROUP BY a.kind)
+      |SELECT h0.kind, h0.n_buckets, h0.h0_pairs,
+      |  coalesce(h1.h1_pairs, 0) AS h1_pairs
+      |FROM h0 LEFT JOIN h1 ON h1.kind = h0.kind
+      |ORDER BY h0.kind""".stripMargin
+
   // ------------------------------------------------ KS feature screen
 
   /** Per-dimension two-sample KS screen between label groups (labels

@@ -15,7 +15,13 @@ class AqeInvarianceSpec extends SparkTestBase {
     "window_topn_per_customer", // keyed rank filter (WindowGroupLimit)
     "sketch_hll_distinct",     // register-merge aggregate
     "dedup_minhash_lsh",       // banded self-join (AQE may pick broadcast)
-    "bootstrap_ci_mean")       // replicate means + rank pick
+    "bootstrap_ci_mean",       // replicate means + rank pick
+    // round-9: numbered repartitions feeding explosions must hold
+    // their answer whether or not AQE re-plans around them
+    "ppjoin_exact_pairs",      // prefix self-join behind a numbered exchange
+    "source_minhash_similarity", // posting join + signature fold
+    "ngram_novelty_profile",   // gram df join off a checkpoint
+    "embedding_clip_calibration") // bounded-histogram windows
 
   representatives.foreach { name =>
     test(s"$name returns identical rows with AQE on and off") {

@@ -123,6 +123,43 @@ class CurationEighthSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(6) - 0.01) < 1e-12)
   }
 
+  test("multimodal_phash_hamming: independent driver-side recount at sf0.001") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent reimplementation of the stub codec's feature + phash
+    // arithmetic over the 500-doc corpus, then brute-force H0/H1 masses
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kinds = Array("image", "audio", "video")
+    val hist = docs.map { case (id, text) =>
+      val hex = md5hex(text)
+      val f = (0 until 8).map { j =>
+        (java.lang.Long.parseLong(md5hex(s"$j:$hex").substring(0, 15), 16)
+          % 2001 - 1000) / 1000.0
+      }
+      val phash = (0 until 8).map { j =>
+        if (f(j) > f((j + 1) % 8)) 1L << j else 0L
+      }.sum
+      (kinds((id % 3).toInt), phash)
+    }.groupBy(identity).map { case ((k, h), v) => (k, h, v.length.toLong) }
+    val expected = kinds.sorted.map { k =>
+      val buckets = hist.filter(_._1 == k).toSeq
+      val h0 = buckets.map(b => b._3 * (b._3 - 1) / 2).sum
+      val h1 = (for {
+        a <- buckets; b <- buckets
+        if a._2 < b._2 && java.lang.Long.bitCount(a._2 ^ b._2) == 1
+      } yield a._3 * b._3).sum
+      (k, buckets.size.toLong, h0, h1)
+    }.toSeq
+    val rows = CurationEighth.multimodalPhashHamming(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows === expected)
+    assert(rows.exists(_._3 > 0), "500 docs over <=256 buckets must collide")
+  }
+
   test("multimodal_phash_dedup: bucket arithmetic and determinism") {
     val df = CurationEighth.multimodalPhashDedup(spark, sf0001)
     val rows = df.collect()
