@@ -353,6 +353,63 @@ object CurationEighth {
       |FROM ranked
       |ORDER BY d""".stripMargin
 
+  // ------------------------------------------------ rank correlation
+
+  /** Spearman rank correlation between daily revenue and daily order
+    * count — the monotone-association companion to the Pearson
+    * (`corr_exact`) and Kendall (`kendall_tau_daily`) audits. Ranks are
+    * deterministically tie-broken by day (mirrored in the oracle), so
+    * both rank vectors are permutations and the classic
+    * ρ = 1 − 6·Σd² / (n(n²−1)) closed form applies with Σd² an exact
+    * integer; the only division is the final one, of identical
+    * integers, in double.
+    *
+    * Scale shape: the windows rank the AGGREGATED day relation (one
+    * row per calendar day — bounded domain, not corpus-sized), per the
+    * repo's bounded-domain global-window rule; the corpus-sized pass
+    * is one mergeable groupBy(day).
+    */
+  def spearmanDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val rRev = row_number().over(
+      Window.orderBy(col("cents"), col("day"))).cast("long")
+    val rCnt = row_number().over(
+      Window.orderBy(col("n_orders"), col("day"))).cast("long")
+    daily
+      .withColumn("rr", rRev).withColumn("rc", rCnt)
+      .select((col("rr") - col("rc")).as("d"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("spearman_rho",
+        lit(1.0d) - lit(6.0d) * col("sum_d2").cast("double") /
+          (col("n_days") * (col("n_days") * col("n_days") - 1L))
+            .cast("double"))
+      .select(col("n_days"), col("sum_d2"), col("spearman_rho"))
+  }
+
+  val spearmanDailySql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_orderdate),
+      |ranked AS (
+      |  SELECT
+      |    CAST(row_number() OVER (ORDER BY cents, day) AS BIGINT) AS rr,
+      |    CAST(row_number() OVER (ORDER BY n_orders, day) AS BIGINT) AS rc
+      |  FROM daily),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum((rr - rc) * (rr - rc)) AS BIGINT) AS sum_d2
+      |  FROM ranked)
+      |SELECT n_days, sum_d2,
+      |  1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+      |    / CAST(n_days * (n_days * n_days - 1) AS DOUBLE) AS spearman_rho
+      |FROM s""".stripMargin
+
   // ------------------------------------------------ source similarity
 
   /** Source-pair similarity matrix, sketch-audited: for every pair of

@@ -75,6 +75,23 @@ class CurationEighthSpec extends SparkTestBase {
       Seq((0L, 1L, 2L, 2L, 0L), (0L, 2L, 2L, 1L, 4L), (1L, 2L, 2L, 1L, 4L)))
   }
 
+  test("spearman_daily: closed form on a hand-ranked fixture") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // daily (n_orders, cents): d1 (1, 3000), d2 (2, 1000), d3 (3, 2000)
+    // revenue ranks (d2,d3,d1) vs count ranks (d1,d2,d3) → d = (2,-1,-1),
+    // Σd² = 6, ρ = 1 − 6·6/(3·8) = −0.5
+    Seq(
+      ("1995-01-01", 30.00), ("1995-01-02", 5.00), ("1995-01-02", 5.00),
+      ("1995-01-03", 10.00), ("1995-01-03", 5.00), ("1995-01-03", 5.00))
+      .toDF("d", "o_totalprice")
+      .selectExpr("cast(d as date) as o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = CurationEighth.spearmanDaily(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === (3L, 6L))
+    assert(r.getDouble(2) === -0.5)
+  }
+
   test("source_minhash_similarity: exact jaccard + independent sketch replay") {
     import spark.implicits._
     val dir = fixtureDir()

@@ -264,7 +264,10 @@ class PlanQualitySpec extends SparkTestBase {
         graft.queries.AnalyticsFourth.skylineParts(spark, sf0001),
       "zipf_coverage" ->
         graft.queries.CorpusFifth.zipfCoverage(spark, sf0001),
-      "ks_drift" -> graft.queries.SeriesFifth.ksDrift(spark, sf0001))
+      "ks_drift" -> graft.queries.SeriesFifth.ksDrift(spark, sf0001),
+      // r9: both rank windows order the one-row-per-day aggregate
+      "spearman_daily" ->
+        graft.queries.CurationEighth.spearmanDaily(spark, sf0001))
     targets.foreach { case (name, df) =>
       val lp = df.queryExecution.optimizedPlan
       val globalWindows = lp.collect {
