@@ -353,6 +353,77 @@ object CurationEighth {
       |FROM ranked
       |ORDER BY d""".stripMargin
 
+  // ------------------------------------------------ cluster profile
+
+  /** Duplicate-cluster size profile: the distribution of near-dup
+    * cluster sizes (from the same lang-blocked 3-gram-Jaccard
+    * connected components as `dedup_components`) plus the singleton
+    * row, each with its corpus share — the one-page answer to "how
+    * duplicated is this corpus, and is the mass in a few giant
+    * clusters or many pairs?" that decides between survivor-selection
+    * and wholesale source drops.
+    *
+    * Scale shape: inherits the components machinery (banded candidate
+    * join, iterative min-label with checkpoints); everything after is
+    * component-count-sized (cluster sizes → a ≤max-size histogram) and
+    * the corpus total joins in as a broadcast 1-row aggregate. The
+    * final division is of exact integers, in double.
+    */
+  def dedupClusterProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairs(docs,
+      blockCols = Seq("lang"), n = 3, threshold = 0.2)
+    val comp = Dedup.connectedComponents(pairs)
+    val hist = comp.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val dupMass = hist.agg(
+      coalesce(sum(col("cluster_size") * col("n_clusters")), lit(0L))
+        .as("n_dup"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val singles = total.crossJoin(broadcast(dupMass))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_dup")).as("n_clusters"))
+    hist.unionByName(singles)
+      .crossJoin(broadcast(total))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("corpus_share",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("corpus_share"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val dedupClusterProfileSql: String =
+    "WITH RECURSIVE " + TextQueries.gramSimPairsSqlPreamble + """,
+      |pairs AS (SELECT id_a, id_b FROM simpairs WHERE jaccard_sim > 0.2),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, lbl) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+      |comp AS (SELECT src, min(lbl) AS lbl FROM reach GROUP BY src),
+      |hist AS (
+      |  SELECT CAST(sz AS BIGINT) AS cluster_size,
+      |    CAST(count(*) AS BIGINT) AS n_clusters
+      |  FROM (SELECT lbl, count(*) AS sz FROM comp GROUP BY lbl)
+      |  GROUP BY sz),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+      |dupmass AS (
+      |  SELECT CAST(coalesce(sum(cluster_size * n_clusters), 0) AS BIGINT)
+      |    AS n_dup FROM hist),
+      |uni AS (
+      |  SELECT cluster_size, n_clusters FROM hist
+      |  UNION ALL
+      |  SELECT 1, n_total - n_dup FROM tot, dupmass)
+      |SELECT cluster_size, n_clusters,
+      |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+      |  CAST(cluster_size * n_clusters AS DOUBLE) / n_total AS corpus_share
+      |FROM uni, tot
+      |ORDER BY cluster_size""".stripMargin
+
   // ------------------------------------------------ rank correlation
 
   /** Spearman rank correlation between daily revenue and daily order

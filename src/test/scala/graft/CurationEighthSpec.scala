@@ -75,6 +75,26 @@ class CurationEighthSpec extends SparkTestBase {
       Seq((0L, 1L, 2L, 2L, 0L), (0L, 2L, 2L, 1L, 4L), (1L, 2L, 2L, 1L, 4L)))
   }
 
+  test("dedup_cluster_profile: known clusters + singleton mass") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // docs 1-3 (en) form one Jaccard>0.2 cluster (1≡2 exact, 3 at 0.5);
+    // doc 4 shares nothing; doc 5 matches doc 1 but is lang-blocked (fr)
+    // → sizes: one 3-cluster + two singletons over a 5-doc corpus.
+    Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "a b c d x", "en", "s", 9L),
+      (4L, "p q r s t", "en", "s", 9L),
+      (5L, "a b c d e", "fr", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CurationEighth.dedupClusterProfile(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 2L, 2L), (3L, 1L, 3L)))
+    assert(rows(0).getDouble(3) === 0.4 && rows(1).getDouble(3) === 0.6)
+  }
+
   test("spearman_daily: closed form on a hand-ranked fixture") {
     import spark.implicits._
     val dir = fixtureDir()
