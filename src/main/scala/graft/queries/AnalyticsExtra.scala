@@ -58,6 +58,12 @@ object AnalyticsExtra {
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // numbered priority repartition: the projected orders are ~1 MB,
+      // so AQE coalesces the window exchange to ONE task and all five
+      // priorities' ordered scans serialize (r9 sweep flag); pinning the
+      // count keeps one task per priority
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("o_orderpriority"))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .groupBy(col("o_orderpriority"), col("quartile"))
       .agg(count(lit(1)).as("n_orders"),
