@@ -1,4 +1,5 @@
 package graft
+import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,38 +20,51 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     // Dev knobs (driver leaves these unset): SPARK_GRAFT_ONLY=a,b runs a
-    // subset; SPARK_GRAFT_REPEAT=N times each query N times and keeps the
-    // minimum (isolates plan cost from box noise). Default is min-of-3:
-    // four consecutive rounds the single-shot driver artifact was
-    // noise-dominated (r8: 773 s recorded vs 182 s same-day steady state,
-    // a 4.3x error) — the ~3x wall-clock cost buys the only number that
-    // survives between rounds being the reproducible one.
+    // subset; SPARK_GRAFT_REPEAT=N runs the surface N times and keeps each
+    // query's minimum (isolates plan cost from box noise). Default is
+    // min-of-3: four consecutive rounds the single-shot driver artifact
+    // was noise-dominated (r8: 773 s recorded vs 182 s same-day steady
+    // state, a 4.3x error) — the ~3x wall-clock cost buys the only number
+    // that survives between rounds being the reproducible one.
+    //
+    // The repeats are INTERLEAVED — N sequential full-surface passes with
+    // per-query minima taken across passes — not N back-to-back runs of
+    // each query. Back-to-back repeats share one box-contention window
+    // (GC pause, page-cache eviction, a cron neighbor), so a query that
+    // lands in a bad window records an inflated value in ALL its repeats
+    // and min-of-3 cannot save it (r9 artifact: six queries at 2-5.7x
+    // their same-day steady-state minima). Spreading a query's repeats
+    // ~minutes apart decorrelates the noise at identical total cost.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
-    val results = SparkEntry.queries
+    val surface = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val t = (1 to repeat).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          if (ok) elapsed else -1.0 // min() below keeps the error marker
-        }.min
-        // Drop the query's localCheckpoint blocks before the next query
-        // runs. ContextCleaner frees them only when the driver GCs the
-        // RDD handles, so across a 272-query run the block manager
-        // accumulates gigabytes of dead blocks — by the tail of the
-        // run new checkpoints evict/spill and the iterative family
-        // (checkpoint-heavy by design) measures 1.5-1.7x slower than
-        // the same binary in isolation (the r7 "bench variance"
-        // mystery). Each query is an independent job on a real
-        // cluster; clearing session-cached state between them is the
-        // like-for-like measurement.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        name -> t
+      .toSeq
+    val best = mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to repeat; (name, fn) <- surface) {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val t = if (ok) elapsed else -1.0 // min keeps the error marker
+      best.updateWith(name) {
+        case Some(prev) => Some(math.min(prev, t))
+        case None => Some(t)
       }
+      // Drop the query's localCheckpoint blocks before the next query
+      // runs. ContextCleaner frees them only when the driver GCs the
+      // RDD handles, so across a 286-query pass the block manager
+      // accumulates gigabytes of dead blocks — by the tail of the
+      // run new checkpoints evict/spill and the iterative family
+      // (checkpoint-heavy by design) measures 1.5-1.7x slower than
+      // the same binary in isolation (the r7 "bench variance"
+      // mystery). Each query is an independent job on a real
+      // cluster; clearing session-cached state between them is the
+      // like-for-like measurement.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val results = best
     // The harness captures only a bounded tail of stdout, so the one-line
     // summary must stay small: 3-decimal times, slowest-first, and only
     // the 40 slowest queries (plus any errors, v < 0) inline — the rest

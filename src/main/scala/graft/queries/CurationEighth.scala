@@ -110,8 +110,13 @@ object CurationEighth {
       .withColumn("rate_ppm",
         least(lit(1000000L), expr("wanted_tokens * 1000000 div n_tokens")))
       .withColumn("sampled_tokens", expr("rate_ppm * n_tokens div 1000000"))
+      // Deficit is the INVENTORY shortfall (wanted beyond what the source
+      // holds), not the ppm-floor truncation remainder: uncapped sources
+      // lose up to 1 token/1e6 to the two floor divisions, and reporting
+      // that residue as "deficit" would misstate the report's semantics
+      // (deficit = needs more epochs; truncation = rounding).
       .withColumn("deficit_tokens",
-        greatest(lit(0L), expr("wanted_tokens - sampled_tokens")))
+        greatest(lit(0L), expr("wanted_tokens - n_tokens")))
       .select(col("source"), col("n_tokens"), col("target_ppm"),
         col("rate_ppm"), col("sampled_tokens"), col("deficit_tokens"))
       .orderBy(col("source"))
@@ -135,9 +140,7 @@ object CurationEighth {
       |  least(1000000, wanted_tokens * 1000000 // n_tokens) AS rate_ppm,
       |  least(1000000, wanted_tokens * 1000000 // n_tokens)
       |    * n_tokens // 1000000 AS sampled_tokens,
-      |  greatest(0, wanted_tokens
-      |    - least(1000000, wanted_tokens * 1000000 // n_tokens)
-      |      * n_tokens // 1000000) AS deficit_tokens
+      |  greatest(0, wanted_tokens - n_tokens) AS deficit_tokens
       |FROM calc
       |ORDER BY source""".stripMargin
 

@@ -61,9 +61,15 @@ object ProfileStages {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    case class St(id: Int, ms: Long, tasks: Int, shufWMb: Long, shufRMb: Long,
-                  name: String) {
-      def leaf: Boolean = shufRMb == 0 && !name.contains("Exchange")
+    // Leaf classification keys on RAW shuffle-read bytes, not the
+    // MB-rounded display value: the defects this sweep hunts are
+    // precisely small-bytes shuffles (the fixed interpolate_linear
+    // exchange was ~1 MB), so a 0.9 MB post-shuffle stage rounded to
+    // shufRMb==0 must NOT be misfiled as an inherent leaf scan.
+    case class St(id: Int, ms: Long, tasks: Int, shufWMb: Long,
+                  shufRBytes: Long, name: String) {
+      def shufRMb: Long = shufRBytes / 1048576
+      def leaf: Boolean = shufRBytes == 0 && !name.contains("Exchange")
     }
     val stages = mutable.ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -75,7 +81,7 @@ object ProfileStages {
         stages.synchronized {
           stages += St(si.stageId, ms, si.numTasks,
             si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1048576,
-            (sr.remoteBytesRead + sr.localBytesRead) / 1048576,
+            sr.remoteBytesRead + sr.localBytesRead,
             si.name.takeWhile(_ != '\n').take(60))
         }
       }
@@ -128,8 +134,11 @@ object ProfileStages {
         val stagesJson = hot.map(s =>
           s"""{"id":${s.id},"ms":${s.ms},"tasks":${s.tasks},""" +
             s""""shuf_write_mb":${s.shufWMb},"shuf_read_mb":${s.shufRMb},""" +
+            s""""shuf_read_bytes":${s.shufRBytes},""" +
             s""""leaf":${s.leaf},"name":${js(s.name)}}""").mkString(",")
-        s"""  ${js(n)}: {"sec": ${f"$sec%.2f"}, "flagged": [$stagesJson]}"""
+        // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+        val secStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+        s"""  ${js(n)}: {"sec": $secStr, "flagged": [$stagesJson]}"""
       }.mkString(",\n")
       val json =
         s"""{

@@ -215,4 +215,31 @@ class CurationEighthSpec extends SparkTestBase {
     val again = CurationEighth.multimodalPhashDedup(spark, sf0001).collect()
     assert(rows.toSeq === again.toSeq, "fingerprints must be deterministic")
   }
+
+  test("dataset_mixture_weights: hand-computed ppm rates, cap, and deficit") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // Three sources; T_total = 100 + 49 + 10 = 159.
+    //   target_ppm = (idx+1)*1e6 div 210
+    //   src0  idx=0  → 4761;  wanted = 4761*159  div 1e6 = 0
+    //   src4  idx=4  → 23809; wanted = 23809*159 div 1e6 = 3
+    //   src19 idx=19 → 95238; wanted = 95238*159 div 1e6 = 15
+    // src4 is UNCAPPED with a truncation remainder (rate = 3e6 div 49 =
+    // 61224; sampled = 61224*49 div 1e6 = 2 < wanted 3) — its deficit
+    // must still be 0 (deficit is inventory shortfall, not floor residue).
+    // src19 is genuinely inventory-short: rate caps at 1e6, sampled = 10,
+    // deficit = 15 - 10 = 5.
+    def doc(id: Long, src: String, nTok: Int) =
+      (id, Seq.fill(nTok)("t").mkString(" "), "en", src, nTok.toLong * 2)
+    Seq(doc(1L, "src0", 100), doc(2L, "src4", 49), doc(3L, "src19", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CurationEighth.datasetMixtureWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === Seq( // string order: src0 < src19 < src4
+      ("src0", 100L, 4761L, 0L, 0L, 0L),
+      ("src19", 10L, 95238L, 1000000L, 10L, 5L),
+      ("src4", 49L, 23809L, 61224L, 2L, 0L)))
+  }
 }
