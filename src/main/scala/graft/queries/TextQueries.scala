@@ -198,7 +198,20 @@ object TextQueries {
         col("sz_a") * 19 <= col("sz_b") * 20 && col("sz_b") * 19 <= col("sz_a") * 20 &&
         (least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1) * 39
           >= (col("sz_a") + col("sz_b")) * 19)
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+      // numbered (id_a, id_b) repartition BEFORE the distinct: the
+      // candidate relation is ~150 KB of id pairs, so AQE coalesces the
+      // distinct's exchange to ONE task — and because both verify joins
+      // broadcast `sets`, the whole per-candidate array_intersect chain
+      // (the query's CPU-heaviest work) then runs single-threaded in
+      // that same stage (r10 sweep: 870-1250 ms on 1 task; the r9
+      // sweep's MB-rounded classifier had misfiled it as a leaf scan).
+      // HashPartitioning(id_a, id_b) satisfies the distinct-aggregate's
+      // distribution, so ONE pinned exchange carries dedup AND verify
+      // at full parallelism.
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("id_a"), col("id_b"))
+      .distinct()
     val sets = docs.select(col("doc_id"), gramsExpr.as("ts"))
     cand
       .join(sets.toDF("id_a", "ts_a"), "id_a")
