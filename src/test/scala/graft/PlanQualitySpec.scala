@@ -323,6 +323,15 @@ class PlanQualitySpec extends SparkTestBase {
     // pins its parallelism past AQE coalescing must survive
     assert(ppj.contains("REPARTITION_BY_NUM"),
       "ppjoin prefix self-join lost its numbered tok repartition:\n" + ppj)
+    // r10: the candidate relation is ~150 KB of id pairs and both verify
+    // joins broadcast the gram-set side, so without a numbered
+    // (id_a, id_b) repartition AQE coalesces the distinct's exchange to
+    // one task and the per-candidate array_intersect verify runs
+    // single-threaded (the r10 raw-bytes profiler finding). Three
+    // numbered repartitions total: docs scan spread, prefix tok, cand.
+    assert("REPARTITION_BY_NUM".r.findAllIn(ppj).size >= 3,
+      "ppjoin lost the numbered candidate (id_a, id_b) repartition " +
+        "that parallelizes the verify stage:\n" + ppj)
   }
 
   test("suffix_dup_spans / interpolate_linear: no pairwise or join plans") {
