@@ -11,6 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The default codegen class cache holds 100 entries; a 286-query
+      // surface generates thousands of codegen units, so every query's
+      // next run recompiled its whole plan after the cache thrashed —
+      // measured r10: an interleaved 6-query min-of-3 dropped 10.1 →
+      // 4.6 s total from this one setting (dedup_incremental 2.25 →
+      // 0.72 s). On a real cluster each query is its own application
+      // and compiles once; charging query N for queries 1..N-1 evicting
+      // its classes is a single-JVM-marathon artifact, not plan cost.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, shuffle machinery, parquet

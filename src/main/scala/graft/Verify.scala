@@ -18,6 +18,9 @@ object Verify {
       // write µs timestamps (not INT96) so result parquet dtypes match the
       // oracle's arrow schema
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // see Bench: the default 100-entry codegen cache thrashes across a
+      // 286-query run; harmless for correctness, big for gate wall-clock
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

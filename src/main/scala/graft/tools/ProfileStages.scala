@@ -58,6 +58,10 @@ object ProfileStages {
       .appName("profile-stages").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // match Bench: without this the 100-entry codegen cache thrashes
+      // across a full-surface sweep and stage timings measure Janino
+      // recompilation, not plan cost
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
