@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Regenerate every per-round evidence artifact in dependency order, so the
+# committed JSON always agrees with the committed code (the recurring
+# round-hygiene nit: a sweep or replay measured BEFORE the last fix it
+# describes). Run from the repo root on a quiet box; total ~80-100 min.
+#
+#   bash tools/round_artifacts.sh [sf001_dir] [sf01_dir]
+#
+# Produces / refreshes, in order:
+#   1. target/scala-2.13/classes        (sbt compile; aborts on error)
+#   2. /tmp/graft_gate                  full sf0.01 gate dump
+#      + lint_report_latest.json        (repo root, written by Verify)
+#      + gate PASS/FAIL via tools/local_verify.py  (aborts on FAIL)
+#   3. profile_sweep_r<N>.json          full-surface stage sweep
+#   4. bench_queries_full.json / bench_summary.json / bench_history.jsonl
+#      canonical interleaved min-of-3 at sf0.1
+#   5. replay_summary_r<N>.json         full-surface sf0.1 oracle replay
+#
+# Steps 3-5 are timing- or runtime-heavy; do not run anything else on the
+# box while they execute. The classes dir is snapshotted to /tmp/graftcp
+# first so an editor/sbt recompile cannot kill the in-flight JVMs.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF001="${1:-/root/testdata/sf0.01}"
+SF01="${2:-/root/testdata/sf0.1}"
+ROUND="${ROUND:-$(ls profile_sweep_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1)}"
+CP_SNAP=/tmp/graftcp
+
+sbt -batch compile
+rm -rf "$CP_SNAP" && cp -r target/scala-2.13/classes "$CP_SNAP"
+CP="$CP_SNAP:/opt/spark/jars/*"
+
+echo "== [2/5] correctness gate at $SF001"
+java -cp "$CP" graft.Verify "$SF001" /tmp/graft_gate
+python3 tools/local_verify.py /tmp/graft_gate "$SF001" | tail -2
+
+echo "== [3/5] full-surface profiler sweep"
+SPARK_GRAFT_ONLY=ALL SPARK_GRAFT_SF_DIR="$SF01" \
+  SPARK_GRAFT_PROFILE_OUT="profile_sweep_r${ROUND}.json" \
+  java -cp "$CP" graft.tools.ProfileStages | tail -1
+
+echo "== [4/5] canonical interleaved min-of-3 bench at $SF01"
+SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 \
+  java -cp "$CP" graft.Bench | grep metric
+
+echo "== [5/5] full-surface sf0.1 oracle replay"
+java -cp "$CP" graft.Verify "$SF01" /tmp/graft_replay
+python3 tools/replay_sf01.py /tmp/graft_replay "$SF01" 150 | tail -2
+cp /tmp/graft_replay/replay_summary.json "replay_summary_r${ROUND}.json"
+
+echo "done: lint_report_latest.json profile_sweep_r${ROUND}.json" \
+  "bench_{queries_full,summary}.json replay_summary_r${ROUND}.json"
