@@ -36,12 +36,16 @@ import org.apache.spark.sql.functions._
   * correctness gate always runs on the shipped uniform testdata.
   *
   * Usage: SkewScale <srcDir> <outDir> — writes `<outDir>/uniform` and
-  * `<outDir>/skew`.
+  * `<outDir>/skew`. SPARK_GRAFT_SKEW_PCT (default 20) sets the hot-key
+  * row share in percent (the document token share tracks it +~5pp);
+  * use 80 for the cliff-hunting stress.
   */
 object SkewScale {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args
+    val pct = sys.env.getOrElse("SPARK_GRAFT_SKEW_PCT", "20").toInt
+    require(pct > 0 && pct < 100, s"SPARK_GRAFT_SKEW_PCT=$pct out of range")
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-skew-scale")
       .config("spark.sql.shuffle.partitions", "32")
@@ -77,33 +81,35 @@ object SkewScale {
 
     write(load("orders")
       .withColumn("o_custkey",
-        when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0, lit(hotCust))
+        when(pmod(xxhash64(col("o_orderkey")), lit(100)) < pct, lit(hotCust))
           .otherwise(col("o_custkey"))),
       s"$outDir/skew", "orders")
 
     write(load("lineitem")
       .withColumn("l_partkey",
         when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
-          lit("pk")), lit(5)) === 0, lit(hotPart))
+          lit("pk")), lit(100)) < pct, lit(hotPart))
           .otherwise(col("l_partkey")))
       .withColumn("l_suppkey",
         when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
-          lit("sk")), lit(5)) === 0, lit(hotSupp))
+          lit("sk")), lit(100)) < pct, lit(hotSupp))
           .otherwise(col("l_suppkey"))),
       s"$outDir/skew", "lineitem")
 
     write(load("events")
       .withColumn("user_id",
-        when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(hotUser))
+        when(pmod(xxhash64(col("event_id")), lit(100)) < pct, lit(hotUser))
           .otherwise(col("user_id"))),
       s"$outDir/skew", "events")
 
-    // aligned 5-token blocks → hot token with prob 1/4: one token at
-    // ~25% of token mass, the all-hot trigram at ~15% of 3-gram mass
+    // aligned 5-token blocks → hot token with prob (pct+5)/100: one
+    // token at ~(pct+5)% of token mass, the all-hot trigram at ~3/5 of
+    // that share of 3-gram mass (runs of 5 → 3 interior hot trigrams)
+    val tokPct = math.min(95, pct + 5)
     write(load("documents")
       .withColumn("text", concat_ws(" ", expr(
-        """transform(split(text, ' '), (t, i) ->
-          |  if(pmod(xxhash64(doc_id, i div 5), 4) = 0, 'hottok', t))"""
+        s"""transform(split(text, ' '), (t, i) ->
+          |  if(pmod(xxhash64(doc_id, i div 5), 100) < $tokPct, 'hottok', t))"""
           .stripMargin)))
       .withColumn("n_chars", length(col("text"))),
       s"$outDir/skew", "documents")
