@@ -30,22 +30,23 @@ CP_SNAP=/tmp/graftcp
 sbt -batch compile
 rm -rf "$CP_SNAP" && cp -r target/scala-2.13/classes "$CP_SNAP"
 CP="$CP_SNAP:/opt/spark/jars/*"
+JAVA="tools/spark_java.sh"  # Spark module opens — required once blocks spill
 
 echo "== [2/5] correctness gate at $SF001"
-java -cp "$CP" graft.Verify "$SF001" /tmp/graft_gate
+"$JAVA" -cp "$CP" graft.Verify "$SF001" /tmp/graft_gate
 python3 tools/local_verify.py /tmp/graft_gate "$SF001" | tail -2
 
 echo "== [3/5] full-surface profiler sweep"
 SPARK_GRAFT_ONLY=ALL SPARK_GRAFT_SF_DIR="$SF01" \
   SPARK_GRAFT_PROFILE_OUT="profile_sweep_r${ROUND}.json" \
-  java -cp "$CP" graft.tools.ProfileStages | tail -1
+  "$JAVA" -cp "$CP" graft.tools.ProfileStages | tail -1
 
 echo "== [4/5] canonical interleaved min-of-3 bench at $SF01"
 SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 \
-  java -cp "$CP" graft.Bench | grep metric
+  "$JAVA" -cp "$CP" graft.Bench | grep metric
 
 echo "== [5/5] full-surface sf0.1 oracle replay"
-java -cp "$CP" graft.Verify "$SF01" /tmp/graft_replay
+"$JAVA" -cp "$CP" graft.Verify "$SF01" /tmp/graft_replay
 python3 tools/replay_sf01.py /tmp/graft_replay "$SF01" 150 | tail -2
 cp /tmp/graft_replay/replay_summary.json "replay_summary_r${ROUND}.json"
 
