@@ -102,20 +102,27 @@ object Bench {
       val line =
         s"""{"epoch_ms":${System.currentTimeMillis()},"total":${f(total)},""" +
           s""""n":${results.size},"repeat":$repeat,"sf":"$sfDir","queries":$full}"""
-      // latest snapshot (back-compat) ...
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_queries_full.json"), line)
-      // ... plus an APPEND-ONLY history so round-over-round comparisons
-      // (e.g. the iterative-family variance question) never need git
-      // archaeology on an overwritten snapshot
+      // APPEND-ONLY history (every run, incl. dev subsets) so
+      // round-over-round comparisons never need git archaeology on an
+      // overwritten snapshot
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_history.jsonl"), line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-      // the parsed one-line summary as a file, so downstream consumers
-      // don't have to scrape it out of an sbt-prefixed stdout tail
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_summary.json"), summary)
+      // The latest-run SNAPSHOT files are only written by FULL-surface
+      // runs: a dev SPARK_GRAFT_ONLY subset (or a scale-stress run on a
+      // replica dir) must not clobber the canonical committed snapshots
+      // — exactly the lint_report_latest.json rule in Verify. (r10: the
+      // x100 single-query stress runs silently replaced the 286-query
+      // snapshots with 1-query files.)
+      if (only.isEmpty) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_queries_full.json"), line)
+        // the parsed one-line summary as a file, so downstream consumers
+        // don't have to scrape it out of an sbt-prefixed stdout tail
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_summary.json"), summary)
+      }
     } catch { case _: Throwable => () }
     println(summary)
     spark.stop()
