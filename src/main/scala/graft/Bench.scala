@@ -94,13 +94,15 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
         s""""omitted":${fast.size},"omitted_sec":${f(fast.map(_._2).sum)},""" +
-        s""""n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir",""" +
+        Provenance.stamp(s"interleaved-min-of-$repeat") + "}"
     try {
       val full = results.toSeq.sortBy(-_._2)
         .map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val line =
-        s"""{"epoch_ms":${System.currentTimeMillis()},"total":${f(total)},""" +
+        s"""{${Provenance.stamp(s"interleaved-min-of-$repeat")},""" +
+          s""""total":${f(total)},""" +
           s""""n":${results.size},"repeat":$repeat,"sf":"$sfDir","queries":$full}"""
       // APPEND-ONLY history (every run, incl. dev subsets) so
       // round-over-round comparisons never need git archaeology on an
@@ -110,12 +112,17 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       // The latest-run SNAPSHOT files are only written by FULL-surface
-      // runs: a dev SPARK_GRAFT_ONLY subset (or a scale-stress run on a
-      // replica dir) must not clobber the canonical committed snapshots
+      // runs AT THE CANONICAL SCALE FACTOR: a dev SPARK_GRAFT_ONLY subset
+      // (or a scale/skew-stress run on a replica dir — those are full
+      // surface too) must not clobber the canonical committed snapshots
       // — exactly the lint_report_latest.json rule in Verify. (r10: the
       // x100 single-query stress runs silently replaced the 286-query
-      // snapshots with 1-query files.)
-      if (only.isEmpty) {
+      // snapshots with 1-query files; r10 advice: a full run with
+      // SF_DIR on a replica dir would still have slipped the guard.)
+      val canonicalSf =
+        java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString ==
+          "/root/testdata/sf0.1"
+      if (only.isEmpty && canonicalSf) {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_queries_full.json"), line)
         // the parsed one-line summary as a file, so downstream consumers

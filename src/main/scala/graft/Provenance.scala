@@ -1,0 +1,37 @@
+package graft
+
+/** Provenance stamp for every generated JSON artifact (bench snapshots,
+  * profiler sweeps, replay summaries, lint reports): the git sha of the
+  * working tree that produced the artifact, a wall-clock timestamp, and a
+  * short protocol tag naming the measurement recipe. Recurring round nit:
+  * a committed artifact whose producing binary can't be identified reads
+  * as current evidence even when it predates the last fix it describes —
+  * the sha (with a `-dirty` suffix when uncommitted edits exist) makes
+  * stale artifacts detectable mechanically instead of by archaeology.
+  */
+object Provenance {
+
+  private def git(args: String*): Option[String] =
+    try {
+      val p = new ProcessBuilder(("git" +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+
+  /** `<sha>` or `<sha>-dirty`; "unknown" outside a git checkout. Computed
+    * once per JVM — a measurement run doesn't change the tree.
+    */
+  lazy val gitSha: String = {
+    val sha = git("rev-parse", "HEAD").filter(_.matches("[0-9a-f]{40}"))
+    val dirty = git("status", "--porcelain").exists(_.nonEmpty)
+    sha.map(s => if (dirty) s + "-dirty" else s).getOrElse("unknown")
+  }
+
+  /** JSON fragment (no surrounding braces) to splice into an artifact:
+    * `"git_sha":"…","epoch_ms":…,"protocol":"…"`.
+    */
+  def stamp(protocol: String): String =
+    s""""git_sha":"$gitSha","epoch_ms":${System.currentTimeMillis()},""" +
+      s""""protocol":"$protocol""""
+}

@@ -7,8 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master URL; the driving case is the
+    // r11 process-boundary gate: `local-cluster[4,8,8192]` runs executors
+    // as SEPARATE JVMs (standalone worker-launched), exercising task
+    // serialization, closure capture and remote shuffle/block fetch that
+    // the single-JVM local[n] regime structurally cannot (the r10 x100
+    // stress found a Kryo-spill defect class ten rounds in for exactly
+    // this reason). Executors are fresh JVMs, so they need the graft
+    // classes on their classpath and Spark's canonical module opens.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -21,6 +30,15 @@ object Verify {
       // see Bench: the default 100-entry codegen cache thrashes across a
       // 286-query run; harmless for correctness, big for gate wall-clock
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+    val spark = (if (master.startsWith("local-cluster"))
+      builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          GraftCluster.moduleOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+    else builder0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -97,6 +115,8 @@ object Verify {
       kvs.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val lintJson =
       s"""{"n_queries": ${SparkEntry.queries.count(kv => selected(kv._1))},""" +
+        s""" "sf_dir": ${q(sfDir)}, "out_dir": ${q(outDir)},""" +
+        s""" ${Provenance.stamp("verify-dtype-lint")},""" +
         s""" "wide_decimal": ${obj(wideDecimalJson.toSeq)},""" +
         s""" "schema_pin": ${obj(schemaPinJson.toSeq)},""" +
         s""" "failed": ${obj(failedJson.toSeq)}}"""
@@ -104,9 +124,16 @@ object Verify {
     // also drop a copy in the cwd (the driver runs from the repo root,
     // like Bench's artifacts) so the gate-time lint status is versioned
     // and diffable across rounds — r9 judge nit: Verify wrote the report
-    // only to its outDir, which is never committed. Full runs only; a
-    // dev SPARK_GRAFT_ONLY subset must not overwrite the canonical file.
-    if (only.isEmpty)
+    // only to its outDir, which is never committed. Full GATE-SCALE runs
+    // only: a dev SPARK_GRAFT_ONLY subset must not overwrite the
+    // canonical file, and (r10 advice) neither may a full-surface replay
+    // at another scale — round_artifacts.sh step 5 (sf0.1 replay) was
+    // silently replacing the step-2 sf0.01 gate report. The embedded
+    // sf_dir/out_dir fields make any slip diagnosable from the artifact.
+    val gateScale =
+      Paths.get(sfDir).toAbsolutePath.normalize.toString ==
+        "/root/testdata/sf0.01"
+    if (only.isEmpty && gateScale)
       try Files.writeString(Paths.get("lint_report_latest.json"), lintJson)
       catch { case _: Throwable => () }
     spark.stop()

@@ -60,6 +60,20 @@ object StreamReshardBench {
   private def streamRecords(dir: String): Long =
     ShardedLog.listShards(dir).map(s => countLines(new File(dir, s))).sum
 
+  /** Dead-letter records: the ETL writes them as JSON-lines part files
+    * under errorsDir (not a sharded stream). They count as DELIVERED for
+    * the no-loss check — a record routed to dead-letter was processed,
+    * not lost — and without this the drain loop would spin its full
+    * 120 s and then fail with a misleading "lost records" message on any
+    * parse/route failure (r10 advice).
+    */
+  private def errorRecords(dir: String): Long = {
+    val d = new File(dir)
+    if (!d.exists()) 0L
+    else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".json"))
+      .map(countLines).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val shards = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "8").toInt
     val phaseSec = sys.env.getOrElse("SPARK_GRAFT_RESHARD_PHASE_SEC", "8").toInt
@@ -123,11 +137,16 @@ object StreamReshardBench {
       }
     }, "reshard-producer")
 
+    // cumulative delivered = dest streams + dead-letter (see errorRecords)
+    def deliveredNow(): Long =
+      streamRecords(dir("usa")) + streamRecords(dir("intl")) +
+        errorRecords(dir("errors"))
+
     // sampler: (epoch_ms, cumulative delivered incl. dead-letter)
     val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val sampler = new Thread(() => {
       while (!stop.get()) {
-        val got = streamRecords(dir("usa")) + streamRecords(dir("intl"))
+        val got = deliveredNow()
         samples.synchronized {
           samples += ((System.currentTimeMillis(), got))
         }
@@ -140,7 +159,7 @@ object StreamReshardBench {
     // micro-batch pays one-time codegen/stream-init costs (~5-8 s) that
     // would otherwise read as a delivery stall inside phase A
     val warmDeadline = System.currentTimeMillis() + 60000
-    while (streamRecords(dir("usa")) + streamRecords(dir("intl")) == 0 &&
+    while (deliveredNow() == 0 &&
       System.currentTimeMillis() < warmDeadline) Thread.sleep(100)
     val tA0 = System.currentTimeMillis()
     Thread.sleep(phaseSec * 1000L)
@@ -167,13 +186,15 @@ object StreamReshardBench {
     val deadline = System.currentTimeMillis() + 120000
     var delivered = 0L
     while ({
-      delivered = streamRecords(dir("usa")) + streamRecords(dir("intl"))
+      delivered = deliveredNow()
       delivered < totalProduced && System.currentTimeMillis() < deadline
     }) Thread.sleep(200)
     val tEnd = System.currentTimeMillis()
     etl.stop()
+    val deadLetter = errorRecords(dir("errors"))
     require(delivered == totalProduced,
-      s"reshard drain lost records: $delivered != $totalProduced")
+      s"reshard drain lost records: $delivered != $totalProduced " +
+        s"(dest streams ${delivered - deadLetter}, dead-letter $deadLetter)")
 
     // per-phase delivered throughput from the sampler series
     val snap = samples.synchronized(samples.toVector)
@@ -202,10 +223,12 @@ object StreamReshardBench {
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val line =
-      s"""{"epoch_ms":${System.currentTimeMillis()},"stream_reshard_bench":{""" +
+      s"""{${graft.Provenance.stamp("stream-reshard-bench")},""" +
+        s""""stream_reshard_bench":{""" +
         s""""shards_initial":$shards,"phase_sec":$phaseSec,""" +
         s""""offered_rps":$offeredRps,""" +
         s""""produced":$totalProduced,"delivered":$delivered,""" +
+        s""""dead_letter":$deadLetter,""" +
         s""""split_shard":"$busiest","split_child":"$childL",""" +
         s""""merged":["${mergePair(0).name}","${mergePair(1).name}"],""" +
         s""""rps_pre_split":${f(rpsA)},"rps_post_split":${f(rpsB)},""" +

@@ -88,12 +88,10 @@ object BitmapAggregator {
     * (idempotent), mirroring [[IntersectCountSorted.register]].
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitmap_cardinality",
-      exprs => BitmapCardinality(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitmap_and_count",
-      exprs => BitmapAndCount(exprs(0), exprs(1)), "scala_udf")
+    FunctionRegistration.tempFunctionOnce(spark,
+      "bitmap_cardinality", exprs => BitmapCardinality(exprs(0)))
+    FunctionRegistration.tempFunctionOnce(spark,
+      "bitmap_and_count", exprs => BitmapAndCount(exprs(0), exprs(1)))
   }
 }
 

@@ -80,7 +80,7 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 object IntersectCountSorted {
   /** Registers `intersect_count_sorted` for the session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FunctionRegistration.tempFunctionOnce(spark,
       "intersect_count_sorted",
-      exprs => IntersectCountSorted(exprs(0), exprs(1)), "scala_udf")
+      exprs => IntersectCountSorted(exprs(0), exprs(1)))
 }

@@ -64,9 +64,9 @@ object MinHashSignature {
     * (idempotent), mirroring [[graft.sim.Similarity.registerCosine]].
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FunctionRegistration.tempFunctionOnce(spark,
       "minhash_sig",
-      exprs => MinHashSignature(exprs(0), exprs(1)), "scala_udf")
+      exprs => MinHashSignature(exprs(0), exprs(1)))
 }
 
 /** Compiled MinHash loop, called from both interpreted eval and generated

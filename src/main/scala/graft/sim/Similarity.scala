@@ -25,10 +25,10 @@ object Similarity {
     * expressions for this session (idempotent).
     */
   def registerCosine(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    graft.functions.FunctionRegistration.tempFunctionOnce(spark,
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)))
+    graft.functions.FunctionRegistration.tempFunctionOnce(spark,
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)))
   }
 
   /** Fused single-pass cosine (requires [[registerCosine]] on the session). */

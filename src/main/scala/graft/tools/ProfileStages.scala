@@ -147,6 +147,7 @@ object ProfileStages {
       val json =
         s"""{
            | "sf_dir": ${js(sfDir)},
+           | ${graft.Provenance.stamp("stage-profile-sweep")},
            | "n_queries": ${results.size},
            | "flag_rule": "stage wall-clock > 500 ms on <= 4 tasks",
            | "underparallelized_post_shuffle": [${post.sorted.map(js).mkString(", ")}],

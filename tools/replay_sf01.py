@@ -26,6 +26,27 @@ KLL_ALLOWLIST = {"sketch_quantile", "group_quantile_sketch",
                  "equi_depth_histogram"}
 
 
+def provenance_stamp(protocol):
+    """{git_sha, epoch_ms, protocol} for the summary artifact — same
+    contract as graft.Provenance (sha gets -dirty on uncommitted edits)."""
+    import subprocess
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"],
+                               capture_output=True, text=True,
+                               timeout=10).stdout.strip()
+        if len(sha) != 40:
+            sha = "unknown"
+        elif dirty:
+            sha += "-dirty"
+    except Exception:
+        sha = "unknown"
+    return {"git_sha": sha, "epoch_ms": int(time.time() * 1000),
+            "protocol": protocol}
+
+
 def check_one(out_dir, sf_dir, name, sql, q):
     import duckdb
     import pyarrow.dataset as pads
@@ -102,6 +123,7 @@ def main(out_dir, sf_dir, timeout_sec=150):
     if fails:
         print("failing:", ", ".join(fails))
     summary = {"sf_dir": sf_dir, "timeout_sec": timeout_sec,
+               **provenance_stamp("duckdb-oracle-replay"),
                "n_pass": n_pass, "n_fail": n_fail, "n_timeout": n_timeout,
                "allowed_kll": sorted(allowed), "failing": sorted(fails),
                "timing_out": sorted(timeouts), "queries": per_query}

@@ -24,7 +24,12 @@ cd "$(dirname "$0")/.."
 
 SF001="${1:-/root/testdata/sf0.01}"
 SF01="${2:-/root/testdata/sf0.1}"
-ROUND="${ROUND:-$(ls profile_sweep_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1)}"
+# `|| true`: under set -euo pipefail the substitution pipeline aborts the
+# whole script when no prior sweep file exists (r10 advice); and if ROUND
+# still resolves empty, fail fast instead of silently writing
+# profile_sweep_r.json / replay_summary_r.json.
+ROUND="${ROUND:-$(ls profile_sweep_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1 || true)}"
+: "${ROUND:?no prior profile_sweep_r<N>.json found — set ROUND=<N> explicitly}"
 CP_SNAP=/tmp/graftcp
 
 sbt -batch compile
