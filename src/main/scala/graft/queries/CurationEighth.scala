@@ -668,28 +668,38 @@ object CurationEighth {
 
   private val D = 64
 
-  /** Pairwise per-label covariance drift: the scaled Frobenius distance
-    * `Σ_{d≤e} w·(S_a[d,e]·n_b − S_b[d,e]·n_a)²` between per-label
-    * integer scatter matrices (w = 2 off-diagonal — Frobenius counts
-    * both triangles). Class-separation (`embedding_class_separation`)
-    * compares label MEANS; this compares label SHAPES — two classes
-    * with identical centroids but different covariance still drift
-    * apart here (the check run before pooling sources or reusing a
-    * whitening transform across labels).
+  /** Pairwise per-label covariance drift: the Frobenius norm² of the
+    * integer-quantized NORMALIZED scatter difference
+    * `Σ_{d≤e} w·(|S_a[d,e]·n_b² − S_b[d,e]·n_a²| div (n_a·n_b)²)²`
+    * (w = 2 off-diagonal — Frobenius counts both triangles).
+    * `S[d,e]/n² ` is the per-pair covariance in milli-unit² quanta, so
+    * the emitted statistic is SCALE-FREE in the label counts — its
+    * magnitude is bounded by the embedding value range, not the corpus
+    * size. Class-separation (`embedding_class_separation`) compares
+    * label MEANS; this compares label SHAPES — two classes with
+    * identical centroids but different covariance still drift apart
+    * here (the check run before pooling sources or reusing a whitening
+    * transform across labels).
     *
-    * Exactness: scatter entries `n·Σq_dq_e − Σq_d·Σq_e` are exact
-    * longs; cross-multiplying by the other label's n avoids rational
-    * normalization; the square overflows long and is carried in
-    * DECIMAL(38,0) (DuckDB HUGEINT) — bounded by ~10³⁰ for this
-    * corpus, well under 10³⁸ — and the emitted statistic is the exact
-    * integer quotient `div 10¹²` of that decimal, hashable as BIGINT.
+    * Exactness + dynamic range (r11 fix): the original emission
+    * `Σ w·(S_a·n_b − S_b·n_a)² div 10¹²` GREW as n⁶ and silently
+    * wrapped int64 at the ×100 stress scale (n≈2·10⁴/label produced
+    * NEGATIVE drift values via the non-ANSI decimal→long cast, while
+    * the DuckDB oracle failed loudly on the same INT128→INT64 cast).
+    * The normalized form computes everything in exact integers —
+    * scatter entries and the cross-scaled numerator in DECIMAL(38,0)
+    * (DuckDB HUGEINT), the quotient via integral `div` on an abs()'d
+    * numerator (identical truncation in both engines) — and its
+    * ceilings are embedding-range-bound, not corpus-bound:
+    * numerator |S·n²| ≤ q_max²·n⁴ holds in 38 digits to n ≈ 2·10⁸ per
+    * label, and the emitted sum ≤ 2·2080·(2·q_max²)² fits int64 for
+    * |x| ≲ 30 (unit-normalized embeddings are |x| ≤ 1). Verified
+    * hash-exact vs the oracle at gate scale AND ×100.
     * Scale shape: ONE pass builds all 10 scatter matrices (per-row
     * upper-triangle product array → (label, d, e)-keyed mergeable
     * aggregate, ≤ label·2080 keys); the pairwise stage joins 10·2080
     * tiny rows. Same aggregate-big/solve-tiny split as
-    * `embedding_scatter_spectrum`, which also documents the int64
-    * ceiling (n ≲ 10⁹ per label before the moments need DECIMAL
-    * widening).
+    * `embedding_scatter_spectrum`.
     */
   def embeddingCovarianceDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val q = expr(
@@ -709,25 +719,35 @@ object CurationEighth {
       .select(col("label"), col("t.d").as("d"), col("t.e").as("e"),
         col("t.p").as("p"))
       .groupBy(col("label"), col("d"), col("e")).agg(sum(col("p")).as("sp"))
+    // the (label,d,e)-keyed joins below carry ≤ 10·2080 rows — the wide
+    // DECIMAL arithmetic is driver-trivial; the corpus pass above stays
+    // in long.
+    val dec = "decimal(38,0)"
     val scatter = cross
       .join(counts, "label")
       .join(dims.toDF("label", "d", "sd"), Seq("label", "d"))
       .join(dims.toDF("label", "e", "se"), Seq("label", "e"))
       .select(col("label"), col("n"), col("d"), col("e"),
-        (col("n") * col("sp") - col("sd") * col("se")).as("scat"))
+        (col("n").cast(dec) * col("sp") - col("sd").cast(dec) * col("se"))
+          .as("scat"))
     val a = scatter.toDF("label_a", "n_a", "d", "e", "scat_a")
     val b = scatter.toDF("label_b", "n_b", "d", "e", "scat_b")
     a.join(b, Seq("d", "e")).filter(col("label_a") < col("label_b"))
-      .withColumn("diff",
-        (col("scat_a") * col("n_b") - col("scat_b") * col("n_a"))
-          .cast("decimal(38,0)"))
+      // |S_a·n_b² − S_b·n_a²| div (n_a·n_b)²: the integer-truncated
+      // normalized scatter difference — `div` (IntegralDivide) emits
+      // LONG; abs() first so truncation direction matches DuckDB's `//`
+      // on positives regardless of sign convention.
+      .withColumn("qt", expr(
+        "abs(scat_a * cast(n_b as decimal(38,0)) * n_b" +
+          " - scat_b * cast(n_a as decimal(38,0)) * n_a)" +
+          " div (cast(n_a as decimal(38,0)) * n_a * n_b * n_b)"))
       .withColumn("term",
-        col("diff") * col("diff") *
+        col("qt") * col("qt") *
           when(col("d") === col("e"), lit(1)).otherwise(lit(2)))
       .groupBy(col("label_a"), col("label_b"), col("n_a"), col("n_b"))
-      .agg(sum(col("term")).as("frob"))
+      .agg(sum(col("term")).as("drift_norm_e12"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-        expr("cast(frob div 1000000000000 as bigint)").as("drift_e12"))
+        col("drift_norm_e12"))
       .orderBy(col("label_a"), col("label_b"))
   }
 
@@ -752,18 +772,22 @@ object CurationEighth {
       |  GROUP BY label, dd.range, ee.range),
       |scatter AS (
       |  SELECT c.label, n.n, c.d, c.e,
-      |    n.n * c.sp - sd.s * se.s AS scat
+      |    n.n::HUGEINT * c.sp - sd.s::HUGEINT * se.s AS scat
       |  FROM cross_m c
       |  JOIN counts n ON n.label = c.label
       |  JOIN dims sd ON sd.label = c.label AND sd.d = c.d
-      |  JOIN dims se ON se.label = c.label AND se.d = c.e)
-      |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
-      |  CAST(sum((a.scat * b.n - b.scat * a.n)::HUGEINT
-      |           * (a.scat * b.n - b.scat * a.n)::HUGEINT
-      |           * (CASE WHEN a.d = a.e THEN 1 ELSE 2 END))
-      |       // 1000000000000 AS BIGINT) AS drift_e12
-      |FROM scatter a JOIN scatter b ON a.d = b.d AND a.e = b.e
-      |WHERE a.label < b.label
-      |GROUP BY a.label, b.label, a.n, b.n
+      |  JOIN dims se ON se.label = c.label AND se.d = c.e),
+      |quot AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    a.n AS n_a, b.n AS n_b, a.d AS d, a.e AS e,
+      |    abs(a.scat * b.n::HUGEINT * b.n - b.scat * a.n::HUGEINT * a.n)
+      |      // (a.n::HUGEINT * a.n * b.n * b.n) AS qt
+      |  FROM scatter a JOIN scatter b ON a.d = b.d AND a.e = b.e
+      |  WHERE a.label < b.label)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  CAST(sum(qt * qt * (CASE WHEN d = e THEN 1 ELSE 2 END))
+      |       AS BIGINT) AS drift_norm_e12
+      |FROM quot
+      |GROUP BY label_a, label_b, n_a, n_b
       |ORDER BY label_a, label_b""".stripMargin
 }

@@ -71,9 +71,14 @@ object GraphQueries {
       .limit(100)
   }
 
+  // Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, so the
+  // unrolled round chain re-derives `edges` (a DISTINCT over the
+  // lineitem⋈orders join) once per reference — O(k^rounds) work that
+  // passed at sf0.1 but exhausted temp disk at the ×100 oracle replay.
+  // DuckDB-only hint; the emitted values are unchanged.
   val pagerankBipartiteSql: String = {
     def step(prev: String, cur: String): String =
-      s"""$cur AS (
+      s"""$cur AS MATERIALIZED (
          |  SELECT n.node,
          |    150000 + (85 * coalesce(CAST(s.c AS BIGINT), 0)) // 100 AS rank_q
          |  FROM nodes n LEFT JOIN (
@@ -82,13 +87,15 @@ object GraphQueries {
          |    JOIN $prev r ON e.src = r.node
          |    JOIN od o ON e.src = o.src
          |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
-    s"""WITH e0 AS (
+    s"""WITH e0 AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-       |r0 AS (SELECT node, 1000000::BIGINT AS rank_q FROM nodes),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |od AS MATERIALIZED (
+       |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS rank_q FROM nodes),
        |${step("r0", "r1")},
        |${step("r1", "r2")},
        |${step("r2", "r3")},

@@ -41,9 +41,10 @@ import graft.{Checkpoints, GraftCluster, Provenance, SparkEntry}
 object ExecutorChaos {
 
   /** PIDs of live worker-launched executor JVMs (via /proc — more
-    * reliable than ProcessHandle.info on minimal containers).
+    * reliable than ProcessHandle.info on minimal containers). Shared with
+    * [[StreamExecutorChaos]], the streaming face of the same harness.
     */
-  private def executorPids(): Seq[Long] = {
+  private[tools] def executorPids(): Seq[Long] = {
     val self = ProcessHandle.current().pid()
     val procDir = new java.io.File("/proc")
     procDir.listFiles((f: java.io.File) => f.getName.forall(_.isDigit))

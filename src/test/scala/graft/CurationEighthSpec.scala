@@ -57,9 +57,11 @@ class CurationEighthSpec extends SparkTestBase {
     import spark.implicits._
     val dir = fixtureDir()
     // labels 0 and 1 hold IDENTICAL vector multisets {e0, e1} → their
-    // scatter matrices are equal and the pair's drift must be exactly 0.
-    // label 2 is a single row → zero scatter, so drift(0,2) = drift(1,2)
-    // = Σ w·S₀[d,e]² = 1e12 + 1e12 + 2·1e12 → div 1e12 = 4.
+    // scatter matrices are equal, the normalized numerator cancels, and
+    // the pair's drift must be exactly 0. label 2 is a single row → zero
+    // scatter, so for (0,2): qt[d,e] = |S₀[d,e]·1²| div (2·1)², with
+    // S₀[0,0]=S₀[1,1]=10⁶, S₀[0,1]=−10⁶ → qt = 250000 at all three
+    // entries and drift = 250000²·(1 + 1 + 2) = 250 000 000 000.
     def basis(i: Int): Array[Float] = {
       val a = Array.fill(64)(0.0f); a(i) = 1.0f; a
     }
@@ -72,7 +74,8 @@ class CurationEighthSpec extends SparkTestBase {
     val rows = CurationEighth.embeddingCovarianceDrift(spark, dir).collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4))).toSeq ===
-      Seq((0L, 1L, 2L, 2L, 0L), (0L, 2L, 2L, 1L, 4L), (1L, 2L, 2L, 1L, 4L)))
+      Seq((0L, 1L, 2L, 2L, 0L),
+        (0L, 2L, 2L, 1L, 250000000000L), (1L, 2L, 2L, 1L, 250000000000L)))
   }
 
   test("dedup_cluster_profile: known clusters + singleton mass") {

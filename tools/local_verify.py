@@ -24,6 +24,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def register_views(con, sf_dir):
+    """CREATE VIEW per table over <sfDir>/<t>.parquet — which is a single
+    file for the driver testdata but a Spark-written DIRECTORY of part
+    files for ReplicateScale output (the ×N stress replicas), so glob the
+    dir form."""
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.is_dir():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -49,10 +64,7 @@ def main(out_dir, sf_dir):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    register_views(con, sf_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = out / name

@@ -48,19 +48,28 @@ def provenance_stamp(protocol):
 
 
 def check_one(out_dir, sf_dir, name, sql, q):
+    import os
     import duckdb
     import pyarrow.dataset as pads
-    from local_verify import TABLES, rows_of
+    from local_verify import register_views, rows_of
     try:
         spark_tbl = pads.dataset(str(Path(out_dir) / name)).to_table().to_pydict()
     except Exception as e:
         q.put(("FAIL", f"spark result unreadable: {e}"))
         return
     con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Large-scale replays (the ×100 oracle run) need explicit resource
+    # bounds: an uncapped DuckDB gets OOM-killed (exit -9) instead of
+    # spilling when other JVMs share the box, and its temp spill defaults
+    # to ./.tmp on whatever volume cwd happens to be on.
+    mem = os.environ.get("REPLAY_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("REPLAY_DUCK_TEMP")
+    if tmp:
+        Path(tmp).mkdir(parents=True, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    register_views(con, sf_dir)
     try:
         duck_tbl = con.sql(sql).fetch_arrow_table().to_pydict()
     except Exception as e:
@@ -80,10 +89,24 @@ def check_one(out_dir, sf_dir, name, sql, q):
 
 
 def main(out_dir, sf_dir, timeout_sec=150):
+    import os
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # REPLAY_ONLY=q1,q2: re-check just those queries and MERGE into an
+    # existing replay_summary.json (per-query statuses updated in place,
+    # aggregate counts recomputed) — the solo-retry path for oracles that
+    # failed on box resources, not on values, during a full-surface run.
+    only = {s.strip() for s in os.environ.get("REPLAY_ONLY", "").split(",")
+            if s.strip()}
+    if only:
+        unknown = only - oracle.keys()
+        assert not unknown, f"REPLAY_ONLY names not in oracle_sql: {unknown}"
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    per_query = {}
+    summary_path = Path(out_dir) / "replay_summary.json"
+    if only and summary_path.exists():
+        per_query = json.loads(summary_path.read_text()).get("queries", {})
     n_pass = n_fail = n_timeout = 0
     fails, timeouts, allowed = [], [], []
-    per_query = {}
     for name, sql in sorted(oracle.items()):
         q = mp.Queue()
         proc = mp.Process(target=check_one,
@@ -118,6 +141,15 @@ def main(out_dir, sf_dir, timeout_sec=150):
                            "detail": detail}
         print(f"{status} {name}: {detail}" if status != "PASS"
               else f"PASS {name} ({detail})", flush=True)
+    # Aggregate counts come from the MERGED per-query map, so a subset
+    # retry reports whole-run totals, not just the retried slice.
+    statuses = {n: v.get("status") for n, v in per_query.items()}
+    n_pass = sum(1 for s in statuses.values() if s == "PASS")
+    n_fail = sum(1 for s in statuses.values() if s == "FAIL")
+    n_timeout = sum(1 for s in statuses.values() if s == "TIMEOUT")
+    allowed = sorted(n for n, s in statuses.items() if s == "ALLOWED")
+    fails = sorted(n for n, s in statuses.items() if s == "FAIL")
+    timeouts = sorted(n for n, s in statuses.items() if s == "TIMEOUT")
     print(f"\n{n_pass} pass / {n_fail} fail / {n_timeout} timeout / "
           f"{len(allowed)} allowed-KLL")
     if fails:
@@ -125,10 +157,9 @@ def main(out_dir, sf_dir, timeout_sec=150):
     summary = {"sf_dir": sf_dir, "timeout_sec": timeout_sec,
                **provenance_stamp("duckdb-oracle-replay"),
                "n_pass": n_pass, "n_fail": n_fail, "n_timeout": n_timeout,
-               "allowed_kll": sorted(allowed), "failing": sorted(fails),
-               "timing_out": sorted(timeouts), "queries": per_query}
-    (Path(out_dir) / "replay_summary.json").write_text(
-        json.dumps(summary, indent=1))
+               "allowed_kll": allowed, "failing": fails,
+               "timing_out": timeouts, "queries": per_query}
+    summary_path.write_text(json.dumps(summary, indent=1))
     # Timeouts count as failures for exit purposes: an unadjudicated cell
     # in the robustness matrix is not a pass.
     return 1 if (n_fail > 0 or n_timeout > 0) else 0
