@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 
 /** Round-5 analytics additions, batch 2: frequency-based label
@@ -52,7 +53,7 @@ object AnalyticsFifth {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .repartition(nPart, col("p"))
-      .localCheckpoint()
+      .stableCheckpoint()
 
     // mode(label) per key with deterministic smallest-label tiebreak
     def modeOf(df: DataFrame, key: String, label: String, out: String): DataFrame = {

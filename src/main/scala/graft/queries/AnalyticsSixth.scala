@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 
 /** Round-5 analytics additions, batch 3: an end-to-end co-purchase
@@ -70,8 +71,8 @@ object AnalyticsSixth {
     // parallelism; the extra 300k-row shuffle is noise next to the 30×
     // row blow-up it parallelizes.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val train = split(0).repartition(nPart, col("c")).localCheckpoint()
-    val test = split(1).localCheckpoint()
+    val train = split(0).repartition(nPart, col("c")).stableCheckpoint()
+    val test = split(1).stableCheckpoint()
     val basket = train.repartition(nPart, col("c"))
       .withColumn("brn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("p"))))
@@ -94,7 +95,7 @@ object AnalyticsSixth {
       .drop("nrn")
     val evalUsers = train.select(col("c")).distinct()
       .join(test.select(col("c")).distinct(), "c")
-      .localCheckpoint()
+      .stableCheckpoint()
     // Scoring is the expensive join of the suite: |train| rows fan out
     // by up to 25 neighbors each. The truncated model (`pairs`,
     // ≤25·|parts| rows — a few MB even at sf1) and the eval-user set

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 import graft.text.TextFunctions
 
@@ -49,7 +50,7 @@ object BpeTrainer {
       posexplode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "sym")))
-      .localCheckpoint()
+      .stableCheckpoint()
 
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
     var exhausted = false
@@ -81,7 +82,7 @@ object BpeTrainer {
           Window.partitionBy(col("w"), col("island"))))
         .filter((col("pos") - col("start")) % 2 === 0)
         .select(col("w"), col("pos").as("mpos"))
-      val keptCk = kept.localCheckpoint() // two probes below
+      val keptCk = kept.stableCheckpoint() // two probes below
       seq = marked
         .join(keptCk.select(col("w"), col("mpos").as("pos"),
           lit(true).as("is_merge")), Seq("w", "pos"), "left_outer")
@@ -93,7 +94,7 @@ object BpeTrainer {
         .withColumn("pos", row_number().over(wWin).cast("long") - 1)
         .select(col("w"), col("freq"), col("pos"), col("sym"))
         .repartition(nPart, col("w"))
-        .localCheckpoint()
+        .stableCheckpoint()
       out += ((round, pa, pb, pf, seq.count()))
       }
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.text.{Dedup, TextFunctions}
@@ -36,7 +37,6 @@ object CurationEighth {
     * consumers (df aggregate + join probe).
     */
   def ngramNoveltyProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.Checkpoints.StableCheckpoint
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val grams = Tables.documents(spark, sfDir)
       .repartition(nPart)
@@ -506,7 +506,6 @@ object CurationEighth {
     * Nothing is all-pairs over documents.
     */
   def sourceMinhashSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.Checkpoints.StableCheckpoint
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val grams = Tables.documents(spark, sfDir)
       .repartition(nPart)
@@ -706,7 +705,7 @@ object CurationEighth {
       "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
     val base = Tables.embeddingsSpread(spark, sfDir)
       .select(col("label").cast("long").as("label"), q.as("q"))
-      .localCheckpoint() // two consumers: counts+dim sums, cross moments
+      .stableCheckpoint() // two consumers: counts+dim sums, cross moments
     val counts = base.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val dims = base
       .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 
 /** Embedding class-separability audit — the "are my labels real"
@@ -50,7 +51,7 @@ object EmbedSeparation {
       .select(col("label"), col("n"), col("scatter_trace"),
         expr("transform(array_sort(cs, (a, b) -> case when a.d < b.d then -1 " +
           "when a.d > b.d then 1 else 0 end), p -> p.c)").as("centroid"))
-      .localCheckpoint() // tiny (k rows); both self-join sides
+      .stableCheckpoint() // tiny (k rows); both self-join sides
     val pairs = cents.select(col("label").as("label_a"), col("n").as("n_a"),
       col("scatter_trace").as("st_a"), col("centroid").as("ca"))
       .join(cents.select(col("label").as("label_b"), col("n").as("n_b"),

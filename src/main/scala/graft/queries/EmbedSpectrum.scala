@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 
 /** Embedding-space spectrum audit — the PCA/whitening pre-step an
@@ -46,7 +47,7 @@ object EmbedSpectrum {
     val q = expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
     val base = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), q.as("q"))
-      .localCheckpoint() // three consumers: count, dim moments, cross moments
+      .stableCheckpoint() // three consumers: count, dim moments, cross moments
     // per-dimension first/second moments: 64 keys
     val dims = base
       .select(posexplode(col("q")).as(Seq("d", "v")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StableCheckpoint
 import graft.Tables
 
 /** Round-5 statistics / graph additions: concentration (Lorenz–Gini),
@@ -333,7 +334,7 @@ object StatsFifth {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     val h1 = edges.groupBy(col("c")).agg(count(lit(1)).as("h1"))
     val a1 = edges.join(h1, "c").groupBy(col("p")).agg(sum(col("h1")).as("a1"))
     val h2 = edges.join(a1, "p").groupBy(col("c"))
@@ -386,7 +387,7 @@ object StatsFifth {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint()
+      .stableCheckpoint()
     val rare = edges.groupBy(col("p")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 40)
       .select(col("p"))
@@ -461,7 +462,7 @@ object StatsFifth {
     val cols = 64
     val f = Tables.events(spark, sfDir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("fu"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val z = f
       .select(col("user_id"), col("fu"),
         explode(expr(s"sequence(0, ${rows * cols - 1})")).as("j"))

@@ -33,8 +33,15 @@ import graft.{Checkpoints, GraftCluster, Provenance, SparkEntry}
   * records completed/failed, wall time, and whether the output hash
   * matches the clean run.
   *
+  * A second, optional query list exercises the OTHER recovery contract
+  * (r11): queries with NO lineage truncation at all — pure shuffle
+  * lineage over a re-readable parquet source. For those, Spark's stage
+  * retry + shuffle-fetch-failure recomputation must self-heal through
+  * the kill with NO flag: the trial (mode `shuffleRetry`) requires
+  * completed + hash-identical, same bar as reliableCheckpoint.
+  *
   * Usage:
-  *   ExecutorChaos <sfDir> <outJson> <query1,query2,...>
+  *   ExecutorChaos <sfDir> <outJson> <iterQ1,iterQ2,...> [statelessQ1,...]
   * Env: SPARK_GRAFT_CHAOS_MIN_STAGES (default 4),
   *      SPARK_GRAFT_CHAOS_MASTER (default local-cluster[3,8,6144]).
   */
@@ -68,9 +75,14 @@ object ExecutorChaos {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outJson, queryCsv) = args
-    val queries = queryCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    require(args.length == 3 || args.length == 4,
+      "usage: ExecutorChaos <sfDir> <outJson> <iterCsv> [statelessCsv]")
+    val Array(sfDir, outJson, queryCsv) = args.take(3)
+    def parseCsv(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val queries = parseCsv(queryCsv)
+    val stateless = if (args.length == 4) parseCsv(args(3)) else Seq.empty
+    val unknown = (queries ++ stateless).filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val minStages = sys.env.getOrElse("SPARK_GRAFT_CHAOS_MIN_STAGES", "4").toInt
     val master =
@@ -183,6 +195,26 @@ object ExecutorChaos {
       }
     }
 
+    // stateless queries: no lineage truncation anywhere in the plan, so
+    // the ONLY recovery mechanism is Spark's own stage retry / shuffle-
+    // fetch-failure recomputation from the re-readable parquet source —
+    // which must succeed with no flag, hash-identical.
+    spark.conf.set(Checkpoints.Flag, "false")
+    for (name <- stateless) {
+      val (cleanOut, _, cleanSec, cleanHash) = runOnce(name, chaos = false)
+      require(cleanOut == "completed" && cleanHash.isDefined,
+        s"clean run of $name failed: $cleanOut")
+      trials += Trial(name, "clean", cleanOut, None, None, cleanSec)
+      println(f"[chaos] $name clean: $cleanSec%.1f s hash=${cleanHash.get}")
+      awaitExecutors(nExec)
+      val (out, pid, sec, hash) = runOnce(name, chaos = true)
+      val hm = hash.map(_ == cleanHash.get)
+      trials += Trial(name, "shuffleRetry", out, hm, pid, sec)
+      println(f"[chaos] $name shuffleRetry: $out killed=${pid.getOrElse(-1L)} " +
+        f"$sec%.1f s hashMatch=${hm.getOrElse("n/a")}")
+      awaitExecutors(nExec)
+    }
+
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val rows = trials.map { t =>
@@ -193,7 +225,7 @@ object ExecutorChaos {
         s""""sec":${f"${t.sec}%.1f"}}"""
     }.mkString(",\n")
     val reliableBad = trials.filter(t =>
-      t.mode == "reliableCheckpoint" &&
+      (t.mode == "reliableCheckpoint" || t.mode == "shuffleRetry") &&
         (t.outcome != "completed" || !t.hashMatch.contains(true)))
     val json =
       s"""{${Provenance.stamp("executor-kill-chaos")},
@@ -208,7 +240,7 @@ object ExecutorChaos {
     println(s"[chaos] wrote $outJson")
     spark.stop()
     require(reliableBad.isEmpty,
-      "reliableCheckpoint trials must complete hash-identical; failed: " +
-        reliableBad.map(_.query).mkString(", "))
+      "reliableCheckpoint/shuffleRetry trials must complete " +
+        "hash-identical; failed: " + reliableBad.map(_.query).mkString(", "))
   }
 }
