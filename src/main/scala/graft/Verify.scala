@@ -74,6 +74,7 @@ object Verify {
     // just wide decimals) must match the checked-in pin snapshot.
     val pinned = DtypeLint.loadPinned()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         val wide = DtypeLint.wideDecimalColumns(df)
@@ -91,6 +92,11 @@ object Verify {
           System.err.println(s"[verify] SCHEMA PIN: $v")
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // per-query wall time on stderr: at non-gate scales (x10/x100
+        // stress, local-cluster demos) the dump IS the timing source, and
+        // external dir-mtime reconstruction kept being the workaround
+        System.err.println(
+          f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } catch { case e: Throwable =>
         failedJson += name -> String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
