@@ -47,16 +47,42 @@ def provenance_stamp(protocol):
             "protocol": protocol}
 
 
+# Arrow type -> DuckDB type, for the digest path's explicit casts (both
+# sides must hash the same logical value under the same physical type).
+ARROW_TO_DUCK = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INTEGER",
+    "int64": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "VARCHAR", "large_string": "VARCHAR", "bool": "BOOLEAN",
+    "date32[day]": "DATE", "timestamp[us]": "TIMESTAMP",
+}
+
+
 def check_one(out_dir, sf_dir, name, sql, q):
     import os
     import duckdb
     import pyarrow.dataset as pads
     from local_verify import register_views, rows_of
+    res_path = Path(out_dir) / name
     try:
-        spark_tbl = pads.dataset(str(Path(out_dir) / name)).to_table().to_pydict()
+        ds = pads.dataset(str(res_path))
+        n_spark = ds.count_rows()
     except Exception as e:
         q.put(("FAIL", f"spark result unreadable: {e}"))
         return
+    # Results too large to materialize as python rows (the x100 LSH
+    # candidate set is 215M rows; to_pydict on that OOM-kills the box)
+    # are compared INSIDE DuckDB: count(*) + an order-independent
+    # sum-of-row-hashes digest per side, streamed at bounded memory.
+    # Multiset-equal results digest equal; a differing cell flips the
+    # sum with collision probability ~2^-64.
+    digest_rows = int(os.environ.get("REPLAY_DIGEST_ROWS", "5000000"))
+    digest_mode = n_spark > digest_rows
+    if not digest_mode:
+        try:
+            spark_tbl = ds.to_table().to_pydict()
+        except Exception as e:
+            q.put(("FAIL", f"spark result unreadable: {e}"))
+            return
     con = duckdb.connect()
     # Large-scale replays (the ×100 oracle run) need explicit resource
     # bounds: an uncapped DuckDB gets OOM-killed (exit -9) instead of
@@ -70,6 +96,39 @@ def check_one(out_dir, sf_dir, name, sql, q):
         Path(tmp).mkdir(parents=True, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
     register_views(con, sf_dir)
+    if digest_mode:
+        try:
+            rel = con.sql(sql)  # binds lazily: schema without execution
+            sn = sorted(f.name for f in ds.schema)
+            dn = sorted(rel.columns)
+            if sn != dn:
+                q.put(("FAIL", f"schema: spark={sn} duck={dn}"))
+                return
+            stypes = {f.name: str(f.type) for f in ds.schema}
+            unsupported = [c for c in sn if stypes[c] not in ARROW_TO_DUCK]
+            if unsupported:
+                q.put(("FAIL", "digest-compare unsupported dtypes: " +
+                       ", ".join(f"{c}:{stypes[c]}" for c in unsupported)))
+                return
+            cast = ", ".join(
+                f'CAST("{c}" AS {ARROW_TO_DUCK[stypes[c]]})' for c in sn)
+            glob = "/*.parquet" if res_path.is_dir() else ""
+            dig_s = con.execute(
+                f"SELECT count(*), sum(hash({cast})) FROM "
+                f"read_parquet('{res_path}{glob}')").fetchone()
+            dig_d = con.execute(
+                f"SELECT count(*), sum(hash({cast})) FROM ({sql})").fetchone()
+        except Exception as e:
+            q.put(("FAIL", f"digest compare error: {str(e)[:200]}"))
+            return
+        if dig_s[0] != dig_d[0]:
+            q.put(("FAIL", f"rows: spark={dig_s[0]} duck={dig_d[0]}"))
+        elif dig_s[1] != dig_d[1]:
+            q.put(("FAIL", f"row-hash digest differs at {dig_s[0]} rows "
+                   f"(spark {dig_s[1]} vs duck {dig_d[1]})"))
+        else:
+            q.put(("PASS", f"{dig_s[0]} rows, duckdb digest"))
+        return
     try:
         duck_tbl = con.sql(sql).fetch_arrow_table().to_pydict()
     except Exception as e:
