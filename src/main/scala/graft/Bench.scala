@@ -5,8 +5,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER mirrors Verify: the r11 process-boundary work
+    // benches the full surface under local-cluster (executors in their
+    // own JVMs) to quantify the multi-JVM serialization/fetch overhead
+    // vs the canonical single-JVM numbers. Non-default masters NEVER
+    // write the canonical snapshot files (guard below).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,6 +26,14 @@ object Bench {
       // and compiles once; charging query N for queries 1..N-1 evicting
       // its classes is a single-JVM-marathon artifact, not plan cost.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+    val spark = (if (master.startsWith("local-cluster"))
+      builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions", GraftCluster.moduleOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+    else builder0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, shuffle machinery, parquet
@@ -103,7 +117,8 @@ object Bench {
       val line =
         s"""{${Provenance.stamp(s"interleaved-min-of-$repeat")},""" +
           s""""total":${f(total)},""" +
-          s""""n":${results.size},"repeat":$repeat,"sf":"$sfDir","queries":$full}"""
+          s""""n":${results.size},"repeat":$repeat,"sf":"$sfDir",""" +
+          s""""master":"$master","queries":$full}"""
       // APPEND-ONLY history (every run, incl. dev subsets) so
       // round-over-round comparisons never need git archaeology on an
       // overwritten snapshot
@@ -122,7 +137,10 @@ object Bench {
       val canonicalSf =
         java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString ==
           "/root/testdata/sf0.1"
-      if (only.isEmpty && canonicalSf) {
+      // ... and only under the default single-JVM master: a local-cluster
+      // overhead measurement is a different protocol, history-only.
+      val canonicalMaster = !sys.env.contains("SPARK_GRAFT_MASTER")
+      if (only.isEmpty && canonicalSf && canonicalMaster) {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_queries_full.json"), line)
         // the parsed one-line summary as a file, so downstream consumers

@@ -31,6 +31,9 @@ SF01="${2:-/root/testdata/sf0.1}"
 ROUND="${ROUND:-$(ls profile_sweep_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1 || true)}"
 : "${ROUND:?no prior profile_sweep_r<N>.json found — set ROUND=<N> explicitly}"
 CP_SNAP=/tmp/graftcp
+# Canonical artifacts are single-JVM-master only; never inherit a
+# local-cluster override from the caller's environment.
+unset SPARK_GRAFT_MASTER SPARK_GRAFT_ONLY
 
 sbt -batch compile
 rm -rf "$CP_SNAP" && cp -r target/scala-2.13/classes "$CP_SNAP"
