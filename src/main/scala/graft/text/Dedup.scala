@@ -127,19 +127,39 @@ object Dedup {
   /** 60-bit SimHash over whitespace tokens: per token take the first 15 hex
     * chars of md5 as a 60-bit integer; for each bit position sum ±1 across
     * tokens; set the output bit where the sum is positive. Pure built-in
-    * composition (nested higher-order functions) — stays codegen'd.
+    * composition — stays codegen'd.
+    *
+    * Evaluation shape matters here: a higher-order-function lambda
+    * re-evaluates every NON-INPUT expression it references on each
+    * invocation (Catalyst does not CSE across lambda calls), so the
+    * original "fold bits 0..59, re-aggregating the token hashes inside
+    * the lambda" form recomputed the md5-per-token array 60 TIMES per
+    * document — invisible under count()-based timing (the whole
+    * expression got pruned) and exposed by the r11 noop-sink bench fix
+    * at 30.5 s for 500k docs. This form keeps both traversals as
+    * aggregate INPUTS (each evaluated once): one pass over the token
+    * hashes maintains all 60 ±1 counters; a second fold walks the
+    * 60-element counter array with a (bit, acc) struct accumulator.
+    * Identical output, md5 once per token.
     */
   def simhash(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
+        (c, b) => c + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
     aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(hashes, lit(0L),
-          (a2, h) => a2 + when(call_function("shiftright", h, b)
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
-        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+      counters,
+      struct(lit(0).as("b"), lit(0L).as("acc")),
+      (st, c) => struct(
+        (st.getField("b") + 1).as("b"),
+        (st.getField("acc") + when(c > 0,
+          call_function("shiftleft", lit(1L), st.getField("b")))
+          .otherwise(lit(0L))).as("acc")),
+      st => st.getField("acc"))
   }
 
   /** Hamming distance between two simhash signatures (bit_count of xor). */

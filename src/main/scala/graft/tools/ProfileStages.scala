@@ -100,7 +100,11 @@ object ProfileStages {
           stages.synchronized(stages.clear())
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            // noop sink, not count(): count() lets Catalyst prune unread
+            // output expressions (incl. whole aggregate functions), so a
+            // count-driven sweep profiles the PRUNED plan, not the one
+            // the gate executes (see Bench — r11 countmin 12.9 vs 346 s)
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val total = (System.nanoTime() - t0) / 1e9
             Thread.sleep(300)
             val snap = stages.synchronized(stages.sortBy(-_.ms).toList)
