@@ -148,7 +148,10 @@ object Bench {
           "/root/testdata/sf0.1"
       // ... and only under the default single-JVM master: a local-cluster
       // overhead measurement is a different protocol, history-only.
-      val canonicalMaster = !sys.env.contains("SPARK_GRAFT_MASTER")
+      // Compare the RESOLVED master, not env-var presence, so
+      // SPARK_GRAFT_MASTER=local[N] (protocol-identical to the default)
+      // still writes the snapshot (r12 advice).
+      val canonicalMaster = master == s"local[$cpus]"
       if (only.isEmpty && canonicalSf && canonicalMaster) {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_queries_full.json"), line)

@@ -30,6 +30,17 @@ object Verify {
       // see Bench: the default 100-entry codegen cache thrashes across a
       // 286-query run; harmless for correctness, big for gate wall-clock
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // SPARK_GRAFT_ANSI=true: the r12 overflow sweep. The
+      // embedding_covariance_drift defect (r11: non-ANSI decimal→long
+      // cast WRAPS silently where DuckDB fails loudly) motivates running
+      // the whole surface under ANSI once per round: any arithmetic
+      // overflow / invalid cast that non-ANSI mode would silently wrap
+      // becomes a loud per-query failure in failed_queries.json to
+      // adjudicate (scale-free statistic vs. real wrap-at-scale). The
+      // driver never sets it, so the canonical gate semantics are
+      // unchanged.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
     val spark = (if (master.startsWith("local-cluster"))
       builder0
         .config("spark.executor.extraClassPath",
@@ -139,7 +150,11 @@ object Verify {
     val gateScale =
       Paths.get(sfDir).toAbsolutePath.normalize.toString ==
         "/root/testdata/sf0.01"
-    if (only.isEmpty && gateScale)
+    // ... and never from an ANSI sweep (different semantics by design —
+    // its failures are the sweep's FINDINGS, not gate regressions).
+    val canonicalSemantics =
+      sys.env.getOrElse("SPARK_GRAFT_ANSI", "false") != "true"
+    if (only.isEmpty && gateScale && canonicalSemantics)
       try Files.writeString(Paths.get("lint_report_latest.json"), lintJson)
       catch { case _: Throwable => () }
     spark.stop()

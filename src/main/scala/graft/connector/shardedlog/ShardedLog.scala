@@ -3,7 +3,6 @@ package graft.connector.shardedlog
 import java.io.{File, FileOutputStream, OutputStreamWriter, RandomAccessFile}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
-import java.security.MessageDigest
 import java.util.Base64
 import scala.jdk.CollectionConverters._
 
@@ -152,13 +151,11 @@ object ShardedLog {
       child.name
     }
 
-  /** First 60 bits of md5(key) — the hash-range coordinate. */
-  def hash60(key: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(key.getBytes(UTF_8)).take(8)
-      .map("%02x".format(_)).mkString.take(15)
-    BigInt(hex, 16).toLong
-  }
+  /** First 60 bits of md5(key) — the hash-range coordinate
+    * (thread-cached digest, direct bit extraction: this is the per-record
+    * streaming write path).
+    */
+  def hash60(key: String): Long = graft.functions.Md5Bits.hash60(key)
 
   /** The OPEN shard owning `key`'s hash — the post-resharding routing
     * function (open ranges always tile the hash space: creation tiles it,
@@ -185,12 +182,8 @@ object ShardedLog {
     * range [0, 2⁶⁰) split evenly across N shards. Reproducible in Catalyst
     * as `shiftright(conv(substr(md5(key),1,15),16,10) * N, 60)`.
     */
-  def shardFor(key: String, numShards: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(key.getBytes(UTF_8)).take(8)
-      .map("%02x".format(_)).mkString.take(15)
-    ((BigInt(hex, 16) * numShards) >> 60).toInt
-  }
+  def shardFor(key: String, numShards: Int): Int =
+    ((BigInt(graft.functions.Md5Bits.hash60(key)) * numShards) >> 60).toInt
 
   /** Single-record keyed write (≙ PutRecord,
     * producer_from_cli_my_modifications.py:44-49). Returns (shard,

@@ -31,7 +31,9 @@ class BloomFilterAggregator(numBits: Int)
   override def zero: Array[Long] = new Array[Long](numBits / 64)
 
   override def reduce(buf: Array[Long], elem: String): Array[Long] = {
-    val Array(h1, h2) = BloomFilterAggregator.positions(elem, numBits)
+    val d = Md5Bits.md5(elem)
+    val h1 = Md5Bits.top60(d) % numBits
+    val h2 = Md5Bits.mid60(d) % numBits
     buf((h1 / 64).toInt) |= (1L << (h1 % 64))
     buf((h2 / 64).toInt) |= (1L << (h2 % 64))
     buf
@@ -54,21 +56,15 @@ class BloomFilterAggregator(numBits: Int)
 object BloomFilterAggregator {
   import org.apache.spark.sql.functions.udaf
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** The two bit positions of `elem`: the 60-bit ints from hex digits
     * [1,15] and [17,31] of the md5 digest, mod numBits. Identical to the
-    * SQL probe `conv(substring(md5(g), {1|17}, 15), 16, 10) % numBits`.
+    * SQL probe `conv(substring(md5(g), {1|17}, 15), 16, 10) % numBits`
+    * ([[Md5Bits.top60]]/[[Md5Bits.mid60]] are bit-identical to the hex
+    * round-trip they replaced).
     */
   def positions(elem: String, numBits: Int): Array[Long] = {
-    val hex = digest.get().digest(elem.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    Array(
-      java.lang.Long.parseLong(hex.substring(0, 15), 16) % numBits,
-      java.lang.Long.parseLong(hex.substring(16, 31), 16) % numBits)
+    val d = Md5Bits.md5(elem)
+    Array(Md5Bits.top60(d) % numBits, Md5Bits.mid60(d) % numBits)
   }
 
   /** Membership probe mirroring [[positions]] on the driver/test side. */

@@ -26,9 +26,13 @@ class CountMinAggregator extends Aggregator[String, Array[Long], Seq[Long]] {
   override def zero: Array[Long] = new Array[Long](D * W)
 
   override def reduce(buf: Array[Long], elem: String): Array[Long] = {
+    // Encode once, stream "j:" prefix + bytes per row — UTF-8 of
+    // s"$j:$elem" is the concatenation of the parts' UTF-8 encodings.
+    val eb = elem.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var j = 0
     while (j < D) {
-      buf(j * W + CountMinAggregator.bucket(j, elem)) += 1L
+      val h = Md5Bits.top60(Md5Bits.md5(CountMinAggregator.Prefixes(j), eb))
+      buf(j * W + (h % W).toInt) += 1L
       j += 1
     }
     buf
@@ -56,19 +60,16 @@ object CountMinAggregator {
   val D = 4
   val W = 256
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  /** Pre-encoded "j:" salts for the D hash rows (reduce hot path). */
+  private[functions] val Prefixes: Array[Array[Byte]] =
+    Array.tabulate(D)(j => s"$j:".getBytes("UTF-8"))
 
   /** Row-j bucket of an element — the exact integer twin of the oracle's
-    * `conv(substring(md5(j || ':' || t), 1, 15), 16, 10) % W`.
+    * `conv(substring(md5(j || ':' || t), 1, 15), 16, 10) % W`
+    * ([[Md5Bits.top60]] is bit-identical to the hex round-trip).
     */
-  def bucket(j: Int, elem: String): Int = {
-    val hex = digest.get().digest(s"$j:$elem".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % W).toInt
-  }
+  def bucket(j: Int, elem: String): Int =
+    (Md5Bits.top60(Md5Bits.md5(s"$j:$elem")) % W).toInt
 
   /** Test-side estimate from a finished counter array. */
   def estimate(cms: Seq[Long], elem: String): Long =

@@ -58,18 +58,12 @@ object HyperLogLogAggregator {
   /** Register count (2^6). alpha_64 = 0.709 per Flajolet et al. */
   val M = 64
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** (register index, rho score) of an element — the exact integer twins
-    * of the SQL formulas in the gated query's oracle.
+    * of the SQL formulas in the gated query's oracle ([[Md5Bits.top60]]
+    * is bit-identical to the conv(substr(md5,1,15),16,10) it replaced).
     */
   def jRho(elem: String): (Int, Int) = {
-    val hex = digest.get().digest(elem.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h = Md5Bits.hash60(elem)
     val w = h / M
     val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w) // bitlen(0)=0
     ((h % M).toInt, 55 - bitlen)

@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,15 +44,25 @@ object Multimodal {
 
   /** ======== STUB CODEC (deterministic fake — see scaladoc above) ======= */
   object StubCodec extends MediaCodec {
-    private def md5hex(bytes: Array[Byte]): String = {
-      val md = MessageDigest.getInstance("MD5")
-      md.digest(bytes).map("%02x".format(_)).mkString
-    }
-    private def h60(hex: String): Long = BigInt(hex.take(15), 16).toLong
+    import graft.functions.Md5Bits
 
-    /** "Decode" dimensions and frame count from the payload hash. */
+    private val HexChars = "0123456789abcdef".toCharArray
+    private def hexOf(d: Array[Byte]): String = {
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = HexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+
+    /** "Decode" dimensions and frame count from the payload hash
+      * ([[Md5Bits.top60]] ≡ the old hex-string round-trip, bit-exact).
+      */
     override def decode(content: Array[Byte], kind: String): (Long, Long, Long) = {
-      val h = h60(md5hex(content))
+      val h = Md5Bits.top60(Md5Bits.md5(content))
       val frames = kind match {
         case "video" => 1L + h % 32
         case "audio" => 1L + h % 16
@@ -62,12 +71,17 @@ object Multimodal {
       (1L + h % 640, 1L + h % 480, frames)
     }
 
-    /** 8-dim "embedding" of the payload: per-component md5 in [-1, 1]. */
+    /** 8-dim "embedding" of the payload: per-component md5 in [-1, 1].
+      * The hex STRING of the content digest is semantic here (it is what
+      * gets re-hashed per component, matching the oracle), so it is kept
+      * — only the per-byte format() encoding and the final hex→int
+      * round-trip are replaced.
+      */
     override def features(content: Array[Byte], kind: String,
         dim: Int = 8): Array[Double] = {
-      val hex = md5hex(content)
+      val hex = hexOf(Md5Bits.md5(content))
       Array.tabulate(dim) { j =>
-        (h60(md5hex(s"$j:$hex".getBytes("UTF-8"))) % 2001 - 1000) / 1000.0
+        (Md5Bits.hash60(s"$j:$hex") % 2001 - 1000) / 1000.0
       }
     }
   }

@@ -1,6 +1,5 @@
 package graft.sim
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,14 +66,10 @@ object Similarity {
     * derived from md5("bit:dim") — reproducible in any engine with md5 (the
     * same values are embedded as literals in the DuckDB oracle SQL).
     */
-  def hyperplaneWeights(nBits: Int, dim: Int): Array[Array[Long]] = {
-    val mdt = MessageDigest.getInstance("MD5")
+  def hyperplaneWeights(nBits: Int, dim: Int): Array[Array[Long]] =
     Array.tabulate(nBits, dim) { (i, d) =>
-      val hex = mdt.digest(s"$i:$d".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      (BigInt(hex, 16) % 1001 - 500).toLong
+      graft.functions.Md5Bits.hash60(s"$i:$d") % 1001 - 500
     }
-  }
 
   /** Random-hyperplane LSH bucket id (nBits-bit signature): bit i is set
     * when the dot product with hyperplane i is positive. Map-only; one

@@ -151,7 +151,7 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
         (c, b) => c + when(call_function("shiftright", h, b)
           .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(
+    val sig = aggregate(
       counters,
       struct(lit(0).as("b"), lit(0L).as("acc")),
       (st, c) => struct(
@@ -160,6 +160,11 @@ object Dedup {
           call_function("shiftleft", lit(1L), st.getField("b")))
           .otherwise(lit(0L))).as("acc")),
       st => st.getField("acc"))
+    // NULL text → 0L signature (no bit sum is positive over zero tokens),
+    // matching the pre-r11 when/otherwise form: `aggregate` over a NULL
+    // array is NULL, which would otherwise poison downstream xor/hamming
+    // comparisons on null-text rows.
+    coalesce(sig, lit(0L))
   }
 
   /** Hamming distance between two simhash signatures (bit_count of xor). */

@@ -21,12 +21,28 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 
+# Above this row count, don't materialize python rows (the exact exit -9
+# OOM mode replay_sf01.py hit at 215M rows) — digest inside DuckDB
+# instead: count(*) + order-independent sum(hash(cols)), streamed at
+# bounded memory (r12 advice).
+DIGEST_ROWS = int(__import__("os").environ.get("COMPARE_DIGEST_ROWS",
+                                               "5000000"))
+
+
 def row_hash(dump, name):
     import pyarrow.dataset as pads
-    tbl = pads.dataset(str(Path(dump) / name)).to_table()
-    cols = sorted(tbl.column_names)
+    ds = pads.dataset(str(Path(dump) / name))
+    cols = sorted(ds.schema.names)
+    n = ds.count_rows()
+    if n > DIGEST_ROWS:
+        import duckdb
+        collist = ", ".join(f'"{c}"' for c in cols)
+        dig = duckdb.sql(
+            f"SELECT sum(hash({collist})) FROM "
+            f"read_parquet('{Path(dump) / name}/*.parquet')").fetchone()[0]
+        return n, cols, f"duckdigest:{dig}"
+    tbl = ds.to_table()
     pyd = tbl.select(cols).to_pydict()
-    n = tbl.num_rows
     rows = sorted(
         repr(tuple(pyd[c][i] for c in cols)) for i in range(n))
     d = hashlib.md5()
