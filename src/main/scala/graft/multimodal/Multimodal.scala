@@ -151,12 +151,21 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Range-partition + sort on media_id INSTEAD of round-robin (r12):
+    // consumers that present ordered output then need no orderBy ABOVE
+    // the decode — a sort there makes RangePartitioner's reservoir
+    // sample run the whole decode+featurize a second time (the
+    // sort-over-heavy-project class, README r12). Ordering the raw
+    // payloads below the codec costs the same one exchange round-robin
+    // did, and aggregating consumers are indifferent.
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("content"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism, col("media_id"))
+      .sortWithinPartitions("media_id")
       .as[MediaRow]
   }
 
@@ -175,7 +184,9 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>

@@ -15,12 +15,15 @@ object MultimodalQueries {
   def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
     val decoded = Multimodal.decodeAndFeaturize(media)
+    // No orderBy above the decode (r12): media arrives range-sorted by
+    // media_id from mediaFromDocuments and every stage here preserves
+    // row order, so the output is already totally ordered — a sort here
+    // would re-run the decode inside the range sample (README r12).
     Multimodal.resize(decoded, maxW = 320, maxH = 240)
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("n_frames"), col("out_width"), col("out_height"),
         round(element_at(col("feat"), 1), 4).as("feat0"),
         round(element_at(col("feat"), 8), 4).as("feat7"))
-      .orderBy(col("media_id"))
   }
 
   /** Frame sampling gated end-to-end: every 4th frame index of each video
@@ -28,8 +31,10 @@ object MultimodalQueries {
     */
   def multimodalFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))
+    // Ordered without a sort: range-sorted media + order-preserving
+    // decode/filter, and posexplode emits each row's samples in idx
+    // order — total (media_id, sample_idx) order by construction.
     Multimodal.sampleFrames(Multimodal.decodeAndFeaturize(media), stride = 4)
-      .orderBy(col("media_id"), col("sample_idx"))
   }
 
   val multimodalFrameSampleSql: String =
@@ -100,7 +105,6 @@ object MultimodalQueries {
           .as("f_first_micro"),
         floor((array_max(col("feat")) - array_min(col("feat"))) * 1e6
           + lit(0.5)).cast("long").as("f_spread_micro"))
-      .orderBy(col("media_id"))
   }
 
   val multimodalImageioDecodeSql: String =

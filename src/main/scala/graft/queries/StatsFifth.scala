@@ -442,8 +442,9 @@ object StatsFifth {
     * 9 independent estimator rows × 64 sign counters each: signs come
     * from bit 0 of `xxhash64(user_id, j)`, per-row sums-of-64-z² are
     * EXACT integers (widened to DECIMAL — z ~ 10¹² at 100 TB squares
-    * past long; the emitted f2_exact narrows back to BIGINT per the
-    * repo gate convention since it fits int64 at every gate sf), and
+    * past long; the exact F2 is emitted as two 60-bit BIGINT limbs,
+    * f2 = f2_hi·2⁶⁰ + f2_lo — wrap-proof at every physical scale, see
+    * the r12 note at the emission), and
     * the median-of-9 is picked by sorting the 9-element
     * collected array — every arithmetic step deterministic, no doubles
     * anywhere. Like the KLL gates, the emitted row is a VERDICT: the
@@ -477,16 +478,29 @@ object StatsFifth {
       .select(element_at(col("arr"), (rows + 1) / 2).as("med_sum"))
     val f2 = f.agg(
       sum(expr("cast(fu as decimal(19,0)) * cast(fu as decimal(19,0))")).as("f2_exact"))
+    // r12 overflow sweep: f2_exact is a SECOND MOMENT — one hot user at
+    // ~3·10⁹ events squares past int64, so the old `cast(f2 as long)`
+    // emission was the covariance-drift wrap class (Spark's non-ANSI
+    // decimal→long cast wraps silently; DuckDB fails loudly). Emit the
+    // exact value as two 60-bit limbs instead (f2 = hi·2⁶⁰ + lo), each
+    // provably < 2⁶⁰ ≤ Long.Max: exact reconstruction up to 2¹²⁰ ≈
+    // 1.3·10³⁶ ≥ n² for any corpus below ~10¹⁸ events rows — wrap-proof
+    // at every physical scale, and still a full-strength exactness gate
+    // (any F2 drift flips a limb). The verdict math stays all-decimal.
+    val limb = "1152921504606846976" // 2^60
     f2.crossJoin(broadcast(med))
-      .select(col("f2_exact").cast("long").as("f2_exact"),
+      .select(
+        expr(s"cast(f2_exact div $limb as long)").as("f2_hi"),
+        expr(s"cast(f2_exact % $limb as long)").as("f2_lo"),
         (abs(col("med_sum") - lit(cols) * col("f2_exact")) <=
           lit(cols / 4) * col("f2_exact")).as("within_bound"))
   }
 
   val amsF2MomentSql: String =
-    """WITH f AS (SELECT count(*) AS c FROM events GROUP BY user_id)
-      |SELECT CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT)
-      |    AS f2_exact,
+    """WITH f AS (SELECT count(*) AS c FROM events GROUP BY user_id),
+      |s AS (SELECT sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS f2 FROM f)
+      |SELECT CAST(f2 // 1152921504606846976 AS BIGINT) AS f2_hi,
+      |  CAST(f2 % 1152921504606846976 AS BIGINT) AS f2_lo,
       |  TRUE AS within_bound
-      |FROM f""".stripMargin
+      |FROM s""".stripMargin
 }

@@ -15,16 +15,33 @@ object TextQueries {
 
   /** Per-document text statistics: token count, language guess, quality
     * score, fingerprints.
+    *
+    * Shape (r12): sort BELOW the scoring project, not above it. The old
+    * `select(heavy).orderBy(doc_id)` put a range exchange over the
+    * expensive projection, and RangePartitioner's reservoir sample
+    * iterates EVERY child row — so the per-doc HOF scoring ran twice
+    * (warm isolated profile: two ≈3.3 s single-task stages, 7.0 s
+    * steady state). `repartitionByRange + sortWithinPartitions` orders
+    * the CHEAP scan instead (total order: range partitions are ordered,
+    * rows sorted within, projection preserves row order), the heavy
+    * project evaluates once above it, and the numbered range exchange
+    * also spreads the map work across 32 tasks (the one-row-group
+    * testdata scan otherwise single-threads it; cluster files split
+    * naturally, where this exchange is just the final presentation
+    * sort). Measured 7.0 → 0.6 s warm.
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      TextFunctions.langId(col("text")).as("lang_guess"),
-      TextFunctions.qualityScore(col("text")).as("quality"),
-      TextFunctions.fingerprint(col("text")).as("fingerprint"),
-      TextFunctions.minShingleFingerprint(col("text"), 3).as("min_shingle"))
-      .orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.langId(col("text")).as("lang_guess"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.minShingleFingerprint(col("text"), 3).as("min_shingle"))
 
   val textStatsSql: String = {
     val en = TextFunctions.langMarkers("en").map(s => s"'$s'").mkString(", ")
@@ -372,11 +389,22 @@ object TextQueries {
       |JOIN sets sb ON sb.id = cand.id_b
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash 60-bit signatures per document. */
+  /** SimHash 60-bit signatures per document.
+    *
+    * Same r12 shape as [[textStats]]: sort the cheap scan FIRST
+    * (`repartitionByRange + sortWithinPartitions` = total order), then
+    * project — `select(simhash).orderBy` made RangePartitioner's
+    * reservoir sample evaluate the per-token hash loop a second time
+    * (two ≈1.5 s single-task stages warm), and the numbered range
+    * exchange also parallelizes the one-row-group testdata scan.
+    * Measured 3.3 → 0.5 s warm.
+    */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism, col("doc_id"))
+      .sortWithinPartitions("doc_id")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
 
   val dedupSimhashSql: String =
     """WITH hashed AS (
