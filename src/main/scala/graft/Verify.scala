@@ -30,26 +30,29 @@ object Verify {
       // see Bench: the default 100-entry codegen cache thrashes across a
       // 286-query run; harmless for correctness, big for gate wall-clock
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // SPARK_GRAFT_ANSI=true: the r12 overflow sweep. The
-      // embedding_covariance_drift defect (r11: non-ANSI decimal→long
-      // cast WRAPS silently where DuckDB fails loudly) motivates running
-      // the whole surface under ANSI once per round: any arithmetic
-      // overflow / invalid cast that non-ANSI mode would silently wrap
-      // becomes a loud per-query failure in failed_queries.json to
-      // adjudicate (scale-free statistic vs. real wrap-at-scale). The
-      // driver never sets it, so the canonical gate semantics are
-      // unchanged.
-      .config("spark.sql.ansi.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
+      // SPARK_GRAFT_ANSI: the r12 overflow sweep knob. Spark 4's DEFAULT
+      // is ansi=true (loud casts), and the canonical gate keeps that
+      // default — the conf is only set when the env var is present.
+      // SPARK_GRAFT_ANSI=false runs the PERMISSIVE direction (value
+      // divergence would surface as oracle hash mismatches). r12 ran
+      // both directions: 286/286 hash-identical each way. CAVEAT found
+      // while sweeping: `div` (IntegralDivide) on DECIMAL operands
+      // returns LONG and WRAPS SILENTLY under BOTH ANSI settings in
+      // 4.1.2 — a clean ANSI run does NOT certify div-based fixed-point
+      // emissions; their safety rests on the documented bound arguments
+      // (README r12 table) and the periodic ×100 oracle replays (which
+      // is how the r11 covariance-drift wrap was actually caught).
+    val builderA = sys.env.get("SPARK_GRAFT_ANSI")
+      .fold(builder0)(v => builder0.config("spark.sql.ansi.enabled", v))
     val spark = (if (master.startsWith("local-cluster"))
-      builder0
+      builderA
         .config("spark.executor.extraClassPath",
           System.getProperty("java.class.path"))
         .config("spark.executor.extraJavaOptions",
           GraftCluster.moduleOpens)
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
-    else builder0)
+    else builderA)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -150,10 +153,10 @@ object Verify {
     val gateScale =
       Paths.get(sfDir).toAbsolutePath.normalize.toString ==
         "/root/testdata/sf0.01"
-    // ... and never from an ANSI sweep (different semantics by design —
-    // its failures are the sweep's FINDINGS, not gate regressions).
-    val canonicalSemantics =
-      sys.env.getOrElse("SPARK_GRAFT_ANSI", "false") != "true"
+    // ... and never from an ANSI-sweep run (either direction): an
+    // explicitly-set SPARK_GRAFT_ANSI means non-default semantics —
+    // its findings are the sweep's, not gate regressions.
+    val canonicalSemantics = !sys.env.contains("SPARK_GRAFT_ANSI")
     if (only.isEmpty && gateScale && canonicalSemantics)
       try Files.writeString(Paths.get("lint_report_latest.json"), lintJson)
       catch { case _: Throwable => () }
