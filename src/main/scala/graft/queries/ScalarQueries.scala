@@ -81,8 +81,12 @@ object ScalarQueries {
     * 0=Sunday).
     */
   def scalarFunctionsArray(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .filter(col("o_orderkey") <= 2000)
+    // orderedBelow: the battery's split/transform/regex columns must not
+    // re-run inside a range sample (r12 double-evaluation class); the
+    // o_orderkey<=2000 predicate pushes to the scan below it either way.
+    QueryShapes.orderedBelow(
+        Tables.orders(spark, sfDir).filter(col("o_orderkey") <= 2000),
+        col("o_orderkey"))
       .select(
         col("o_orderkey"),
         // date arithmetic
@@ -128,7 +132,6 @@ object ScalarQueries {
         greatest(col("o_orderkey") % 7, col("o_orderkey") % 11,
           col("o_orderkey") % 13).as("key_greatest"),
         pow(lit(2), col("o_orderkey") % 10).cast("long").as("key_pow2"))
-      .orderBy(col("o_orderkey"))
 
   val scalarFunctionsArraySql: String =
     """SELECT o_orderkey,

@@ -153,7 +153,10 @@ object SimMore {
     * round half-away-from-zero, so the int8 codes agree exactly.
     */
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    // orderedBelow, not a final orderBy: the norm + per-component
+    // quantization HOFs must not re-run inside a range sample (r12
+    // double-evaluation class, SortSampleLintSpec).
+    QueryShapes.orderedBelow(Tables.embeddings(spark, sfDir), col("vec_id"))
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       // raw_norm is projected once and referenced twice below — a lambda
       // embedding the dot-product expression would re-reduce the whole
@@ -170,7 +173,6 @@ object SimMore {
         // schema-level compares; the codes themselves are identical.
         array_join(col("q"), ",").as("q_codes"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("checksum"))
-      .orderBy(col("vec_id"))
 
   /** Johnson–Lindenstrauss random projection 64 → 16 dims: the standard
     * embedding-compression step before ANN indexing (distances preserved
@@ -188,13 +190,14 @@ object SimMore {
         element_at(col("e"), d + 1) * lit(row(d).toDouble)).reduceLeft(_ + _)
       round(chain * lit(1e6)).cast("long").as(s"p$j")
     }
-    Tables.embeddings(spark, sfDir)
+    // orderedBelow: 16 codegen'd 64-term multiply-add chains per row —
+    // the projection must evaluate once, not inside a range sample.
+    QueryShapes.orderedBelow(Tables.embeddings(spark, sfDir), col("vec_id"))
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))
       .select(col("vec_id") +: projCols.toIndexedSeq: _*)
       .select(col("vec_id"),
         concat_ws(",", (0 until 16).map(j => col(s"p$j")): _*).as("proj_q6"),
         (0 until 16).map(j => col(s"p$j")).reduceLeft(_ + _).as("checksum"))
-      .orderBy(col("vec_id"))
   }
 
   val embedRandomProjectionSql: String = {

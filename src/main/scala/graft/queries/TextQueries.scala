@@ -82,13 +82,19 @@ object TextQueries {
     * shuffle until the final sort).
     */
   def qualityFilterPipeline(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // orderedBelow instead of a final orderBy (r12): the OUTPUT scoring
+    // projection evaluates once above the range exchange. The quality
+    // PREDICATE still pushes below it (Catalyst pushes deterministic
+    // filters through RepartitionByExpression — desirable at scale: the
+    // exchange then carries only the ~surviving fraction), so the range
+    // sample's residual is one predicate pass — allowlisted with
+    // rationale in SortSampleLintSpec.
+    QueryShapes.orderedBelow(Tables.documents(spark, sfDir), col("doc_id"))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .filter(col("quality") > 0.3 && col("n_tokens").between(5, 200) &&
         col("lang").isin("en", "es", "de", "fr"))
       .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
-      .orderBy(col("doc_id"))
 
   val qualityFilterPipelineSql: String = {
     val en = TextFunctions.langMarkers("en").map(s => s"'$s'").mkString(", ")
@@ -596,7 +602,10 @@ object TextQueries {
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "\\+?[0-9][0-9()\\s-]{6,}[0-9]"
-    Tables.documents(spark, sfDir)
+    // Sort below the scrub (r12 double-evaluation class): four regex
+    // passes + an md5 over the full text must not sit under a global
+    // sort's range sample. orderedBelow = total order by construction.
+    QueryShapes.orderedBelow(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
           .cast("long").as("n_emails"),
@@ -605,7 +614,6 @@ object TextQueries {
         md5(regexp_replace(
           regexp_replace(col("text"), emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>")).as("scrubbed_fingerprint"))
-      .orderBy(col("doc_id"))
   }
 
   val piiScrubSql: String =
