@@ -105,7 +105,15 @@ object Verify {
           schemaPinJson += name -> v
           System.err.println(s"[verify] SCHEMA PIN: $v")
         }
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // No coalesce(1): it used to collapse the dump into one task for
+        // a single output file, which after the r12 orderedBelow reshape
+        // would run every heavy projection ABOVE the range exchange
+        // serially (the whole point of the reshape was to run it in
+        // parallel map tasks once). The compare is order-independent
+        // (rows sorted by all columns on both sides) and every reader
+        // globs the part files, so a multi-file dump is equivalent —
+        // and the heavy x10/x100 dumps keep full parallelism.
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
         // per-query wall time on stderr: at non-gate scales (x10/x100
         // stress, local-cluster demos) the dump IS the timing source, and
         // external dir-mtime reconstruction kept being the workaround

@@ -73,17 +73,37 @@ object ShardedLog {
     }
   }
 
-  /** Shard metadata; streams created before lineage support (no
-    * shards.json) derive the even split with no parents.
+  /** Shard metadata. Corruption posture (r13): every stream is created by
+    * [[createStream]], which writes shards.json atomically — so a MISSING
+    * meta file next to existing shard files means the metadata was
+    * deleted, not that the stream predates lineage support. The old
+    * silent even-split fallback would mis-derive post-reshard state
+    * (closed parents revived as open, ranges overlapping the children's),
+    * silently double-routing writes; fail loudly instead. A meta file
+    * that exists but doesn't parse (torn write, garbage bytes) also
+    * fails loudly, with the stream dir in the message.
     */
   def shardMeta(streamDir: String): Seq[ShardInfo] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val f = new File(streamDir, MetaFile)
     if (f.exists()) {
-      org.json4s.jackson.JsonMethods
-        .parse(new String(Files.readAllBytes(f.toPath), UTF_8))
-        .extract[Seq[ShardInfo]]
-    } else evenMeta(listShards(streamDir))
+      try {
+        org.json4s.jackson.JsonMethods
+          .parse(new String(Files.readAllBytes(f.toPath), UTF_8))
+          .extract[Seq[ShardInfo]]
+      } catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"corrupt $MetaFile in $streamDir — refusing to guess shard " +
+            s"lineage (restore the metadata or recreate the stream): $e", e)
+      }
+    } else {
+      val shards = listShards(streamDir)
+      if (shards.nonEmpty) throw new IllegalStateException(
+        s"$streamDir has ${shards.size} shard files but no $MetaFile — " +
+          "metadata deleted? An even-split guess would mis-route writes " +
+          "on any stream that was ever resharded; refusing.")
+      Nil
+    }
   }
 
   private def writeMeta(streamDir: String, meta: Seq[ShardInfo]): Unit = {
@@ -375,7 +395,14 @@ object ShardedLog {
   def read(streamDir: String, shard: String, startSeq: Long,
       endSeq: Long): Iterator[Record] = {
     val file = new File(streamDir, shard)
-    if (!file.exists() || endSeq <= startSeq) return Iterator.empty
+    if (endSeq <= startSeq) return Iterator.empty
+    // A non-empty read range means these sequence numbers were observed
+    // committed (the caller's offsets came from a poll of this log); a
+    // missing file now is a deleted segment, and serving an empty
+    // iterator would silently drop committed records from the stream.
+    if (!file.exists()) throw new IllegalStateException(
+      s"$shard in $streamDir: file missing but records [$startSeq,$endSeq) " +
+        "were committed — shard file deleted?")
     val anchor = refreshIndex(file).anchors.floorEntry(startSeq)
     val (anchorLine, anchorByte) =
       if (anchor == null) (0L, 0L) else (anchor.getKey.longValue(), anchor.getValue.longValue())
@@ -395,18 +422,50 @@ object ShardedLog {
       .drop((startSeq - anchorLine).toInt).take((endSeq - startSeq).toInt)
     new Iterator[Record] {
       private var open = true
+      private var served = 0L
       private def closeOnce(): Unit = if (open) { open = false; reader.close() }
       override def hasNext: Boolean = {
         val h = open && base.hasNext
-        if (!h) closeOnce()
+        if (!h) {
+          closeOnce()
+          // Early exhaustion = the file lost lines between the offset
+          // poll and this read (truncation). Silently under-serving a
+          // committed range is data loss; fail the task instead.
+          if (served < endSeq - startSeq) throw new IllegalStateException(
+            s"$shard in $streamDir: committed range [$startSeq,$endSeq) " +
+              s"but only ${startSeq + served} records on disk — truncated?")
+        }
         h
       }
       override def next(): Record = {
         if (!hasNext) throw new NoSuchElementException(s"$shard exhausted")
-        val parts = base.next().split("\t", 4)
-        Record(shard, parts(0).toLong, parts(1).toLong,
-          new String(Base64.getDecoder.decode(parts(2)), UTF_8),
-          Base64.getDecoder.decode(parts(3)))
+        val expectedSeq = startSeq + served
+        val line = base.next()
+        val rec = try {
+          val parts = line.split("\t", 4)
+          Record(shard, parts(0).toLong, parts(1).toLong,
+            new String(Base64.getDecoder.decode(parts(2)), UTF_8),
+            Base64.getDecoder.decode(parts(3)))
+        } catch { case e: Exception =>
+          closeOnce()
+          throw new IllegalStateException(
+            s"$shard in $streamDir: corrupt record at seq $expectedSeq " +
+              s"(${line.length} bytes) — torn write or disk damage: $e", e)
+        }
+        // The embedded sequence number must equal the line's position —
+        // a mismatch means the bytes at this offset are not the records
+        // that were committed (truncate-then-regrow, segment rewrite):
+        // re-serving them under the old offsets would be silently WRONG
+        // data, the worst failure mode a replayable log can have.
+        if (rec.sequenceNumber != expectedSeq) {
+          closeOnce()
+          throw new IllegalStateException(
+            s"$shard in $streamDir: expected seq $expectedSeq at line " +
+              s"$expectedSeq but found ${rec.sequenceNumber} — shard file " +
+              "rewritten? Refusing to serve mismatched offsets.")
+        }
+        served += 1
+        rec
       }
     }
   }

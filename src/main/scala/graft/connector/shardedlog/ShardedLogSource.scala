@@ -161,6 +161,26 @@ class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String]
     // under AvailableNow the frozen snapshot IS the end of the log: shards
     // and records appended after prepare() belong to the next run
     val ends = availableNowBound.getOrElse(ShardedLog.endOffsets(streamDir))
+    // r13 corruption guards — both cases would otherwise be SILENT:
+    //  - a checkpointed shard vanishing from the listing (deleted segment)
+    //    just drops out of the offset map, skipping its unread records;
+    //  - a shard whose end regressed below the committed start (file
+    //    truncated) plans no slice forever, and once the log regrows the
+    //    same sequence numbers name DIFFERENT records. The log is
+    //    append-only by contract; a regression is disk damage, not state.
+    s.foreach { case (shard, committed) =>
+      if (committed > 0L && !ends.contains(shard))
+        throw new IllegalStateException(
+          s"$shard in $streamDir: checkpoint committed $committed records " +
+            "but the shard file is gone — deleted segment? Refusing to " +
+            "silently skip it.")
+      val end = ends.getOrElse(shard, 0L)
+      if (end < committed)
+        throw new IllegalStateException(
+          s"$shard in $streamDir: log end $end regressed below committed " +
+            s"offset $committed — shard file truncated? An append-only " +
+            "log cannot shrink; refusing to re-serve reused offsets.")
+    }
     val parentsOf = ShardedLog.shardMeta(streamDir)
       .map(si => si.name -> si.parents).toMap
     ShardedLogOffset(ends.map { case (shard, end) =>

@@ -443,8 +443,8 @@ object StatsFifth {
     * from bit 0 of `xxhash64(user_id, j)`, per-row sums-of-64-z² are
     * EXACT integers (widened to DECIMAL — z ~ 10¹² at 100 TB squares
     * past long; the exact F2 is emitted as two 60-bit BIGINT limbs,
-    * f2 = f2_hi·2⁶⁰ + f2_lo — wrap-proof at every physical scale, see
-    * the r12 note at the emission), and
+    * f2 = f2_hi·2⁶⁰ + f2_lo — exact below 2¹²⁰, and within_bound
+    * self-certifies that range, see the r13 note at the emission), and
     * the median-of-9 is picked by sorting the 9-element
     * collected array — every arithmetic step deterministic, no doubles
     * anywhere. Like the KLL gates, the emitted row is a VERDICT: the
@@ -488,12 +488,22 @@ object StatsFifth {
     // at every physical scale, and still a full-strength exactness gate
     // (any F2 drift flips a limb). The verdict math stays all-decimal.
     val limb = "1152921504606846976" // 2^60
+    // r13 (advice): `div` on DECIMAL wraps silently under BOTH ANSI
+    // settings (F2LimbSpec), so for f2 ≥ 2^120 the hi limb would wrap
+    // while the scaladoc claims wrap-proof. Fold the width bound INTO the
+    // verdict column: within_bound now ALSO asserts f2_exact < 2^120, so
+    // an out-of-range corpus flips the boolean and fails the hash gate
+    // loudly — the Spark emission is self-certifying, not reliant on the
+    // oracle replay's HUGEINT→BIGINT cast failing first.
+    val limbSq = "1329227995784915872903807060280344576" // 2^120
     f2.crossJoin(broadcast(med))
       .select(
         expr(s"cast(f2_exact div $limb as long)").as("f2_hi"),
         expr(s"cast(f2_exact % $limb as long)").as("f2_lo"),
-        (abs(col("med_sum") - lit(cols) * col("f2_exact")) <=
-          lit(cols / 4) * col("f2_exact")).as("within_bound"))
+        ((abs(col("med_sum") - lit(cols) * col("f2_exact")) <=
+          lit(cols / 4) * col("f2_exact")) &&
+          col("f2_exact") < expr(s"cast('$limbSq' as decimal(38,0))"))
+          .as("within_bound"))
   }
 
   val amsF2MomentSql: String =

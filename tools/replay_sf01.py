@@ -77,20 +77,22 @@ def check_one(out_dir, sf_dir, name, sql, q):
     # sum with collision probability ~2^-64.
     digest_rows = int(os.environ.get("REPLAY_DIGEST_ROWS", "5000000"))
     digest_mode = n_spark > digest_rows
-    # The digest path needs an explicit per-column DuckDB cast; a dtype
-    # outside ARROW_TO_DUCK (list/decimal/struct/...) would make a large
-    # result UNVERIFIABLE if we hard-failed here (r12 advice), so fall
-    # back to the row-compare path, whose norm() handles those types.
+    # The digest path needs an explicit per-column DuckDB expression. A
+    # dtype outside ARROW_TO_DUCK (list/struct/map/...) gets to_json —
+    # deterministic text for binary-equal values on BOTH sides (both are
+    # DuckDB values: the spark result via read_parquet, the oracle via
+    # its own SQL) — instead of the old fallback to the row-compare path,
+    # which re-materialized the whole table and was exactly the exit -9
+    # OOM mode the digest path exists to avoid (r12 advice). Wide
+    # decimals are the one type whose to_json rendering could diverge
+    # between engines (scale padding), but DtypeLint structurally bans
+    # those from every emitted schema.
     stypes = {f.name: str(f.type) for f in ds.schema}
-    digest_unsupported = [c for c in sorted(stypes)
-                          if stypes[c] not in ARROW_TO_DUCK]
     fallback_note = ""
-    if digest_mode and digest_unsupported:
-        digest_mode = False
-        fallback_note = (" [digest-unsupported dtypes "
-                         + ",".join(f"{c}:{stypes[c]}"
-                                    for c in digest_unsupported)
-                         + " -> row compare]")
+
+    def duck_expr(c):
+        t = ARROW_TO_DUCK.get(stypes[c])
+        return f'CAST("{c}" AS {t})' if t else f'to_json("{c}")'
     if not digest_mode:
         try:
             spark_tbl = ds.to_table().to_pydict()
@@ -118,8 +120,7 @@ def check_one(out_dir, sf_dir, name, sql, q):
             if sn != dn:
                 q.put(("FAIL", f"schema: spark={sn} duck={dn}"))
                 return
-            cast = ", ".join(
-                f'CAST("{c}" AS {ARROW_TO_DUCK[stypes[c]]})' for c in sn)
+            cast = ", ".join(duck_expr(c) for c in sn)
             glob = "/*.parquet" if res_path.is_dir() else ""
             dig_s = con.execute(
                 f"SELECT count(*), sum(hash({cast})) FROM "
