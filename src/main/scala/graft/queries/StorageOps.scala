@@ -154,22 +154,62 @@ object StorageOps {
     val blooms = li.groupBy(col("blk"))
       .agg(graft.functions.BloomFilterAggregator.bloomBuild(numBits)(col("k"))
         .as("bloom"))
+    // r13 ×1000 stage-profile rewrite (53-68 s of the 61-97 s run was ONE
+    // task): the old shape crossJoined blooms×broadcast(probes), but the
+    // bloom aggregate's output is ~84 tiny rows, so AQE coalesced its
+    // exchange to ONE partition and the whole fan-out (blocks × probes ≈
+    // 8M pairs at ×1000), the per-pair md5(pk) digest chains (2 per PAIR,
+    // blocks× redundant) and the join-side shuffle write all serialized
+    // on a single thread. Index-probe topology instead: BROADCAST the
+    // per-block bloom index (84 rows × 64 longs — the natural broadcast
+    // side at any scale) and stream the probes through a NUMBERED
+    // round-robin repartition (the probe scan is one parquet row group =
+    // one task otherwise; a numbered count survives both the optimizer's
+    // redundant-repartition elimination — which silently dropped a
+    // same-key-same-count repartition on the bloom side — and AQE
+    // coalescing). Probe bit positions depend on pk alone, so they're
+    // computed ONCE per probe below the repartition, not per pair.
+    def pos(start: Int): String =
+      s"cast(conv(substring(md5(pk), $start, 15), 16, 10) as bigint) % $numBits"
     val probes = Tables.part(spark, sfDir)
       .filter(col("p_partkey") % 211 === 0)
       .select(col("p_partkey").cast("string").as("pk"))
-    def pos(start: Int): String =
-      s"cast(conv(substring(md5(pk), $start, 15), 16, 10) as bigint) % $numBits"
+      .withColumn("pa", expr(pos(1)))
+      .withColumn("pb", expr(pos(17)))
     def bitSet(h: String): String =
       s"(shiftright(element_at(bloom, cast(($h) div 64 as int) + 1)," +
         s" cast(($h) % 64 as int)) & 1) = 1"
-    val verdicts = blooms.crossJoin(broadcast(probes))
-      .withColumn("maybe",
-        expr(bitSet(pos(1))) && expr(bitSet(pos(17))))
-    val truth = li.distinct()
-      .join(broadcast(probes), col("k") === col("pk"), "left_semi")
-      .select(col("blk"), col("k").as("pk"))
+    val verdicts = probes.repartition(32)
+      .crossJoin(broadcast(blooms))
+      .withColumn("maybe", expr(bitSet("pa")) && expr(bitSet("pb")))
+    // Exact-membership side on LONG keys with the probe predicate applied
+    // as an arithmetic pre-filter: probes are exactly `p_partkey % 211 =
+    // 0`, so `l_partkey % 211 = 0` is implied by the semi join — pushing
+    // it below prunes 210/211 of the 600M rows BEFORE any string cast or
+    // hash probe (the ×1000 profile had this map stage at 46 s, the
+    // query's critical path once the fan-out was parallelized; string
+    // casting + semi-probing all 600M rows was the cost). The cast to
+    // string happens after dedup, on ~2.8M rows.
+    val truth = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") % 211 === 0)
+      .select(
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("blk"),
+        col("l_partkey").as("pknum"))
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter(col("p_partkey") % 211 === 0).select(col("p_partkey"))),
+        col("pknum") === col("p_partkey"), "left_semi")
+      .distinct()
+      .select(col("blk"), col("pknum").cast("string").as("pk"))
       .withColumn("present", lit(true))
-    verdicts.join(truth, Seq("blk", "pk"), "left")
+    // Numbered (blk,pk) repartition carrying the probe-verdict join: the
+    // fan-out writes ~81 MB and truth ~39 MB at ×1000 — under the 64 MB
+    // advisory AQE coalesced BOTH sides of the sort-merge join to one
+    // partition, serializing an 11M-row sort+join+aggregate on a single
+    // thread (56-61 s of the ×1000 run). A user-numbered count pins both
+    // sides at full width (co-partitioning forbids one-sided coalescing).
+    verdicts.repartition(32, col("blk"), col("pk"))
+      .join(truth, Seq("blk", "pk"), "left")
       .withColumn("present", coalesce(col("present"), lit(false)))
       .groupBy(col("blk"))
       .agg(count(lit(1)).as("n_probes"),

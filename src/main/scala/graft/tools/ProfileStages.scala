@@ -124,7 +124,8 @@ object ProfileStages {
             if (sys.env.contains("SPARK_GRAFT_PROFILE_TOP"))
               snap.takeWhile(_.ms > 200).take(8).foreach(s => println(
                 f"    top stage ${s.id}%4d ${s.ms}%6d ms on ${s.tasks}%3d " +
-                  f"tasks, shufW=${s.shufWMb}%4d MB"))
+                  f"tasks, shufW=${s.shufWMb}%4d MB shufR=${s.shufRBytes}%d B " +
+                  s"${s.name}"))
           } catch { case e: Throwable =>
             results += ((name, -1.0, Nil))
             println(s"QUERY $name FAILED: ${e.getMessage}")

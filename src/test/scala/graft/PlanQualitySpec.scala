@@ -306,11 +306,19 @@ class PlanQualitySpec extends SparkTestBase {
     val trail = plan(graft.queries.StreamQueries.trailLast5(spark, sf0001))
     assert(trail.contains("WindowGroupLimit"),
       "latest-row filter lost the WindowGroupLimit pushdown:\n" + trail)
-    // block_bloom_skipping: the probe set broadcasts; nothing cartesian
-    // beyond the deliberate broadcast cross of 9 probes × blocks
+    // block_bloom_skipping (r13 ×1000 rewrite): the per-block bloom INDEX
+    // broadcasts (84 tiny rows — the natural broadcast side at any scale)
+    // while the probes stream through a numbered round-robin repartition,
+    // and a numbered (blk,pk) repartition pins the probe-verdict join at
+    // full width — without them AQE serialized the 8M-pair fan-out and
+    // the 11M-row join on ONE task each (53-68 s + 56-61 s of the ×1000
+    // run). Both numbered exchanges must survive.
     val bloom = plan(graft.queries.StorageOps.blockBloomSkipping(spark, sf0001))
     assert(bloom.contains("BroadcastExchange"),
-      "probe set must broadcast:\n" + bloom)
+      "bloom index must broadcast:\n" + bloom)
+    assert("REPARTITION_BY_NUM".r.findAllIn(bloom).size >= 2,
+      "block_bloom lost a numbered repartition (probe round-robin / " +
+        "(blk,pk) join pin):\n" + bloom)
     // ppjoin: candidates must come from the prefix-gram equi-join —
     // degenerating to a cartesian/nested-loop pair scan would be the
     // all-pairs compare the algorithm exists to avoid
