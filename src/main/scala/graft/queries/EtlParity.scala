@@ -41,14 +41,24 @@ object EtlParity {
         col("l_quantity").as("quantity"),
         (col("l_returnflag") === lit("R")).as("in_shopping_cart")))
         .as("browse_history"))
-    // Sort BELOW the enrich projection (r12, same shape as textStats):
-    // orderBy above the HOF project made the range sample evaluate the
-    // array enrichment twice; ordering the aggregated sessions first
-    // (range partitions ordered + sorted within = total order, project
-    // preserves row order) runs it once.
+    // No output ordering AT ALL (r13): the r12 reshape kept a total order
+    // by range-partitioning the aggregated sessions below the enrich
+    // projection — but this is the one orderedBelow member whose range
+    // input is a heavy AGGREGATE, not a scan, and repartitionByRange's
+    // bounds sample re-executes its entire input lineage: the ×1000
+    // stage profile showed the 750M-row join + collect_list running
+    // TWICE (163 s sample pass + 169 s real pass, 43% of the query), and
+    // the checkpoint-below-range alternative measured WORSE (650 s —
+    // materializing 150M array-struct rows costs more than recomputing
+    // them). Ordering was never a semantic requirement here — the
+    // reference ETL emits per-shard records with no global order
+    // (consumer.py writes what it polls), and the gate compare is
+    // order-independent — so the right shape is projection directly above
+    // the numbered hash repartition: heavy work runs ONCE, and both the
+    // ~5 GB range exchange and its sampling pass disappear. ×1000
+    // measured: 354 s (min-of-2) → 88 s warm — join+agg+project fused
+    // into a single consumption of the 8.7 GB exchange.
     sessions
-      .repartitionByRange(par, col("l_orderkey"))
-      .sortWithinPartitions("l_orderkey")
       .select(
         col("l_orderkey"),
         Enrich.overallProductQuantity(col("browse_history"))

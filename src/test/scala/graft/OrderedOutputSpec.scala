@@ -34,7 +34,11 @@ class OrderedOutputSpec extends SparkTestBase {
     assertOrdered("embed_random_projection", Seq("vec_id"))
     assertOrdered("scalar_functions_array", Seq("o_orderkey"))
     assertOrdered("quality_filter_pipeline", Seq("doc_id"))
-    assertOrdered("etl_enrich_sessions", Seq("l_orderkey"))
+    // etl_enrich_sessions left this list in r13: its range input was a
+    // heavy AGGREGATE (not a scan), so the bounds sample re-ran the 750M-
+    // row join+collect_list — 43% of the ×1000 query — for an ordering
+    // the ETL semantics never required. It now emits hash-partitioned,
+    // unordered output and does the heavy work once.
     assertOrdered("multimodal_decode", Seq("media_id"))
     assertOrdered("multimodal_frame_sample", Seq("media_id", "sample_idx"))
     assertOrdered("multimodal_imageio_decode", Seq("media_id"))
