@@ -355,7 +355,13 @@ object SeriesFifth {
           * (expr("cast(unix_micros(cast(ts as timestamp)) - unix_micros(cast(pts as timestamp)) as double)")
              / expr("cast(unix_micros(cast(nts as timestamp)) - unix_micros(cast(pts as timestamp)) as double)")))
       .select(col("event_type"), col("ts"), col("value_interp"))
-      .orderBy(col("event_type"), col("ts"))
+    // No final orderBy (r13 ×100 sweep): the global sort's range sample
+    // re-executed the entire two-direction window pipeline — the ×100
+    // profile showed THREE ~12 s consumers of the same 208 MB exchange
+    // (window pipeline, its re-run under the bounds sample, the ordered
+    // pass) where one suffices. Ordering was never semantic (the compare
+    // is order-independent); the remaining parallelism bound is the
+    // 5-value event_type window key, documented above.
   }
 
   val interpolateLinearSql: String =

@@ -508,7 +508,16 @@ object SimQueries {
         Similarity.lshBucket(Similarity.toDoubleVec(col("embedding")),
           LshBits, Dim).as("bucket"))
       .stableCheckpoint()
+    // Numbered bucket repartition carrying the self-join (r13 ×100
+    // sweep): the checkpointed (vec_id, label, bucket) relation is ~2 MB,
+    // so AQE coalesced both join sides to 2 tasks — and the join OUTPUT
+    // is the bucket² vote fan-out plus its partial aggregate, which then
+    // ran 22 of the query's 23 s on 2 threads (writing 42 MB). Input
+    // bytes say nothing about fan-out mass; the numbered count pins the
+    // pair generation at full width.
+    val par = spark.sparkContext.defaultParallelism
     val votes = v.toDF("vec_id", "own_label", "bucket")
+      .repartition(par, col("bucket"))
       .join(v.select(col("vec_id").as("nbr_id"), col("label")
         .as("nbr_label"), col("bucket")), Seq("bucket"))
       .filter(col("vec_id") =!= col("nbr_id"))

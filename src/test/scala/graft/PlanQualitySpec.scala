@@ -319,6 +319,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert("REPARTITION_BY_NUM".r.findAllIn(bloom).size >= 2,
       "block_bloom lost a numbered repartition (probe round-robin / " +
         "(blk,pk) join pin):\n" + bloom)
+    // label_noise_scan (r13 ×100 sweep): the bucket self-join's OUTPUT is
+    // the bucket² vote fan-out, but its checkpointed input is ~2 MB — a
+    // numbered bucket repartition must pin the pair generation at full
+    // width or AQE serializes 22 s of fan-out+aggregate on 2 tasks
+    val lns = plan(graft.queries.SimQueries.labelNoiseScan(spark, sf0001))
+    assert(lns.contains("REPARTITION_BY_NUM"),
+      "label_noise_scan lost the numbered bucket repartition on the " +
+        "vote self-join:\n" + lns)
+    // interpolate_linear (r13 ×100 sweep): no global sort above the
+    // two-direction window pipeline — its range sample re-executed the
+    // whole pipeline (3 consumers of one 208 MB exchange where 1
+    // suffices); output order is not semantic
+    val il = plan(graft.queries.SeriesFifth.interpolateLinear(spark, sf0001))
+    assert(!il.contains("rangepartitioning"),
+      "interpolate_linear regrew a global sort above the window " +
+        "pipeline (range sample = full re-execution):\n" + il)
     // ppjoin: candidates must come from the prefix-gram equi-join —
     // degenerating to a cartesian/nested-loop pair scan would be the
     // all-pairs compare the algorithm exists to avoid
