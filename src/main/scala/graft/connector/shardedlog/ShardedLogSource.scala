@@ -126,6 +126,26 @@ class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String]
   private val maxRecordsPerPoll: Long =
     options.getOrElse("maxrecordsperpoll", "200").toLong
 
+  /** Sequence-number-seeded start positions (`at_sequence_number:n` /
+    * `after_sequence_number:n`) map a USER-provided n onto EVERY shard —
+    * which is not evidence the log ever held n records there: a healthy
+    * shard whose end is still below n simply hasn't caught up yet, and
+    * the truncation guard must wait for it, not throw (r13 regression:
+    * it threw on a healthy stream at first poll). Every other committed
+    * offset is derived from an OBSERVED end (earliest/latest/
+    * at_timestamp read the log; latestOffset never advances past the end
+    * it saw), so for those a regression below the checkpoint is disk
+    * damage. Recomputed from options — not instance state — so the
+    * exemption survives driver restarts, where initialOffset() is never
+    * called but the checkpointed offset may still be the untouched seed.
+    */
+  private val seededStart: Option[Long] =
+    options.getOrElse("startingposition", "earliest").split(":", 2) match {
+      case Array("at_sequence_number", n) => Some(n.toLong)
+      case Array("after_sequence_number", n) => Some(n.toLong + 1)
+      case _ => None
+    }
+
   /** The five Kinesis iterator types (README.md:62-69). */
   override def initialOffset(): Offset = {
     val pos = options.getOrElse("startingposition", "earliest")
@@ -158,36 +178,58 @@ class ShardedLogMicroBatchStream(streamDir: String, options: Map[String, String]
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShardedLogOffset].shards
+    // meta BEFORE the directory listing: split/merge create child files
+    // before the atomic shards.json move, so any shard a meta snapshot
+    // names must appear in a LATER listing — this ordering makes the
+    // lineage cross-check below race-free against concurrent reshards.
+    val meta = ShardedLog.shardMeta(streamDir)
+    val parentsOf = meta.map(si => si.name -> si.parents).toMap
     // under AvailableNow the frozen snapshot IS the end of the log: shards
     // and records appended after prepare() belong to the next run
     val ends = availableNowBound.getOrElse(ShardedLog.endOffsets(streamDir))
-    // r13 corruption guards — both cases would otherwise be SILENT:
-    //  - a checkpointed shard vanishing from the listing (deleted segment)
-    //    just drops out of the offset map, skipping its unread records;
+    // r13/r14 corruption guards — each case would otherwise be SILENT:
+    //  - a shard named in shards.json whose file vanished: if it is a
+    //    parent, lineage holdback reads it as exhausted (end 0) and lets
+    //    children advance past its unread records;
+    //  - a TRACKED shard vanishing from the listing just drops out of the
+    //    offset map — and committed == 0 does NOT prove it held nothing
+    //    unread, so the guard is unconditional (r14; r13 required > 0);
     //  - a shard whose end regressed below the committed start (file
     //    truncated) plans no slice forever, and once the log regrows the
     //    same sequence numbers name DIFFERENT records. The log is
-    //    append-only by contract; a regression is disk damage, not state.
-    s.foreach { case (shard, committed) =>
-      if (committed > 0L && !ends.contains(shard))
+    //    append-only by contract; a regression is disk damage, not state
+    //    — UNLESS the offset is still the user-seeded sequence number,
+    //    which the log may simply not have reached yet (see seededStart).
+    val live = ShardedLog.listShards(streamDir).toSet
+    meta.foreach { si =>
+      if (!live.contains(si.name))
         throw new IllegalStateException(
-          s"$shard in $streamDir: checkpoint committed $committed records " +
-            "but the shard file is gone — deleted segment? Refusing to " +
-            "silently skip it.")
-      val end = ends.getOrElse(shard, 0L)
-      if (end < committed)
+          s"${si.name} in $streamDir is named in shards.json but its file " +
+            "is gone — deleted segment? A vanished parent would let its " +
+            "children advance past unread records; refusing.")
+    }
+    s.foreach { case (shard, committed) =>
+      if (!ends.contains(shard))
+        throw new IllegalStateException(
+          s"$shard in $streamDir: tracked at offset $committed but the " +
+            "shard file is gone — deleted segment? Refusing to silently " +
+            "skip it (offset 0 does not prove the shard held no records).")
+      val end = ends(shard)
+      if (end < committed && !seededStart.contains(committed))
         throw new IllegalStateException(
           s"$shard in $streamDir: log end $end regressed below committed " +
             s"offset $committed — shard file truncated? An append-only " +
             "log cannot shrink; refusing to re-serve reused offsets.")
     }
-    val parentsOf = ShardedLog.shardMeta(streamDir)
-      .map(si => si.name -> si.parents).toMap
     ShardedLogOffset(ends.map { case (shard, end) =>
       val from = s.getOrElse(shard, 0L)
       val parentsExhausted = parentsOf.getOrElse(shard, Nil).forall(p =>
         s.getOrElse(p, 0L) >= ends.getOrElse(p, 0L))
-      shard -> (if (parentsExhausted) math.min(end, from + maxRecordsPerPoll)
+      // max(from, ·): a seeded start ahead of the log must PIN the offset
+      // until the shard catches up — min alone would regress it to the
+      // current end and later serve records below the seed
+      shard -> (if (parentsExhausted)
+                  math.max(from, math.min(end, from + maxRecordsPerPoll))
                 else from)
     })
   }

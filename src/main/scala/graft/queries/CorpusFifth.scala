@@ -77,9 +77,20 @@ object CorpusFifth {
     * just near-identical whole docs). Never pairs documents: positions
     * explode map-side, the inverted index shuffles on the gram, and a
     * gram's doc-spread (count distinct doc) marks its positions. At
-    * 100 TB the shuffle carries (gram, doc, positions) postings — Σ|doc|
-    * rows total, the same asymptotics as tokenizing the corpus — versus
-    * the n² of any pairwise approach.
+    * 100 TB the shuffle carries Σ|doc| posting rows — the same
+    * asymptotics as tokenizing the corpus — versus the n² of any
+    * pairwise approach.
+    *
+    * The posting KEY is not the raw 30-char gram but its md5 split into
+    * two 60-bit limbs (r14: the raw-string key was the engine's last
+    * Θ(chars × gram-width) scratch hazard — >52 GB shuffle scratch at
+    * ×1000, disk-exhausting on one box; two longs are 16 fixed bytes vs
+    * ~38 for the string, and the window sort compares longs instead of
+    * 30-char UTF-8). 120 bits is collision-safe at corpus scale: even
+    * 10¹² distinct grams give expected collisions n²/2¹²¹ ≈ 4·10⁻¹³;
+    * a single 60-bit limb would already expect collisions at ~10⁹ grams,
+    * hence two. The oracle groups by the SAME two limbs, so the gate
+    * hash proves the rewrite transparent rather than assuming it.
     */
   def suffixDupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     // Numbered repartition before the ~270× position fan-out: the
@@ -95,14 +106,19 @@ object CorpusFifth {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))
-      .withColumn("g", expr(s"substring(text, cast(p as int), $G)"))
-      .drop("text")
+      // one md5 per position (hx projected once, split twice), gram
+      // string never leaves the map stage
+      .withColumn("hx",
+        md5(expr(s"substring(text, cast(p as int), $G)").cast("binary")))
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 17, 15), 16, 10).cast("long").as("h2"))
     // "gram appears in >= 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
     // over the gram's postings — two invertible window aggregates on ONE
     // gram-keyed shuffle, instead of a countDistinct + join-back (which
     // shuffles the posting list twice). Same trick an inverted index
     // uses to tag singleton terms.
-    val wg = Window.partitionBy(col("g"))
+    val wg = Window.partitionBy(col("h1"), col("h2"))
     pos
       .withColumn("dup",
         min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
@@ -119,17 +135,24 @@ object CorpusFifth {
     s"""WITH pos0 AS (
       |  SELECT doc_id, text, unnest(range(1, n_chars - ${G - 2})) AS p
       |  FROM documents WHERE n_chars >= $G),
-      |pos AS (
-      |  SELECT doc_id, p, substr(text, CAST(p AS INTEGER), $G) AS g
+      |hp AS (
+      |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), $G)) AS hx
       |  FROM pos0),
-      |spread AS (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g)
+      |pos AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(hx, 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(hx, 17, 15))::BIGINT AS h2
+      |  FROM hp),
+      |spread AS (
+      |  SELECT h1, h2, count(DISTINCT doc_id) AS nd
+      |  FROM pos GROUP BY h1, h2)
       |SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_pos,
       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_dup_pos,
       |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
       |    / CAST(count(*) AS DOUBLE) AS dup_frac
-      |FROM pos JOIN spread USING (g)
+      |FROM pos JOIN spread USING (h1, h2)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
@@ -219,11 +242,14 @@ object CorpusFifth {
     * many DISTINCT 30-char grams they share verbatim — the provenance
     * audit that tells you which crawl sources copy from which (mirror
     * sites, syndication, templating) before you decide dedup survivor
-    * priorities. Same inverted gram index as [[suffixDupSpans]]; the
-    * pair expansion happens per gram over its ≤20 distinct sources
-    * (bounded by the source vocabulary, NOT by corpus size), so the
-    * 100 TB cost is the gram shuffle, and the output is |sources|²
-    * rows regardless of scale.
+    * priorities. Same inverted gram index as [[suffixDupSpans]] —
+    * including the r14 fixed-width key: the shuffle carries the gram's
+    * md5 as two 60-bit longs, not the raw 30-char string (see
+    * [[suffixDupSpans]] for the collision arithmetic; the oracle groups
+    * by the same limbs). The pair expansion happens per gram over its
+    * ≤20 distinct sources (bounded by the source vocabulary, NOT by
+    * corpus size), so the 100 TB cost is the gram shuffle, and the
+    * output is |sources|² rows regardless of scale.
     */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -244,8 +270,12 @@ object CorpusFifth {
       .select(expr("cast(substring(source, 4) as int)").as("si"),
         col("text"),
         explode(sequence(lit(1), col("n_chars") - (G - 1))).as("p"))
-      .select(col("si"), expr(s"substring(text, cast(p as int), $G)").as("g"))
-      .groupBy(col("g"))
+      .withColumn("hx",
+        md5(expr(s"substring(text, cast(p as int), $G)").cast("binary")))
+      .select(col("si"),
+        conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 17, 15), 16, 10).cast("long").as("h2"))
+      .groupBy(col("h1"), col("h2"))
       .agg(expr("bit_or(shiftleft(1L, si))").as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
     val pairs = (for { a <- 0 until 20; b <- a + 1 until 20 } yield (a, b))
@@ -267,12 +297,18 @@ object CorpusFifth {
     s"""WITH pos0 AS (
       |  SELECT source, text, unnest(range(1, n_chars - ${G - 2})) AS p
       |  FROM documents WHERE n_chars >= $G),
+      |hp AS (
+      |  SELECT source, md5(substr(text, CAST(p AS INTEGER), $G)) AS hx
+      |  FROM pos0),
       |grams AS (
-      |  SELECT DISTINCT source, substr(text, CAST(p AS INTEGER), $G) AS g
-      |  FROM pos0)
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(hx, 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(hx, 17, 15))::BIGINT AS h2
+      |  FROM hp)
       |SELECT a.source AS src_a, b.source AS src_b,
       |  CAST(count(*) AS BIGINT) AS shared_grams
-      |FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |FROM grams a JOIN grams b
+      |  ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.source < b.source
       |GROUP BY 1, 2
       |ORDER BY src_a, src_b""".stripMargin
 

@@ -179,7 +179,7 @@ object StorageOps {
     def bitSet(h: String): String =
       s"(shiftright(element_at(bloom, cast(($h) div 64 as int) + 1)," +
         s" cast(($h) % 64 as int)) & 1) = 1"
-    val verdicts = probes.repartition(32)
+    val verdicts = probes.repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(blooms))
       .withColumn("maybe", expr(bitSet("pa")) && expr(bitSet("pb")))
     // Exact-membership side on LONG keys with the probe predicate applied
@@ -208,7 +208,10 @@ object StorageOps {
     // partition, serializing an 11M-row sort+join+aggregate on a single
     // thread (56-61 s of the ×1000 run). A user-numbered count pins both
     // sides at full width (co-partitioning forbids one-sided coalescing).
-    verdicts.repartition(32, col("blk"), col("pk"))
+    // defaultParallelism, not a literal 32: full width on wider boxes,
+    // no over-partitioning on narrower ones (ADVICE r13).
+    verdicts.repartition(spark.sparkContext.defaultParallelism,
+        col("blk"), col("pk"))
       .join(truth, Seq("blk", "pk"), "left")
       .withColumn("present", coalesce(col("present"), lit(false)))
       .groupBy(col("blk"))

@@ -5,13 +5,17 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 import graft.SparkEntry
 
-/** Dev probe: print one gated query's formatted plan and — after a noop
-  * materialization — the FINAL adaptive plan (AQE's post-runtime-stats
-  * choice of partition counts, join strategies and coalescing), which is
-  * the plan the bench actually executes and the one plan-shape
-  * adjudications must read. `df.explain()` alone shows the initial AQE
-  * placeholder tree and hides runtime coalescing entirely (the r13
-  * block_bloom single-task stage was invisible in it).
+/** Dev probe: print one gated query's formatted plan and the FINAL
+  * adaptive plan (AQE's post-runtime-stats choice of partition counts,
+  * join strategies and coalescing), which is the plan the bench actually
+  * executes and the one plan-shape adjudications must read.
+  * `df.explain()` alone shows the initial AQE placeholder tree and hides
+  * runtime coalescing entirely (the r13 block_bloom single-task stage
+  * was invisible in it). `finalPhysicalPlan` itself materializes every
+  * shuffle stage once — no separate noop write first: that ran its OWN
+  * QueryExecution and then finalPhysicalPlan re-ran everything, so the
+  * tool executed each query twice and printed the plan of the second,
+  * untimed run (ADVICE r13).
   *
   * Usage: ExplainQuery <sfDir> <query>[,query2,...]
   * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SKIP_EXEC=1 to print
@@ -39,10 +43,11 @@ object ExplainQuery {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       if (!sys.env.contains("SPARK_GRAFT_SKIP_EXEC")) {
-        df.write.format("noop").mode("overwrite").save()
         println(s"===== $name: FINAL adaptive plan (post-execution) =====")
         df.queryExecution.executedPlan match {
+          // materializes all shuffle stages (once) to let AQE finalize
           case a: AdaptiveSparkPlanExec => println(a.finalPhysicalPlan)
+          // non-adaptive plans don't change at runtime — nothing to run
           case p => println(p)
         }
       }

@@ -5,11 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pins the total-order contract of the r12 `QueryShapes.orderedBelow`
   * reshape: range partitions are emitted in key order, rows are sorted
   * within each partition, and the projections above preserve row order —
-  * so `collect()` (and Verify's `coalesce(1)` dump, which concatenates
-  * partitions in order) yields globally key-ordered output WITHOUT a
-  * global Sort above the heavy projection. If a future Spark version or
-  * plan change broke any link in that chain, these assertions — not a
-  * silent reordering in production — catch it.
+  * so `collect()` yields globally key-ordered output WITHOUT a global
+  * Sort above the heavy projection. If a future Spark version or plan
+  * change broke any link in that chain, these assertions — not a silent
+  * reordering in production — catch it.
   */
 class OrderedOutputSpec extends SparkTestBase {
 

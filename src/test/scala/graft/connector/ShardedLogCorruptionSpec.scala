@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.connector.shardedlog.{ShardedLog, ShardedLogMicroBatchStream, ShardedLogOffset}
+import graft.connector.shardedlog.{ShardSlice, ShardedLog, ShardedLogMicroBatchStream, ShardedLogOffset}
 import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 /** Disk-damage robustness of the sharded-log source (r12 VERDICT item 6):
@@ -100,14 +100,80 @@ class ShardedLogCorruptionSpec extends AnyFunSuite {
       ShardedLog.read(dir, "shard-00000", 0L, 5L)
     }
     assert(eRead.getMessage.contains("deleted"))
-    // an UNSTARTED shard (committed 0) disappearing loses nothing and
-    // must not block the rest of the stream
+    // r14: an UNSTARTED shard (committed 0) disappearing ALSO fails —
+    // offset 0 only says nothing was read, not that nothing was written;
+    // the vanished file may have held unread records (ADVICE r13)
     val dir2 = newStream(2)
     val keep = ShardedLog.listShards(dir2).head
     assert(new java.io.File(dir2, ShardedLog.listShards(dir2).last).delete())
-    val off = stream(dir2).latestOffset(
-      ShardedLogOffset(Map(keep -> 0L)), ReadLimit.allAvailable())
-    assert(off.asInstanceOf[ShardedLogOffset].shards.keySet == Set(keep))
+    val e0 = intercept[IllegalStateException] {
+      stream(dir2).latestOffset(
+        ShardedLogOffset(Map(keep -> 0L)), ReadLimit.allAvailable())
+    }
+    assert(e0.getMessage.contains("gone"))
+  }
+
+  test("deleted parent file after a split fails the poll, never advances children") {
+    val dir = newStream(1)
+    (0 until 4).foreach(i => put(dir, s"k$i", s"v$i"))
+    val (l, r) = ShardedLog.splitShard(dir, "shard-00000")
+    // the closed parent's segment vanishes; without the shards.json
+    // cross-check, lineage holdback reads the parent as exhausted
+    // (end 0) and silently advances the children past its 4 records —
+    // even when the parent is absent from the checkpointed offset map
+    assert(shardFile(dir).delete())
+    val e = intercept[IllegalStateException] {
+      stream(dir).latestOffset(
+        ShardedLogOffset(Map(l -> 0L, r -> 0L)), ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("gone"))
+    assert(e.getMessage.contains("shard-00000"))
+  }
+
+  test("at_sequence_number beyond a young shard's end waits, never throws or regresses") {
+    val dir = newStream(1)
+    (0 until 3).foreach(i => put(dir, s"k$i", s"v$i"))
+    val st = new ShardedLogMicroBatchStream(dir, Map(
+      "maxrecordsperpoll" -> "200",
+      "startingposition" -> "at_sequence_number:10"))
+    val init = st.initialOffset().asInstanceOf[ShardedLogOffset]
+    assert(init.shards == Map("shard-00000" -> 10L))
+    // healthy shard still below the seed: the poll must WAIT (offset
+    // pinned at 10, no slice) — the r13 truncation guard threw here,
+    // and a plain min(end, from+cap) would regress the offset to 3 and
+    // later serve records 3..9 the seed asked to skip
+    val off = st.latestOffset(init, ReadLimit.allAvailable())
+      .asInstanceOf[ShardedLogOffset]
+    assert(off.shards("shard-00000") == 10L)
+    assert(st.planInputPartitions(init, off).isEmpty)
+    // once the log catches up, exactly seq >= 10 is served
+    (3 until 12).foreach(i => put(dir, s"k$i", s"v$i"))
+    val off2 = st.latestOffset(off, ReadLimit.allAvailable())
+      .asInstanceOf[ShardedLogOffset]
+    assert(off2.shards("shard-00000") == 12L)
+    val slices = st.planInputPartitions(off, off2)
+    assert(slices.length == 1)
+    assert(slices.head.asInstanceOf[ShardSlice].startSeq == 10L)
+    assert(slices.head.asInstanceOf[ShardSlice].endSeq == 12L)
+  }
+
+  test("seeded stream still refuses truncation once reads advanced past the seed") {
+    val dir = newStream(1)
+    (0 until 10).foreach(i => put(dir, s"k$i", s"v$i"))
+    val st = new ShardedLogMicroBatchStream(dir, Map(
+      "maxrecordsperpoll" -> "200",
+      "startingposition" -> "after_sequence_number:1"))
+    // checkpoint advanced to 8 (> seed 2), then the file shrinks to 5
+    // records: the seeded-start exemption must NOT mask real damage
+    val lines = Files.readAllLines(shardFile(dir).toPath)
+    Files.write(shardFile(dir).toPath,
+      (0 until 5).map(lines.get).mkString("", "\n", "\n").getBytes("UTF-8"),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    val e = intercept[IllegalStateException] {
+      st.latestOffset(
+        ShardedLogOffset(Map("shard-00000" -> 8L)), ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("regressed"))
   }
 
   test("rewritten segment: embedded seq != line position is refused") {
