@@ -51,7 +51,7 @@ object ExecutorChaos {
     * reliable than ProcessHandle.info on minimal containers). Shared with
     * [[StreamExecutorChaos]], the streaming face of the same harness.
     */
-  private[tools] def executorPids(): Seq[Long] = {
+  private[graft] def executorPids(): Seq[Long] = {
     val self = ProcessHandle.current().pid()
     val procDir = new java.io.File("/proc")
     procDir.listFiles((f: java.io.File) => f.getName.forall(_.isDigit))
