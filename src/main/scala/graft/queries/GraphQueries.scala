@@ -20,45 +20,67 @@ object GraphQueries {
     * customer's order includes a supplier's line. Node ids namespace the
     * two key spaces (customer 2k, supplier 2k+1).
     *
-    * Scale shape: per iteration ONE shuffle on dst for the contribution
-    * sum plus a left join back to the node list — the textbook
-    * Pregel-style step expressed relationally; ranks/outdeg stay (node,
-    * long) pairs, never materializing anything wider. The edge list and
-    * each iteration's ranks are stableCheckpoint'd (graft.Checkpoints): ranks are re-read by
-    * the next iteration's two references, and lineage would otherwise
-    * double per round.
+    * Scale shape: the whole 5-round loop is ONE LAZY PLAN — no eager
+    * per-iteration checkpoints. Every round references the same
+    * weighted-edge DataFrame, so its exchange canonicalizes identically
+    * in every round and AQE's shuffle-stage reuse materializes the edge
+    * shuffle ONCE, re-READ by rounds 2..5 (map output files persist for
+    * the execution). The previous shape eagerly stableCheckpoint'd each
+    * round's ranks, which split the loop into 5 separate executions —
+    * exchange reuse cannot cross executions, so each round re-SHUFFLED
+    * the full edge list from the checkpoint blocks: the r14 ×1000 audit
+    * measured >36 GB of shuffle scratch and a heap OOM at 1.1 B edges
+    * before this rewrite. Per-round out-degree normalization is
+    * pre-merged into the edge list once (`outdeg` rides each edge row),
+    * removing a second billion-row join per round; the per-round
+    * shuffles that remain are the Θ(|V|) rank aggregate and rank join —
+    * the irreducible Pregel step. Lineage depth is fixed (5 rounds), so
+    * plan-size blowup — the reason iterative loops usually checkpoint —
+    * does not apply; on a cluster, recovery is standard stage re-run
+    * from persisted map outputs rather than non-replayable
+    * localCheckpoint blocks.
     */
   def pagerankBipartite(spark: SparkSession, sfDir: String): DataFrame = {
+    // The explicit not-null filters are semantically no-ops (both ids
+    // derive from non-null key columns) but load-bearing for REUSE:
+    // without them, constraint propagation from the downstream joins
+    // infers DIFFERENT isnotnull filters into each reference of this
+    // subtree (the ew reference gets isnotnull(src), the nodes
+    // reference none, …), the references then canonicalize unequal, and
+    // AQE materializes the billion-row distinct 3× instead of once
+    // (r14 ×100 plan audit: 3 separate Exchange ids over the same scan).
     val e0 = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-      .stableCheckpoint()
-    // checkpoint once: both are re-read by EVERY iteration's join — left
-    // on lineage they re-shuffle the edge list five times over
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val nodes = edges.select(col("src").as("node")).distinct()
-      .stableCheckpoint()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .stableCheckpoint()
+    // out-degree folded into the edge list once: each round needs only
+    // (src, dst, outdeg), never a separate billion-row outdeg join
+    val ew = edges.join(outdeg.hint("shuffle_hash"), "src")
 
+    // SHUFFLE_HASH on the Θ(|V|) side of every per-round join: the
+    // default SortMergeJoin re-SORTS the billion-row edge side each
+    // round (sorts live in the consuming stage, so exchange reuse
+    // cannot save them — ×1000 measured tens of GB of sort spill per
+    // round); hashing the rank side streams the edge side untouched.
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_q"))
-      .stableCheckpoint()
     for (_ <- 1 to 5) {
-      val inc = edges
-        .join(ranks, col("src") === col("node"))
-        .join(outdeg, "src")
+      val inc = ew
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("rank_q div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("c"))
       ranks = nodes
-        .join(inc, col("node") === col("dst"), "left_outer")
+        .join(inc.hint("shuffle_hash"), col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_q"))
-        .stableCheckpoint()
     }
     ranks
       .select(
