@@ -47,13 +47,20 @@ object AnalyticsFifth {
     // the checkpoint, leaving every map-side partial aggregation of the
     // three propagation rounds on 2-3 tasks
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Lazy, no checkpoint (the pagerank r14 treatment): the checkpointed
+    // LogicalRDD reported UnknownPartitioning, so all four downstream
+    // references re-shuffled the full edge list (~5 GB each at ×1000,
+    // 1143 s total). Lazy + not-null hygiene keeps the references
+    // canonically equal, so AQE materializes the numbered p-repartition
+    // once and re-reads it; the p-keyed mode aggregates consume it
+    // co-partitioned with no further exchange.
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .filter(col("c").isNotNull && col("p").isNotNull)
       .distinct()
       .repartition(nPart, col("p"))
-      .stableCheckpoint()
 
     // mode(label) per key with deterministic smallest-label tiebreak
     def modeOf(df: DataFrame, key: String, label: String, out: String): DataFrame = {

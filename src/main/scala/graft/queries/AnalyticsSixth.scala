@@ -98,13 +98,18 @@ object AnalyticsSixth {
       .stableCheckpoint()
     // Scoring is the expensive join of the suite: |train| rows fan out
     // by up to 25 neighbors each. The truncated model (`pairs`,
-    // ≤25·|parts| rows — a few MB even at sf1) and the eval-user set
-    // (distinct customers) are both broadcast, so the big side never
-    // shuffles for either join: train is filtered to eval customers
-    // BEFORE the fan-out (identical model — non-eval customers were
-    // dropped post-aggregation anyway), then joined map-side against
-    // the broadcast model, and the (c, q) aggregation partial-aggregates
-    // map-side before the single keyed shuffle into the anti join.
+    // ≤25·|parts| rows) and the eval-user set (distinct customers) are
+    // both Θ(catalog)/Θ(|V|) relations, so they are NOT force-broadcast:
+    // a hard broadcast() here collected >1 GB to the driver and died on
+    // spark.driver.maxResultSize at the r14 ×1000 audit (20 M parts →
+    // a 500 M-row model). Left unhinted, AQE's runtime-size broadcast
+    // conversion gives the map-side plan wherever the model actually
+    // fits (sf0.1: all three convert to BHJ, same plan as before) and
+    // degrades to a partitioned join at depth instead of dying. train
+    // is still filtered to eval customers BEFORE the fan-out (identical
+    // model — non-eval customers were dropped post-aggregation anyway),
+    // and the (c, q) aggregation partial-aggregates map-side before the
+    // single keyed shuffle into the anti join.
     // localCheckpoint REPORTS UnknownPartitioning even though the blocks
     // are laid out by c (LogicalRDD drops the partitioning metadata), so
     // without help every op below reshuffles on its own keys: the
@@ -114,8 +119,8 @@ object AnalyticsSixth {
     // broadcast fan-out re-establishes a partitioning that satisfies ALL
     // of them (subset rule for the (c,q) aggregate and anti join;
     // exact for the window) — measured 3.4 → 2.1 s cold on this stage.
-    val scored = train.join(broadcast(evalUsers), "c")
-      .join(broadcast(pairs), "p")
+    val scored = train.join(evalUsers, "c")
+      .join(pairs, "p")
       .repartition(nPart, col("c"))
       .groupBy(col("c"), col("q")).agg(sum(col("w")).as("score"))
       .join(train.toDF("c", "q"), Seq("c", "q"), "left_anti")
@@ -123,7 +128,7 @@ object AnalyticsSixth {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("score").desc, col("q"))))
       .filter(col("rn") <= 10)
-    val hits = topk.join(broadcast(test.toDF("c", "q")), Seq("c", "q"))
+    val hits = topk.join(test.toDF("c", "q"), Seq("c", "q"))
       .select(col("c")).distinct()
     evalUsers.agg(count(lit(1)).as("n_users"))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))

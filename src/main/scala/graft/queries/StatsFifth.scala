@@ -329,17 +329,27 @@ object StatsFifth {
     * NOT a global window.
     */
   def hitsPowerIteration(spark: SparkSession, sfDir: String): DataFrame = {
+    // One lazy plan, no checkpoint: the checkpointed LogicalRDD reported
+    // UnknownPartitioning, so each of the three hub/authority passes
+    // re-SHUFFLED the billion-row edge list AND re-sorted it for its
+    // SortMergeJoin — the r14 ×1000 audit killed this shape with an
+    // execution-memory exhaustion (32 concurrent SMJ sorts + aggs).
+    // Lazy + explicit not-null filters (canonical-equality hygiene, see
+    // GraphQueries.pagerankBipartite) lets AQE materialize the distinct
+    // edge exchange once and re-read it per pass; shuffle_hash on the
+    // Θ(|V|) aggregate side streams the edge side with no sort at all.
     val edges = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .filter(col("c").isNotNull && col("p").isNotNull)
       .distinct()
-      .stableCheckpoint()
     val h1 = edges.groupBy(col("c")).agg(count(lit(1)).as("h1"))
-    val a1 = edges.join(h1, "c").groupBy(col("p")).agg(sum(col("h1")).as("a1"))
-    val h2 = edges.join(a1, "p").groupBy(col("c"))
+    val a1 = edges.join(h1.hint("shuffle_hash"), "c")
+      .groupBy(col("p")).agg(sum(col("h1")).as("a1"))
+    val h2 = edges.join(a1.hint("shuffle_hash"), "p").groupBy(col("c"))
       .agg(sum(expr("cast(a1 as decimal(19,0))")).as("h2"))
-    edges.join(h2, "c").groupBy(col("p"))
+    edges.join(h2.hint("shuffle_hash"), "c").groupBy(col("p"))
       .agg(sum(col("h2")).as("authority"))
       .orderBy(col("authority").desc, col("p"))
       .limit(20)

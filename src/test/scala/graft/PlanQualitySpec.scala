@@ -494,13 +494,35 @@ class PlanQualitySpec extends SparkTestBase {
     assert(rec.queryExecution.optimizedPlan
       .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
       "recommender windows must all be keyed")
-    // r8: the truncated item-item model and the eval-user set are
-    // broadcast into the scoring join — the big (train) side must not
-    // shuffle for either; only the post-aggregation (c,q) anti join
-    // exchanges. Pin ≥2 BroadcastHashJoins (model + eval users; the
-    // final scalar crossJoin broadcast is a third).
-    assert("BroadcastHashJoin".r.findAllIn(recP).size >= 2,
-      "scoring must broadcast the truncated model and eval users:\n" + recP)
+    // r14: the truncated item-item model and the eval-user set are
+    // Θ(catalog)/Θ(|V|) relations, so the scoring joins must NOT carry a
+    // forced broadcast (a hard broadcast() died on driver.maxResultSize
+    // at the ×1000 audit — 20 M parts → a 500 M-row model). The
+    // broadcast decision belongs to AQE's runtime-size conversion: pin
+    // (a) no user-hinted broadcast on those joins in the optimized plan,
+    // and (b) at gate scale AQE still CONVERTS them to BroadcastHashJoin
+    // in the final adaptive plan — the r8 map-side property, now
+    // runtime-adaptive instead of scale-unsafe.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    // (the final one-row scalar crossJoin broadcast is condition-less
+    // and bounded — only keyed joins are covered by the no-hint rule)
+    val forced = rec.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.condition.isDefined &&
+        (j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined)) => j
+    }
+    assert(forced.isEmpty,
+      "scoring joins must leave the broadcast decision to AQE (no forced hints)")
+    rec.write.format("noop").mode("overwrite").save()
+    val recFinal = rec.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan.toString
+      case p => p.toString
+    }
+    assert("BroadcastHashJoin".r.findAllIn(recFinal).size >= 2,
+      "at gate scale AQE must convert the model + eval-user joins to " +
+        "broadcast:\n" + recFinal)
     // LTV curve + weekday outliers: keyed windows only (cohort/weekday)
     Seq(
       "cohort_ltv_curve" ->
