@@ -36,6 +36,16 @@ object Bench {
     else builder0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The between-query unpersist below drops locally-checkpointed
+    // blocks ON PURPOSE (the query is finished; nothing will recompute
+    // them), but RDD.unpersist logs a per-RDD lineage WARN for each —
+    // under the serialized-checkpoint level the iterative family emits
+    // dozens per pass and they bury real warnings in the bench tail.
+    // Silence exactly that logger (concrete RDD class); everything else
+    // in org.apache.spark stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the session (codegen compiler, shuffle machinery, parquet
     // footer reader) so the first timed query isn't charged for JVM
     // startup costs.

@@ -28,19 +28,26 @@ object Checkpoints {
   val Flag = "spark.graft.reliableCheckpoint"
 
   /** Storage level for the `localCheckpoint` path (a
-    * `StorageLevel.fromString` name). Default MEMORY_AND_DISK_SER:
-    * checkpointed partitions are stored as compact serialized chunks
-    * (UnsafeRow bytes — serialization is a near-memcpy) that spill to
-    * disk per-chunk. The Spark default for `localCheckpoint` is the
-    * DESERIALIZED level, which materializes every partition as a Java
-    * object array before the disk fallback can kick in — ~56 B/row of
-    * object overhead plus N concurrent task unrolls of GB-scale
-    * partitions. The r14 ×1000 depth audit measured that exact failure:
-    * `pagerank_bipartite`'s 1.1 B-row edge checkpoint heap-OOMed a
-    * 96 GiB JVM mid-unroll under the deserialized default, and completes
-    * under MEMORY_AND_DISK_SER. At cluster scale the SER level is also
-    * what you want for a row-encoded lineage cut: block transfer and
-    * eviction move sealed byte chunks, never object graphs.
+    * `StorageLevel.fromString` name). Default MEMORY_AND_DISK — Spark's
+    * own localCheckpoint level: partitions stay as deserialized object
+    * arrays in memory with a per-partition disk fallback. That is the
+    * fast level whenever checkpointed partitions are ordinary-sized
+    * (gate/bench scale, or a real cluster where maxPartitionBytes keeps
+    * partitions ~100 MB): the r15 two-binary A/B measured the
+    * engine-wide SER default r14 shipped as a REAL ~9% whole-surface
+    * tax at sf0.1 (kcore ×1.24, bfs ×1.27, neighbor_degree ×1.22 — every
+    * stableCheckpoint user paid serialize+deserialize on blocks that fit
+    * in memory anyway; `ab_pair_drift_r15.json`).
+    *
+    * Set MEMORY_AND_DISK_SER when single checkpointed partitions reach
+    * GB scale — the r14 ×1000 depth audit measured the deserialized
+    * unroll heap-OOMing a 96 GiB JVM on `pagerank_bipartite`'s 1.1 B-row
+    * edge checkpoint, while SER (sealed UnsafeRow chunks, spill
+    * per-chunk) completes. The depth-audit tools pass
+    * `-Dspark.graft.localCheckpointLevel=MEMORY_AND_DISK_SER`; a 100 TB
+    * deployment whose iterative state per partition outgrows executor
+    * heaps should do the same (or flip [[Flag]] to reliable
+    * checkpointing, which serializes to DFS by construction).
     */
   val LevelFlag = "spark.graft.localCheckpointLevel"
 
@@ -62,7 +69,7 @@ object Checkpoints {
         df.checkpoint()
       } else {
         val level = StorageLevel.fromString(
-          spark.conf.getOption(LevelFlag).getOrElse("MEMORY_AND_DISK_SER"))
+          spark.conf.getOption(LevelFlag).getOrElse("MEMORY_AND_DISK"))
         df.localCheckpoint(true, level)
       }
     }

@@ -37,15 +37,20 @@ object AnalyticsFifth {
     *
     * Scale shape: each round is one keyed aggregation + one keyed
     * row_number window over |E| edge rows (WindowGroupLimit pushes the
-    * rank-1 filter map-side); the edge list is localCheckpointed once.
+    * rank-1 filter map-side); the edge list is ONE lazy plan — AQE
+    * materializes the numbered p-repartition once and every round's
+    * reference re-reads that exchange (no checkpoint: a checkpointed
+    * LogicalRDD reports UnknownPartitioning and forces a re-shuffle per
+    * reference — the r14 ×1000 finding).
     * The oracle unrolls the rounds as MATERIALIZED CTEs (DuckDB inlines
     * CTEs otherwise — the documented O(k^N) blowup).
     */
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
-    // NUMBERED repartition before the checkpoint: the distinct's
-    // AQE-coalesced 2-3 partition layout would otherwise be frozen by
-    // the checkpoint, leaving every map-side partial aggregation of the
-    // three propagation rounds on 2-3 tasks
+    // NUMBERED repartition: gives the shared edge exchange a reported
+    // p-hash partitioning at full width, so each round's map-side
+    // partial aggregation starts from nPart co-partitioned tasks (the
+    // distinct alone would AQE-coalesce to 2-3 partitions at gate scale
+    // and every round would inherit that width)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Lazy, no checkpoint (the pagerank r14 treatment): the checkpointed
     // LogicalRDD reported UnknownPartitioning, so all four downstream

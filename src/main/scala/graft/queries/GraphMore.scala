@@ -33,12 +33,14 @@ object GraphMore {
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    var edges = items.toDF("ok", "pa")
+    val pairs = items.toDF("ok", "pa")
       .join(items.toDF("ok", "pb"), "ok")
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb"))
       .distinct()
-      .stableCheckpoint()
+    if (graft.storage.Bucketing.iterationsEnabled(spark))
+      return kcoreBucketed(spark, pairs)
+    var edges = pairs.stableCheckpoint()
     def degrees(e: DataFrame): DataFrame =
       e.select(col("pa").as("u"))
         .unionAll(e.select(col("pb").as("u")))
@@ -57,6 +59,57 @@ object GraphMore {
         .stableCheckpoint()
     }
     degrees(edges)
+      .select(col("u").as("part_key"), col("deg"))
+      .orderBy(col("part_key"))
+  }
+
+  /** Depth-mode k-core (see [[graft.storage.Bucketing.IterationsFlag]]):
+    * the peel loop over a SYMMETRIC adjacency table bucketed by `u`, so
+    * every round's degree aggregate and u-side semi-join run with ZERO
+    * edge-scale exchange (the scan reports HashPartitioning), and the
+    * v-side filter costs nothing extra because the adjacency is
+    * symmetric: {(u,v)∈A : v alive} ≡ swap({(u,v)∈A : u alive}), so one
+    * streamed semi-join + a column swap + the bucketed re-write replaces
+    * the eager shape's three Θ(E) exchanges per round. Scratch is
+    * bounded: after round r's table lands, round r−1's is DROPPED —
+    * at most two (shrinking) adjacency generations on disk, no
+    * GC-retained shuffle files (the r14 ×1000 one-box killer). The
+    * `alive` node set is localCheckpointed (node-scale, never Θ(E)) so
+    * the deferred other-endpoint semi-join never needs a dropped table.
+    */
+  private def kcoreBucketed(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def tbl(r: Int) = s"graft_scratch_kcore_adj_$r"
+    val adj0 = pairs.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v")))
+    graft.storage.Bucketing.writeBucketed(adj0, tbl(0), "u", nB)
+    var adj = spark.table(tbl(0))
+    def degrees(a: DataFrame): DataFrame =
+      a.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val d0 = degrees(adj)
+    // the symmetric adjacency holds every edge twice, so node count and
+    // per-node degree match the eager path's pa∪pb union exactly
+    val n = d0.agg(count(lit(1)).as("n"))
+    val thr = kcoreThreshold(d0, n).stableCheckpoint()
+    for (r <- 1 to Rounds) {
+      val alive = degrees(adj)
+        .crossJoin(broadcast(thr))
+        .filter(col("deg") >= col("k_thr")).select(col("u"))
+        .stableCheckpoint() // node-scale; outlives the dropped table below
+      // {(u,v): u alive} streamed off the bucketed scan (SHJ builds on
+      // the small alive side — no edge exchange, no sort), then SWAPPED:
+      // by symmetry the result is {(u,v): v alive}, already keyed by the
+      // NEW u for the bucketed write (per-task bucket files, no shuffle)
+      val halfFiltered = adj
+        .join(alive.hint("shuffle_hash"), Seq("u"), "left_semi")
+        .select(col("v").as("u"), col("u").as("v"))
+      graft.storage.Bucketing.writeBucketed(halfFiltered, tbl(r), "u", nB)
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl(r - 1)}")
+      // the u-side filter of THIS round rides lazily on the next scan
+      adj = spark.table(tbl(r))
+        .join(alive.hint("shuffle_hash"), Seq("u"), "left_semi")
+    }
+    degrees(adj)
       .select(col("u").as("part_key"), col("deg"))
       .orderBy(col("part_key"))
   }
@@ -290,15 +343,35 @@ object GraphMore {
     */
   def bfsDistanceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, sfDir)
-    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+    val adjPlan = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
-      .stableCheckpoint() // probed once per BFS round
+    // Depth mode ([[graft.storage.Bucketing.IterationsFlag]]): the
+    // adjacency NEVER CHANGES across BFS rounds, so one bucketed write
+    // gives all four frontier probes a reported HashPartitioning(u) —
+    // each round exchanges only the node-scale frontier (SHJ builds on
+    // it) and the Θ(E) per-round re-shuffle of checkpoint blocks (the
+    // r14 one-box scratch killer: 46 GB) disappears entirely. Default
+    // path keeps the in-memory checkpoint (faster at gate/bench scale,
+    // no warehouse side effects).
+    val bucketed = graft.storage.Bucketing.iterationsEnabled(spark)
+    val adj =
+      if (bucketed) {
+        val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        graft.storage.Bucketing.writeBucketed(
+          adjPlan, "graft_scratch_bfs_adj", "u", nB)
+        spark.table("graft_scratch_bfs_adj")
+      } else adjPlan.stableCheckpoint() // probed once per BFS round
     val src = adj.agg(min(col("u")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     var visited = src.stableCheckpoint()
     var frontier = visited
     for (d <- 1 to 4) {
-      val next = frontier.join(adj, col("node") === col("u"))
+      // bucketed mode: force SHJ with the frontier as build side so the
+      // edge scan streams unsorted and unexchanged; default mode leaves
+      // the strategy to AQE (frontier is tiny at gate scale → broadcast)
+      val probe =
+        if (bucketed) frontier.hint("shuffle_hash") else frontier
+      val next = probe.join(adj, col("node") === col("u"))
         .select(col("v").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("dist"))

@@ -11,6 +11,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Boolean session conf switching the iterative graph operators
+    * (k-core peel, BFS frontier) from per-round `localCheckpoint` to
+    * per-round BUCKETED TABLE materialization. A checkpoint reports
+    * UnknownPartitioning, so every downstream keyed operation re-shuffles
+    * the full edge list each round — the r14 ×1000 depth audit measured
+    * that tax as the one-box killer (shuffle scratch retained until
+    * driver GC, > 55 GB at 1.1 B edges). A bucketed write gives the next
+    * round a REPORTED HashPartitioning(key, nBuckets) at the price of a
+    * local per-task bucket sort (no exchange), and the PREVIOUS round's
+    * table can be dropped deterministically — bounded scratch, the
+    * `BoundedScratch` property, without splitting the loop's lineage.
+    *
+    * Off by default: at gate/bench scale the in-memory checkpoint shape
+    * is faster than four disk round-trips, and the default path must not
+    * mutate warehouse state. Depth-audit tooling (and a 100 TB
+    * deployment) flips it with `-Dspark.graft.bucketedIterations=true`.
+    */
+  val IterationsFlag = "spark.graft.bucketedIterations"
+
+  def iterationsEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(IterationsFlag).exists(_.equalsIgnoreCase("true"))
+
   /** Persist `df` as a bucketed managed table (overwrite). Also clears a
     * LEFTOVER warehouse directory from a previous JVM: the in-memory
     * catalog forgets tables across sessions but their managed locations

@@ -1,0 +1,201 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-scratch K-pass runner for `copurchase_recall_at_k` at depth
+  * scales whose one-shot scoring exchange exceeds one box's disk (the
+  * r14 ×1000 audit: the un-broadcast scoring join shuffles the ~25×
+  * fan-out of |train| — several billion scored rows, > 55 GB scratch on
+  * this box; on a 1000-executor cluster the same exchange is ~GB per
+  * executor and just runs).
+  *
+  * The gated query keeps its optimal one-pass plan. This runner is the
+  * provisioning answer for a disk-bounded single node, exploiting that
+  * EVERY per-customer stage of the evaluation — scoring aggregation,
+  * train-basket anti join, top-10 window, hit test — is independent
+  * across customers: score customers in K hash-range passes
+  * (`pmod(c, K) = p`), each pass shuffling mass/K and releasing its
+  * shuffle files before the next starts. The item-item model is NOT
+  * per-customer, so it is built ONCE (capped baskets → pair counts →
+  * top-25 truncation, byte-identical semantics to
+  * [[graft.queries.AnalyticsSixth.copurchaseRecallAtK]]) and written to
+  * scratch parquet; every pass re-reads it as a table. Per-pass partials
+  * are two counters (eval users, hit users) — additive because each
+  * customer lands in exactly one pass.
+  *
+  * Usage: CopurchasePasses <sfDir> [outJson]
+  * Env: SPARK_GRAFT_PASSES (default 8), SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_CHECK=1 cross-checks the summed result against the
+  *      gated one-pass query (use at a scale where one-pass fits).
+  */
+object CopurchasePasses {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args.lift(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .appName("copurchase-passes").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleWrite = new AtomicLong(0L)
+    val spill = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+      }
+    })
+
+    val scratch = Files.createTempDirectory("graft-copurchase").toString
+    def availGb: Double = new java.io.File("/tmp").getUsableSpace / 1e9
+    def gcRelease(): Unit = { System.gc(); Thread.sleep(3000) }
+
+    val nPart = cpus.toInt
+
+    // ---- setup: train/test splits, hash-sliced by customer ------------
+    val t0 = System.nanoTime()
+    val orders = graft.Tables.orders(spark, sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    def split(parity: Int): DataFrame = orders
+      .filter(col("o_orderkey") % 2 === parity)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    // slice = pmod(c, K): deterministic, computable on both splits and
+    // in the gated query's domain; partitioned write so each pass scans
+    // only its own files
+    def writeSliced(df: DataFrame, name: String): Unit = df
+      .withColumn("slice", pmod(col("c"), lit(passes.toLong)))
+      .repartition(nPart, col("c"))
+      .write.mode("overwrite").partitionBy("slice")
+      .parquet(s"$scratch/$name")
+    writeSliced(split(0), "train")
+    writeSliced(split(1), "test")
+    val train = spark.read.parquet(s"$scratch/train")
+    val test = spark.read.parquet(s"$scratch/test")
+    val setupSec = (System.nanoTime() - t0) / 1e9
+
+    // ---- the item-item model, built once --------------------------------
+    val tm = System.nanoTime()
+    val basket = train.select(col("c"), col("p"))
+      .repartition(nPart, col("c"))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("p"))))
+      .filter(col("brn") <= 50)
+      .drop("brn")
+    basket.toDF("c", "p")
+      .join(basket.toDF("c", "q"), "c")
+      .filter(col("p") =!= col("q"))
+      .repartition(nPart, col("p"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("w"))
+      .withColumn("nrn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("w").desc, col("q"))))
+      .filter(col("nrn") <= 25)
+      .drop("nrn")
+      .write.mode("overwrite").parquet(s"$scratch/model")
+    gcRelease() // drop the pair-mass shuffle files before scoring starts
+    val modelSec = (System.nanoTime() - tm) / 1e9
+    val model = spark.read.parquet(s"$scratch/model")
+    println(f"[copurchase] setup $setupSec%.1f s, model $modelSec%.1f s, " +
+      f"avail $availGb%.1f GB")
+
+    // ---- K scoring passes over customer hash ranges ---------------------
+    case class PassStat(idx: Int, sec: Double, users: Long, hits: Long,
+      shuffleGb: Double, spillGb: Double, availAfterGb: Double)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[PassStat]
+    for (p <- 0 until passes) {
+      val sw0 = shuffleWrite.get(); val sp0 = spill.get()
+      val tp = System.nanoTime()
+      val trainP = spark.read.parquet(s"$scratch/train")
+        .filter(col("slice") === p).select(col("c"), col("p"))
+      val testP = spark.read.parquet(s"$scratch/test")
+        .filter(col("slice") === p).select(col("c"), col("p"))
+      val evalP = trainP.select(col("c")).distinct()
+        .join(testP.select(col("c")).distinct(), "c")
+      val scored = trainP.join(evalP, "c")
+        .join(model, "p")
+        .repartition(nPart, col("c"))
+        .groupBy(col("c"), col("q")).agg(sum(col("w")).as("score"))
+        .join(trainP.toDF("c", "q"), Seq("c", "q"), "left_anti")
+      val topk = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("score").desc, col("q"))))
+        .filter(col("rn") <= 10)
+      val hitsP = topk.join(testP.toDF("c", "q"), Seq("c", "q"))
+        .select(col("c")).distinct()
+      val row = evalP.agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(hitsP.agg(count(lit(1)).as("n_hit"))))
+        .collect()(0)
+      val sec = (System.nanoTime() - tp) / 1e9
+      gcRelease()
+      stats += PassStat(p, sec, row.getLong(0), row.getLong(1),
+        (shuffleWrite.get() - sw0) / 1e9, (spill.get() - sp0) / 1e9, availGb)
+      println(f"[copurchase] pass $p: ${sec}%.1f s, users ${row.getLong(0)}, " +
+        f"hits ${row.getLong(1)}, shuffle ${(shuffleWrite.get() - sw0) / 1e9}%.1f GB, " +
+        f"avail $availGb%.1f GB")
+    }
+    val nUsers = stats.map(_.users).sum
+    val nHit = stats.map(_.hits).sum
+    val recall = nHit.toDouble / nUsers.toDouble
+
+    // ---- cross-check vs the gated one-pass query -------------------------
+    val checked: Option[String] =
+      if (sys.env.contains("SPARK_GRAFT_CHECK")) {
+        val one = graft.queries.AnalyticsSixth
+          .copurchaseRecallAtK(spark, sfDir).collect()(0)
+        val same = one.getLong(0) == nUsers && one.getLong(1) == nHit
+        println(s"[copurchase] cross-check vs one-pass query: " +
+          s"(${one.getLong(0)}, ${one.getLong(1)}) vs ($nUsers, $nHit) → " +
+          (if (same) "IDENTICAL" else "DIFFERS"))
+        Some(if (same) "identical" else "DIFFERS")
+      } else None
+
+    val passJson = stats.map(s =>
+      f"""  {"pass":${s.idx},"sec":${s.sec}%.1f,"users":${s.users},"hits":${s.hits},""" +
+        f""""shuffle_gb":${s.shuffleGb}%.2f,"spill_gb":${s.spillGb}%.2f,""" +
+        f""""disk_avail_after_gb":${s.availAfterGb}%.1f}""")
+      .mkString(",\n")
+    val json =
+      f"""{${graft.Provenance.stamp("copurchase-passes")},
+         | "sf_dir": "$sfDir", "passes": $passes,
+         | "setup_sec": $setupSec%.1f, "model_sec": $modelSec%.1f,
+         | "n_users": $nUsers, "n_hit": $nHit, "recall_at_10": $recall,
+         | "total_shuffle_gb": ${shuffleWrite.get() / 1e9}%.2f,
+         | "total_spill_gb": ${spill.get() / 1e9}%.2f,
+         | "cross_check": ${checked.map("\"" + _ + "\"").getOrElse("null")},
+         | "pass_detail": [
+         |$passJson
+         | ]}
+         |""".stripMargin
+    outJson.foreach(p => Files.writeString(Paths.get(p), json))
+    println(json)
+
+    require(checked.forall(_ == "identical"),
+      "K-pass result differs from the one-pass gated query")
+    spark.stop()
+    // best-effort scratch cleanup
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(Paths.get(scratch))
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+}

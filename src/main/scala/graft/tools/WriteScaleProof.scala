@@ -103,7 +103,11 @@ object WriteScaleProof {
       n -> (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }.toMap
     verify.foreach { case (n, (total, seqSum, nShards)) =>
-      require(total == nRows && seqSum == nRows && nShards == n,
+      // nShards <= n, not == n: a shard that received zero records is
+      // legitimately absent from the groupBy (legal under skewed or
+      // small inputs); data integrity is carried by the total/seqSum
+      // equalities, not by every shard having traffic.
+      require(total == nRows && seqSum == nRows && nShards <= n,
         s"readback mismatch for $n shards: total=$total seqSum=$seqSum shards=$nShards expected rows=$nRows")
     }
 

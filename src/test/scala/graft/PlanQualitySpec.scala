@@ -504,7 +504,6 @@ class PlanQualitySpec extends SparkTestBase {
     // in the final adaptive plan — the r8 map-side property, now
     // runtime-adaptive instead of scale-unsafe.
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
-    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
     // (the final one-row scalar crossJoin broadcast is condition-less
     // and bounded — only keyed joins are covered by the no-hint rule)
     val forced = rec.queryExecution.optimizedPlan.collect {
@@ -514,7 +513,9 @@ class PlanQualitySpec extends SparkTestBase {
     }
     assert(forced.isEmpty,
       "scoring joins must leave the broadcast decision to AQE (no forced hints)")
-    rec.write.format("noop").mode("overwrite").save()
+    // finalPhysicalPlan alone drives AQE to the final plan — a noop
+    // pre-write here would run its own QueryExecution and then pay for
+    // every stage a second time (the ExplainQuery anti-pattern).
     val recFinal = rec.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.finalPhysicalPlan.toString
