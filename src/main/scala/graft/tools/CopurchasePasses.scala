@@ -93,29 +93,53 @@ object CopurchasePasses {
     val test = spark.read.parquet(s"$scratch/test")
     val setupSec = (System.nanoTime() - t0) / 1e9
 
-    // ---- the item-item model, built once --------------------------------
+    // ---- the item-item model, in M hash-range passes over p -------------
+    // The raw capped-pair exchange is itself Θ(2500·|C|) — at ×1000 it
+    // alone exceeds one box's disk (the first r15 attempt died writing
+    // it). Two levers make it bounded: (1) the capped basket is
+    // materialized ONCE as a bucketed+sorted-by-c table written
+    // co-partitioned (one file per bucket), so each model pass's
+    // self-join runs with ZERO exchange and ZERO sort; (2) pass m keeps
+    // only pairs with pmod(p, M) = m via a filter on the p-SIDE basket,
+    // which Catalyst pushes below the join — the p side shrinks ×M, so
+    // TOTAL pair generation stays ~one-pass while each pass's (p)-keyed
+    // exchange carries mass/M and is GC-released before the next.
+    // The top-25-per-p window is slice-local because p determines its
+    // slice. SPARK_GRAFT_MODEL_PASSES=1 (default) degenerates to the
+    // one-pass build.
+    val modelPasses = sys.env.getOrElse("SPARK_GRAFT_MODEL_PASSES", "1").toInt
     val tm = System.nanoTime()
-    val basket = train.select(col("c"), col("p"))
-      .repartition(nPart, col("c"))
-      .withColumn("brn", row_number().over(
-        Window.partitionBy(col("c")).orderBy(col("p"))))
-      .filter(col("brn") <= 50)
-      .drop("brn")
-    basket.toDF("c", "p")
-      .join(basket.toDF("c", "q"), "c")
-      .filter(col("p") =!= col("q"))
-      .repartition(nPart, col("p"))
-      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("w"))
-      .withColumn("nrn", row_number().over(
-        Window.partitionBy(col("p")).orderBy(col("w").desc, col("q"))))
-      .filter(col("nrn") <= 25)
-      .drop("nrn")
-      .write.mode("overwrite").parquet(s"$scratch/model")
-    gcRelease() // drop the pair-mass shuffle files before scoring starts
+    val basketTbl = "graft_scratch_cop_basket"
+    graft.storage.Bucketing.writeBucketed(
+      train.select(col("c"), col("p"))
+        .repartition(nPart, col("c"))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("p"))))
+        .filter(col("brn") <= 50)
+        .drop("brn")
+        .repartition(nPart, col("c")),
+      basketTbl, "c", nPart, sortCols = Seq("c"))
+    for (m <- 0 until modelPasses) {
+      val bp = spark.table(basketTbl)
+        .filter(pmod(col("p"), lit(modelPasses.toLong)) === m)
+      bp.join(spark.table(basketTbl).toDF("c", "q"), "c")
+        .filter(col("p") =!= col("q"))
+        .repartition(nPart, col("p"))
+        .groupBy(col("p"), col("q")).agg(count(lit(1)).as("w"))
+        .withColumn("nrn", row_number().over(
+          Window.partitionBy(col("p")).orderBy(col("w").desc, col("q"))))
+        .filter(col("nrn") <= 25)
+        .drop("nrn")
+        .write.mode(if (m == 0) "overwrite" else "append")
+        .parquet(s"$scratch/model")
+      gcRelease() // drop this pass's pair-mass shuffle files
+      println(f"[copurchase] model pass $m/${modelPasses}: avail $availGb%.1f GB")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $basketTbl")
     val modelSec = (System.nanoTime() - tm) / 1e9
     val model = spark.read.parquet(s"$scratch/model")
-    println(f"[copurchase] setup $setupSec%.1f s, model $modelSec%.1f s, " +
-      f"avail $availGb%.1f GB")
+    println(f"[copurchase] setup $setupSec%.1f s, model $modelSec%.1f s " +
+      f"($modelPasses passes), avail $availGb%.1f GB")
 
     // ---- K scoring passes over customer hash ranges ---------------------
     case class PassStat(idx: Int, sec: Double, users: Long, hits: Long,
