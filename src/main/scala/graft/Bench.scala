@@ -39,13 +39,28 @@ object Bench {
     // The between-query unpersist below drops locally-checkpointed
     // blocks ON PURPOSE (the query is finished; nothing will recompute
     // them), but RDD.unpersist logs a per-RDD lineage WARN for each —
-    // under the serialized-checkpoint level the iterative family emits
-    // dozens per pass and they bury real warnings in the bench tail.
-    // Silence exactly that logger (concrete RDD class); everything else
-    // in org.apache.spark stays at WARN.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // the iterative family emits dozens per pass and they bury real
+    // warnings in the bench tail. Silence exactly that MESSAGE with a
+    // DENY RegexFilter on the emitting class's logger — NOT a level
+    // change, which would also hide that class's real memory-pressure
+    // warnings during canonical runs (r15 advice). Everything else in
+    // org.apache.spark stays at WARN.
+    locally {
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      val lc = new LoggerConfig("org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.WARN, true)
+      lc.addFilter(RegexFilter.createFilter(
+        ".*was locally checkpointed, its lineage has been truncated.*",
+        null, java.lang.Boolean.FALSE, Result.DENY, Result.NEUTRAL))
+      ctx.getConfiguration
+        .addLogger("org.apache.spark.rdd.MapPartitionsRDD", lc)
+      ctx.updateLoggers()
+    }
     // Warm the session (codegen compiler, shuffle machinery, parquet
     // footer reader) so the first timed query isn't charged for JVM
     // startup costs.

@@ -28,26 +28,40 @@ object Checkpoints {
   val Flag = "spark.graft.reliableCheckpoint"
 
   /** Storage level for the `localCheckpoint` path (a
-    * `StorageLevel.fromString` name). Default MEMORY_AND_DISK — Spark's
-    * own localCheckpoint level: partitions stay as deserialized object
-    * arrays in memory with a per-partition disk fallback. That is the
-    * fast level whenever checkpointed partitions are ordinary-sized
-    * (gate/bench scale, or a real cluster where maxPartitionBytes keeps
-    * partitions ~100 MB): the r15 two-binary A/B measured the
-    * engine-wide SER default r14 shipped as a REAL ~9% whole-surface
-    * tax at sf0.1 (kcore ×1.24, bfs ×1.27, neighbor_degree ×1.22 — every
-    * stableCheckpoint user paid serialize+deserialize on blocks that fit
-    * in memory anyway; `ab_pair_drift_r15.json`).
+    * `StorageLevel.fromString` name). UNSET (the default) is AUTO:
+    * MEMORY_AND_DISK — Spark's own localCheckpoint level, partitions as
+    * deserialized object arrays with per-partition disk fallback —
+    * unless the checkpointed plan's leaf scan mass crosses
+    * [[Autoscale]]'s threshold, where it switches to
+    * MEMORY_AND_DISK_SER. Both halves are measured:
     *
-    * Set MEMORY_AND_DISK_SER when single checkpointed partitions reach
-    * GB scale — the r14 ×1000 depth audit measured the deserialized
-    * unroll heap-OOMing a 96 GiB JVM on `pagerank_bipartite`'s 1.1 B-row
-    * edge checkpoint, while SER (sealed UnsafeRow chunks, spill
-    * per-chunk) completes. The depth-audit tools pass
-    * `-Dspark.graft.localCheckpointLevel=MEMORY_AND_DISK_SER`; a 100 TB
-    * deployment whose iterative state per partition outgrows executor
-    * heaps should do the same (or flip [[Flag]] to reliable
-    * checkpointing, which serializes to DFS by construction).
+    *   - deserialized is the fast level whenever checkpointed partitions
+    *     are ordinary-sized (gate/bench scale, or a real cluster where
+    *     maxPartitionBytes keeps partitions ~100 MB): the r15 two-binary
+    *     A/B measured the engine-wide SER default r14 shipped as a REAL
+    *     ~9% whole-surface tax at sf0.1 (kcore ×1.24, bfs ×1.27,
+    *     neighbor_degree ×1.22 — every stableCheckpoint user paid
+    *     serialize+deserialize on blocks that fit in memory anyway;
+    *     `ab_pair_drift_r15.json`).
+    *   - SER is the level that COMPLETES when single checkpointed
+    *     partitions reach GB scale — the r14 ×1000 depth audit measured
+    *     the deserialized unroll heap-OOMing a 96 GiB JVM on
+    *     `pagerank_bipartite`'s 1.1 B-row edge checkpoint, while SER
+    *     (sealed UnsafeRow chunks, spill per-chunk) completes.
+    *
+    * The auto decision keys on the same leaf-scan signal as the bucketed
+    * iteration lever (metadata-only, monotone, excludes LogicalRDD
+    * leaves whose stats may be the conf-default Long.MaxValue). A
+    * checkpoint whose lineage roots in a PREVIOUS checkpoint therefore
+    * reads mass 0 and stays deserialized — correct for the loops'
+    * node-scale state (alive sets, ranks, frontiers), and the Θ(E)
+    * in-loop re-checkpoints that would be mis-leveled by it only exist
+    * in the eager iteration shape, which the bucketed-iterations auto
+    * lever replaces past the very same threshold.
+    * Setting the conf to an explicit level still forces it everywhere;
+    * a 100 TB deployment whose iterative state per partition outgrows
+    * executor heaps can also flip [[Flag]] to reliable checkpointing,
+    * which serializes to DFS by construction.
     */
   val LevelFlag = "spark.graft.localCheckpointLevel"
 
@@ -68,8 +82,12 @@ object Checkpoints {
             "(point it at job scratch storage, e.g. an HDFS/S3 path)")
         df.checkpoint()
       } else {
-        val level = StorageLevel.fromString(
-          spark.conf.getOption(LevelFlag).getOrElse("MEMORY_AND_DISK"))
+        val level = spark.conf.getOption(LevelFlag) match {
+          case Some(name) => StorageLevel.fromString(name)
+          case None =>
+            if (Autoscale.big(df)) StorageLevel.MEMORY_AND_DISK_SER
+            else StorageLevel.MEMORY_AND_DISK
+        }
         df.localCheckpoint(true, level)
       }
     }

@@ -53,14 +53,6 @@ object AnalyticsSixth {
     * only.
     */
   def copurchaseRecallAtK(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables.orders(spark, sfDir)
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-    def split(parity: Int): DataFrame = orders
-      .filter(col("o_orderkey") % 2 === parity)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
     // Fan-out parallelism: the two explosion stages (basket self-join →
     // ~25× rows; scoring join → ~25× rows) read SMALL inputs (few MB of
     // (c,p) keys), so AQE — which sizes post-shuffle partitions by input
@@ -71,21 +63,70 @@ object AnalyticsSixth {
     // parallelism; the extra 300k-row shuffle is noise next to the 30×
     // row blow-up it parallelizes.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val train = split(0).repartition(nPart, col("c")).stableCheckpoint()
-    val test = split(1).stableCheckpoint()
-    val basket = train.repartition(nPart, col("c"))
+    val train = copurchaseSplit(spark, sfDir, 0)
+      .repartition(nPart, col("c")).stableCheckpoint()
+    val test = copurchaseSplit(spark, sfDir, 1).stableCheckpoint()
+    val basket = copurchaseCappedBasket(train, nPart)
+    val pairs = copurchaseItemModel(
+      basket.toDF("c", "p"), basket.toDF("c", "q"), nPart)
+    val evalUsers = train.select(col("c")).distinct()
+      .join(test.select(col("c")).distinct(), "c")
+      .stableCheckpoint()
+    copurchaseRecallCounts(train, evalUsers, test, pairs, nPart)
+      .select(col("n_users"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_users").cast("double"))
+          .as("recall_at_10"))
+  }
+
+  // The model/evaluation builders below are the SINGLE definition of the
+  // co-purchase recommender's semantics, shared with the bounded-scratch
+  // K-pass depth runner ([[graft.tools.CopurchasePasses]]) so the two can
+  // never drift — the runner's ×100 cross-check against this query stays
+  // regenerable from one code path (the r5 "same edge set" factoring
+  // pattern). Each builder is plan-verbatim what the gated query inlined
+  // through r15; extracting them changes no plan.
+
+  /** (c, p) distinct purchase pairs for the given order-key parity —
+    * even orders train the model, odd orders are the held-out test.
+    */
+  private[graft] def copurchaseSplit(spark: SparkSession, sfDir: String,
+      parity: Int): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === parity)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+  }
+
+  /** Train baskets capped at each customer's 50 smallest part keys (a
+    * keyed row_number that plans as WindowGroupLimit) — the lever that
+    * bounds pair generation at Σ_c min(deg_c, 50)², linear in customers.
+    */
+  private[graft] def copurchaseCappedBasket(train: DataFrame,
+      nPart: Int): DataFrame =
+    train.repartition(nPart, col("c"))
       .withColumn("brn", row_number().over(
         Window.partitionBy(col("c")).orderBy(col("p"))))
       .filter(col("brn") <= 50)
       .drop("brn")
-    // One numbered repartition on p carries BOTH the (p,q) count and the
-    // top-25-per-p window: HashPartitioning(p) satisfies the aggregate's
-    // ClusteredDistribution(p,q) (subset rule) and the window's
-    // PARTITION BY p, so the ~6M-row pair mass crosses the wire once
-    // instead of twice (groupBy's (p,q) exchange + the window's p
-    // exchange) — measured 5.8 → 2.4 s cold on this stage alone.
-    val pairs = basket.toDF("c", "p")
-      .join(basket.toDF("c", "q"), "c")
+
+  /** Top-25-per-part item-item co-purchase weights from a (c, p) basket
+    * joined against a (c, q) basket (the K-pass runner feeds a
+    * hash-filtered p side; the gated query feeds the same basket twice).
+    * One numbered repartition on p carries BOTH the (p,q) count and the
+    * top-25-per-p window: HashPartitioning(p) satisfies the aggregate's
+    * ClusteredDistribution(p,q) (subset rule) and the window's
+    * PARTITION BY p, so the ~6M-row pair mass crosses the wire once
+    * instead of twice (groupBy's (p,q) exchange + the window's p
+    * exchange) — measured 5.8 → 2.4 s cold on this stage alone.
+    */
+  private[graft] def copurchaseItemModel(basketP: DataFrame,
+      basketQ: DataFrame, nPart: Int): DataFrame =
+    basketP
+      .join(basketQ, "c")
       .filter(col("p") =!= col("q"))
       .repartition(nPart, col("p"))
       .groupBy(col("p"), col("q")).agg(count(lit(1)).as("w"))
@@ -93,34 +134,40 @@ object AnalyticsSixth {
         Window.partitionBy(col("p")).orderBy(col("w").desc, col("q"))))
       .filter(col("nrn") <= 25)
       .drop("nrn")
-    val evalUsers = train.select(col("c")).distinct()
-      .join(test.select(col("c")).distinct(), "c")
-      .stableCheckpoint()
-    // Scoring is the expensive join of the suite: |train| rows fan out
-    // by up to 25 neighbors each. The truncated model (`pairs`,
-    // ≤25·|parts| rows) and the eval-user set (distinct customers) are
-    // both Θ(catalog)/Θ(|V|) relations, so they are NOT force-broadcast:
-    // a hard broadcast() here collected >1 GB to the driver and died on
-    // spark.driver.maxResultSize at the r14 ×1000 audit (20 M parts →
-    // a 500 M-row model). Left unhinted, AQE's runtime-size broadcast
-    // conversion gives the map-side plan wherever the model actually
-    // fits (sf0.1: all three convert to BHJ, same plan as before) and
-    // degrades to a partitioned join at depth instead of dying. train
-    // is still filtered to eval customers BEFORE the fan-out (identical
-    // model — non-eval customers were dropped post-aggregation anyway),
-    // and the (c, q) aggregation partial-aggregates map-side before the
-    // single keyed shuffle into the anti join.
-    // localCheckpoint REPORTS UnknownPartitioning even though the blocks
-    // are laid out by c (LogicalRDD drops the partitioning metadata), so
-    // without help every op below reshuffles on its own keys: the
-    // (c,q)-exchange of the aggregate, a (c,q)-exchange of train for the
-    // anti join, and a c-exchange for the top-10 window — three crossings
-    // of the scored mass. One numbered repartition on c after the
-    // broadcast fan-out re-establishes a partitioning that satisfies ALL
-    // of them (subset rule for the (c,q) aggregate and anti join;
-    // exact for the window) — measured 3.4 → 2.1 s cold on this stage.
+
+  /** Score eval customers against the truncated model and count top-10
+    * hits — one row (n_users, n_hit). Per-customer end to end, which is
+    * what makes the K-pass runner's hash-range partials additive.
+    *
+    * Scoring is the expensive join of the suite: |train| rows fan out
+    * by up to 25 neighbors each. The truncated model (`model`,
+    * ≤25·|parts| rows) and the eval-user set (distinct customers) are
+    * both Θ(catalog)/Θ(|V|) relations, so they are NOT force-broadcast:
+    * a hard broadcast() here collected >1 GB to the driver and died on
+    * spark.driver.maxResultSize at the r14 ×1000 audit (20 M parts →
+    * a 500 M-row model). Left unhinted, AQE's runtime-size broadcast
+    * conversion gives the map-side plan wherever the model actually
+    * fits (sf0.1: all three convert to BHJ, same plan as before) and
+    * degrades to a partitioned join at depth instead of dying. train
+    * is still filtered to eval customers BEFORE the fan-out (identical
+    * model — non-eval customers were dropped post-aggregation anyway),
+    * and the (c, q) aggregation partial-aggregates map-side before the
+    * single keyed shuffle into the anti join.
+    * localCheckpoint REPORTS UnknownPartitioning even though the blocks
+    * are laid out by c (LogicalRDD drops the partitioning metadata), so
+    * without help every op below reshuffles on its own keys: the
+    * (c,q)-exchange of the aggregate, a (c,q)-exchange of train for the
+    * anti join, and a c-exchange for the top-10 window — three crossings
+    * of the scored mass. One numbered repartition on c after the
+    * broadcast fan-out re-establishes a partitioning that satisfies ALL
+    * of them (subset rule for the (c,q) aggregate and anti join;
+    * exact for the window) — measured 3.4 → 2.1 s cold on this stage.
+    */
+  private[graft] def copurchaseRecallCounts(train: DataFrame,
+      evalUsers: DataFrame, test: DataFrame, model: DataFrame,
+      nPart: Int): DataFrame = {
     val scored = train.join(evalUsers, "c")
-      .join(pairs, "p")
+      .join(model, "p")
       .repartition(nPart, col("c"))
       .groupBy(col("c"), col("q")).agg(sum(col("w")).as("score"))
       .join(train.toDF("c", "q"), Seq("c", "q"), "left_anti")
@@ -132,9 +179,6 @@ object AnalyticsSixth {
       .select(col("c")).distinct()
     evalUsers.agg(count(lit(1)).as("n_users"))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
-      .select(col("n_users"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_users").cast("double"))
-          .as("recall_at_10"))
   }
 
   val copurchaseRecallAtKSql: String =

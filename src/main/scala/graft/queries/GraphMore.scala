@@ -38,7 +38,9 @@ object GraphMore {
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb"))
       .distinct()
-    if (graft.storage.Bucketing.iterationsEnabled(spark))
+    // depth-mode decision (explicit flag, else auto by leaf-scan mass —
+    // `items` roots in the lineitem files, the honest size signal)
+    if (graft.storage.Bucketing.iterationsEnabled(spark, items))
       return kcoreBucketed(spark, pairs)
     var edges = pairs.stableCheckpoint()
     def degrees(e: DataFrame): DataFrame =
@@ -76,6 +78,12 @@ object GraphMore {
     * GC-retained shuffle files (the r14 ×1000 one-box killer). The
     * `alive` node set is localCheckpointed (node-scale, never Θ(E)) so
     * the deferred other-endpoint semi-join never needs a dropped table.
+    * The FINAL generation (`graft_scratch_kcore_adj_3`) necessarily
+    * outlives this function — the returned DataFrame lazily scans it —
+    * so depth callers drop `graft_scratch_*` AFTER materializing
+    * ([[graft.storage.Bucketing.dropScratch]], wired into
+    * ProfileStages); an abandoned leftover is swept by the next run's
+    * `writeBucketed`.
     */
   private def kcoreBucketed(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -353,7 +361,7 @@ object GraphMore {
     // r14 one-box scratch killer: 46 GB) disappears entirely. Default
     // path keeps the in-memory checkpoint (faster at gate/bench scale,
     // no warehouse side effects).
-    val bucketed = graft.storage.Bucketing.iterationsEnabled(spark)
+    val bucketed = graft.storage.Bucketing.iterationsEnabled(spark, edges)
     val adj =
       if (bucketed) {
         val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Boolean session conf switching the iterative graph operators
+  /** Tri-state session conf switching the iterative graph operators
     * (k-core peel, BFS frontier) from per-round `localCheckpoint` to
     * per-round BUCKETED TABLE materialization. A checkpoint reports
     * UnknownPartitioning, so every downstream keyed operation re-shuffles
@@ -23,15 +23,39 @@ object Bucketing {
     * table can be dropped deterministically — bounded scratch, the
     * `BoundedScratch` property, without splitting the loop's lineage.
     *
-    * Off by default: at gate/bench scale the in-memory checkpoint shape
-    * is faster than four disk round-trips, and the default path must not
-    * mutate warehouse state. Depth-audit tooling (and a 100 TB
-    * deployment) flips it with `-Dspark.graft.bucketedIterations=true`.
+    * UNSET (the default) is AUTO: the operator enables the bucketed
+    * shape when its leaf input scan crosses [[graft.Autoscale]]'s
+    * threshold (default 8 GiB — above the measured ×100 crossover where
+    * eager still wins, below the ×1000 mass where eager DNFs one box),
+    * so a ×1000 depth run completes with NO per-run conf while gate /
+    * bench / ×100 plans are byte-identical to the flag-off shape.
+    * "true"/"false" force the mode either way (the spec's result-identity
+    * A/B and a 100 TB deployment that wants the bucketed shape below the
+    * threshold both use the explicit settings).
     */
   val IterationsFlag = "spark.graft.bucketedIterations"
 
-  def iterationsEnabled(spark: SparkSession): Boolean =
-    spark.conf.getOption(IterationsFlag).exists(_.equalsIgnoreCase("true"))
+  /** Depth-mode decision for an iterative operator whose source scan is
+    * `input` (the operator's own input plan — its file leaves carry the
+    * size signal). Explicit flag wins; unset defers to [[graft.Autoscale]].
+    */
+  def iterationsEnabled(spark: SparkSession, input: DataFrame): Boolean =
+    spark.conf.getOption(IterationsFlag) match {
+      case Some(v) => v.equalsIgnoreCase("true")
+      case None => graft.Autoscale.big(input)
+    }
+
+  /** Drop every `graft_scratch_*` table. The depth-mode iterative ops
+    * necessarily leave their FINAL adjacency generation behind — the
+    * returned DataFrame lazily scans it, so the drop must follow the
+    * caller's action (ProfileStages does this after each query's
+    * materialization; `writeBucketed` additionally sweeps leftovers on
+    * the next run so an aborted run never wedges the warehouse).
+    */
+  def dropScratch(spark: SparkSession): Unit =
+    spark.sessionState.catalog.listTables("default")
+      .map(_.table).filter(_.startsWith("graft_scratch_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   /** Persist `df` as a bucketed managed table (overwrite). Also clears a
     * LEFTOVER warehouse directory from a previous JVM: the in-memory

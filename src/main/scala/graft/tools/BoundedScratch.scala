@@ -55,6 +55,12 @@ object BoundedScratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // r15 depth finding: a 96 GiB driver heap may never GC across a
+      // multi-pass run, so ContextCleaner never drops finished passes'
+      // shuffle files and the disk fills to death. Default the periodic
+      // GC here (a -D on the command line still overrides).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.props.getOrElse("spark.cleaner.periodicGC.interval", "60s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -68,8 +74,10 @@ object BoundedScratch {
     })
 
     val scratch = Files.createTempDirectory("graft-bounded").toString
+    // disk telemetry reads the SCRATCH path's filesystem (java.io.tmpdir
+    // may be redirected off /tmp for big-disk runs — r15 advice)
     def availGb: Double =
-      new java.io.File("/tmp").getUsableSpace / 1e9
+      new java.io.File(scratch).getUsableSpace / 1e9
 
     // pre-split the filtered corpus ONCE: 32 parquet files = 32 scan
     // tasks per pass, no per-pass repartition shuffle of the text

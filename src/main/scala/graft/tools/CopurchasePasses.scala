@@ -5,7 +5,6 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bounded-scratch K-pass runner for `copurchase_recall_at_k` at depth
@@ -49,6 +48,12 @@ object CopurchasePasses {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // r15 depth finding: a 96 GiB driver heap may never GC across a
+      // multi-pass run, so ContextCleaner never drops finished passes'
+      // shuffle files and the disk fills to death. Default the periodic
+      // GC here (a -D on the command line still overrides).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.props.getOrElse("spark.cleaner.periodicGC.interval", "60s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -63,22 +68,21 @@ object CopurchasePasses {
     })
 
     val scratch = Files.createTempDirectory("graft-copurchase").toString
-    def availGb: Double = new java.io.File("/tmp").getUsableSpace / 1e9
+    // disk telemetry reads the SCRATCH path's filesystem (java.io.tmpdir
+    // may be redirected off /tmp for big-disk runs — r15 advice)
+    def availGb: Double = new java.io.File(scratch).getUsableSpace / 1e9
     def gcRelease(): Unit = { System.gc(); Thread.sleep(3000) }
 
     val nPart = cpus.toInt
 
     // ---- setup: train/test splits, hash-sliced by customer ------------
+    // The splits, the capped basket, the item-item model, and the
+    // per-slice scoring below all come from graft.queries.AnalyticsSixth's
+    // shared builders — ONE definition of the recommender, so this
+    // runner can never drift from the gated query it cross-checks against.
     val t0 = System.nanoTime()
-    val orders = graft.Tables.orders(spark, sfDir)
-    val li = graft.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    def split(parity: Int): DataFrame = orders
-      .filter(col("o_orderkey") % 2 === parity)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
+    def split(parity: Int): DataFrame =
+      graft.queries.AnalyticsSixth.copurchaseSplit(spark, sfDir, parity)
     // slice = pmod(c, K): deterministic, computable on both splits and
     // in the gated query's domain; partitioned write so each pass scans
     // only its own files
@@ -111,25 +115,15 @@ object CopurchasePasses {
     val tm = System.nanoTime()
     val basketTbl = "graft_scratch_cop_basket"
     graft.storage.Bucketing.writeBucketed(
-      train.select(col("c"), col("p"))
-        .repartition(nPart, col("c"))
-        .withColumn("brn", row_number().over(
-          Window.partitionBy(col("c")).orderBy(col("p"))))
-        .filter(col("brn") <= 50)
-        .drop("brn")
+      graft.queries.AnalyticsSixth
+        .copurchaseCappedBasket(train.select(col("c"), col("p")), nPart)
         .repartition(nPart, col("c")),
       basketTbl, "c", nPart, sortCols = Seq("c"))
     for (m <- 0 until modelPasses) {
       val bp = spark.table(basketTbl)
         .filter(pmod(col("p"), lit(modelPasses.toLong)) === m)
-      bp.join(spark.table(basketTbl).toDF("c", "q"), "c")
-        .filter(col("p") =!= col("q"))
-        .repartition(nPart, col("p"))
-        .groupBy(col("p"), col("q")).agg(count(lit(1)).as("w"))
-        .withColumn("nrn", row_number().over(
-          Window.partitionBy(col("p")).orderBy(col("w").desc, col("q"))))
-        .filter(col("nrn") <= 25)
-        .drop("nrn")
+      graft.queries.AnalyticsSixth
+        .copurchaseItemModel(bp, spark.table(basketTbl).toDF("c", "q"), nPart)
         .write.mode(if (m == 0) "overwrite" else "append")
         .parquet(s"$scratch/model")
       gcRelease() // drop this pass's pair-mass shuffle files
@@ -154,19 +148,8 @@ object CopurchasePasses {
         .filter(col("slice") === p).select(col("c"), col("p"))
       val evalP = trainP.select(col("c")).distinct()
         .join(testP.select(col("c")).distinct(), "c")
-      val scored = trainP.join(evalP, "c")
-        .join(model, "p")
-        .repartition(nPart, col("c"))
-        .groupBy(col("c"), col("q")).agg(sum(col("w")).as("score"))
-        .join(trainP.toDF("c", "q"), Seq("c", "q"), "left_anti")
-      val topk = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("c")).orderBy(col("score").desc, col("q"))))
-        .filter(col("rn") <= 10)
-      val hitsP = topk.join(testP.toDF("c", "q"), Seq("c", "q"))
-        .select(col("c")).distinct()
-      val row = evalP.agg(count(lit(1)).as("n_users"))
-        .crossJoin(broadcast(hitsP.agg(count(lit(1)).as("n_hit"))))
+      val row = graft.queries.AnalyticsSixth
+        .copurchaseRecallCounts(trainP, evalP, testP, model, nPart)
         .collect()(0)
       val sec = (System.nanoTime() - tp) / 1e9
       gcRelease()
@@ -212,14 +195,18 @@ object CopurchasePasses {
     outJson.foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
 
-    require(checked.forall(_ == "identical"),
+    // cleanup runs even when the cross-check require throws (r15 advice:
+    // a failing require used to strand the multi-GB scratch dir)
+    try require(checked.forall(_ == "identical"),
       "K-pass result differs from the one-pass gated query")
-    spark.stop()
-    // best-effort scratch cleanup
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(Paths.get(scratch))
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(p => Files.deleteIfExists(p))
-    finally walk.close()
+    finally {
+      spark.stop()
+      // best-effort scratch cleanup
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(scratch))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }

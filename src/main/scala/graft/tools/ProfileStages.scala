@@ -62,6 +62,12 @@ object ProfileStages {
       // across a full-surface sweep and stage timings measure Janino
       // recompilation, not plan cost
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // r15 depth finding: a 96 GiB driver heap may never GC across a
+      // ×1000 single-query run, so ContextCleaner never drops finished
+      // stages' shuffle files and the disk fills to death. Default the
+      // periodic GC here (a -D on the command line still overrides).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.props.getOrElse("spark.cleaner.periodicGC.interval", "60s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -132,6 +138,11 @@ object ProfileStages {
           }
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // the depth-mode iterative ops leave their FINAL scratch
+          // generation behind (the returned plan scans it lazily, so the
+          // drop must follow the action above) — ~10 GB per ×1000 query
+          // if left to the next run's leftover sweep (r15 advice)
+          graft.storage.Bucketing.dropScratch(spark)
       }
     }
 
