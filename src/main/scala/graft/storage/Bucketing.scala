@@ -79,6 +79,12 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
+      // scratch is write-once/read-once and DISK-bound at depth scale
+      // (×1000 adjacency generations: 16 GB snappy vs ~10 GB zstd, on a
+      // box that dies at ~50 GB scratch) — bake the codec in so depth
+      // runs need no per-run conf; a session-level codec conf does not
+      // reach here because this option pins it per-write
+      .option("compression", "zstd")
       .bucketBy(buckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
