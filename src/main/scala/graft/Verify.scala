@@ -30,6 +30,12 @@ object Verify {
       // see Bench: the default 100-entry codegen cache thrashes across a
       // 286-query run; harmless for correctness, big for gate wall-clock
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // depth safety (r15 finding): a big driver heap may never GC, so
+      // ContextCleaner never releases finished queries' shuffle files and
+      // a ×1000 Verify run fills the disk to death. Gate-scale cost is a
+      // few no-op GCs across a 4-minute run; a -D still overrides.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.props.getOrElse("spark.cleaner.periodicGC.interval", "60s"))
       // SPARK_GRAFT_ANSI: the r12 overflow sweep knob. Spark 4's DEFAULT
       // is ansi=true (loud casts), and the canonical gate keeps that
       // default — the conf is only set when the env var is present.
