@@ -11,7 +11,16 @@ import org.apache.spark.storage.StorageLevel
   * below it — so gate/bench plans are unchanged while a ×1000 depth run
   * completes conf-free. Explicit flags must still force either way.
   */
-class AutoDepthSpec extends SparkTestBase {
+class AutoDepthSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the depth-mode runs necessarily leave their final scratch generation
+  // behind (the returned plan scans it); sweep it so the test warehouse
+  // stays clean — and the sweep itself exercises dropScratch
+  override def afterAll(): Unit = {
+    Bucketing.dropScratch(spark)
+    super.afterAll()
+  }
 
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -10,7 +10,16 @@ import graft.queries.GraphMore
   * must be RESULT-IDENTICAL to the default checkpoint shape, and the
   * bucketed degree aggregate must actually run exchange-free.
   */
-class BucketedIterationsSpec extends SparkTestBase {
+class BucketedIterationsSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the depth-mode runs necessarily leave their final scratch generation
+  // behind (the returned plan scans it); sweep it so the test warehouse
+  // stays clean
+  override def afterAll(): Unit = {
+    Bucketing.dropScratch(spark)
+    super.afterAll()
+  }
 
   private def withFlag[A](on: Boolean)(body: => A): A = {
     spark.conf.set(Bucketing.IterationsFlag, on.toString)
