@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Size-conditional selection of the DEPTH levers (bucketed iterative
   * scratch, serialized checkpoint blocks) so one binary runs the right
@@ -19,11 +21,22 @@ import org.apache.spark.sql.execution.LogicalRDD
   * The size signal is the LEAF SCAN mass of the operator's input plan:
   * the sum of `stats.sizeInBytes` over file-backed leaves — pure catalog
   * metadata (parquet footer/file sizes), no job, no sampling, monotone
-  * in the data scale, and available before the first action. Leaves that
-  * are `LogicalRDD` (a previous in-loop checkpoint) are EXCLUDED: their
-  * stats may be the conf default (`Long.MaxValue`) rather than a real
-  * measurement, and a loop's post-round-1 plans must not flip levers the
-  * round-0 decision (which saw the true file leaves) declined.
+  * in the data scale, and available before the first action. Two leaf
+  * classes are EXCLUDED:
+  *
+  *   - `LogicalRDD` (a previous in-loop checkpoint): its stats may be
+  *     the conf default (`Long.MaxValue`) rather than a real
+  *     measurement, and a loop's post-round-1 plans must not flip
+  *     levers the round-0 decision (which saw the true file leaves)
+  *     declined.
+  *   - `graft_scratch_*` catalog tables (the bucketed depth mode's own
+  *     adjacency generations): a plan rooting in depth scratch is the
+  *     loop's NODE-SCALE state (alive sets, frontiers, thresholds)
+  *     scanning the edge-scale table — counting the table's Θ(E) file
+  *     mass would silently flip those node-scale checkpoints to the
+  *     serialized level past the threshold, contradicting the
+  *     documented design (r16 advice). The Θ(E) objects in depth mode
+  *     are the bucketed tables themselves, never checkpoint blocks.
   *
   * Default threshold 8 GiB: ≥4× above the measured ×100 crossover mass
   * (1.4 GB zstd lineitem — eager/deserialized still faster there) and
@@ -32,6 +45,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   * bridge that decade. Override per session with
   * `spark.graft.depthAutoThresholdBytes`; the explicit lever flags still
   * force either way.
+  *
+  * Every lever decision is RECORDED (and the first occurrence of each
+  * distinct decision printed as one structured `[autoscale]` line) so a
+  * depth-run artifact shows WHICH shape ran without re-deriving it from
+  * wall times (r16 punch item 5): see [[record]]/[[decisionsJson]].
   */
 object Autoscale {
 
@@ -43,19 +61,113 @@ object Autoscale {
   val DefaultThresholdBytes: Long = 8L << 30 // 8 GiB
 
   def thresholdBytes(spark: SparkSession): Long =
-    spark.conf.getOption(ThresholdFlag).map(_.toLong)
-      .getOrElse(DefaultThresholdBytes)
+    spark.conf.getOption(ThresholdFlag).map { v =>
+      // a human-style "8g" (or a typo) must fail with the conf key and
+      // expected format, not a bare NumberFormatException from deep
+      // inside query construction (r16 advice)
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$ThresholdFlag must be a plain byte count as a long " +
+            s"(e.g. 8589934592 for 8 GiB); got '$v'")
+      }
+    }.getOrElse(DefaultThresholdBytes)
 
-  /** Σ `stats.sizeInBytes` over the plan's non-LogicalRDD leaves —
-    * file-relation stats are the actual on-disk file sizes (catalog
-    * metadata, no job).
+  private def isDepthScratch(p: LogicalPlan): Boolean = p match {
+    case lr: LogicalRelation =>
+      lr.catalogTable.exists(_.identifier.table.startsWith("graft_scratch_"))
+    case _ => false
+  }
+
+  /** Σ `stats.sizeInBytes` over the plan's file leaves — file-relation
+    * stats are the actual on-disk file sizes (catalog metadata, no job).
+    * `LogicalRDD` (prior checkpoints) and `graft_scratch_*` tables (the
+    * depth mode's own scratch) are excluded — see the object doc.
     */
   def leafScanBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.collectLeaves()
       .filterNot(_.isInstanceOf[LogicalRDD])
+      .filterNot(isDepthScratch)
       .map(_.stats.sizeInBytes).sum
 
   /** True when `df`'s source scan mass crosses the depth threshold. */
   def big(df: DataFrame): Boolean =
     leafScanBytes(df) >= BigInt(thresholdBytes(df.sparkSession))
+
+  // ------------------------------------------------------ decision log
+
+  /** One lever decision: which operator asked, what the size signal and
+    * threshold were, what was chosen, and whether an explicit conf
+    * forced it or the auto rule decided.
+    */
+  final case class Decision(op: String, lever: String, leafBytes: BigInt,
+      thresholdBytes: Long, chosen: String, mode: String) {
+    def json: String =
+      s"""{"op":"$op","lever":"$lever","leaf_bytes":$leafBytes,""" +
+        s""""threshold_bytes":$thresholdBytes,"chosen":"$chosen",""" +
+        s""""mode":"$mode"}"""
+  }
+
+  private val decisionLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[Decision]
+  private val printedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Record a lever decision; the FIRST occurrence of each distinct
+    * (op, lever, chosen, mode) prints one `[autoscale]` line (iterative
+    * loops re-decide per round/checkpoint — thousands of identical lines
+    * would bury the signal the line exists to carry).
+    */
+  def record(op: String, lever: String, leafBytes: BigInt,
+      thresholdBytes: Long, chosen: String, mode: String): Unit = {
+    val d = Decision(op, lever, leafBytes, thresholdBytes, chosen, mode)
+    decisionLog.add(d)
+    if (printedKeys.add(s"$op|$lever|$chosen|$mode"))
+      println("[autoscale] " + d.json)
+  }
+
+  /** All decisions recorded in this JVM, in order. */
+  def decisions: Seq[Decision] = {
+    import scala.jdk.CollectionConverters._
+    decisionLog.iterator().asScala.toSeq
+  }
+
+  /** The distinct decisions (first occurrence order) as a JSON array —
+    * what the depth tools embed in their artifacts.
+    */
+  def decisionsJson: String =
+    decisions.map(d => (s"${d.op}|${d.lever}|${d.chosen}|${d.mode}", d))
+      .foldLeft(Vector.empty[(String, Decision)]) { (acc, kv) =>
+        if (acc.exists(_._1 == kv._1)) acc else acc :+ kv
+      }
+      .map(_._2.json).mkString("[", ",", "]")
+
+  def clearDecisions(): Unit = {
+    decisionLog.clear()
+    printedKeys.clear()
+  }
+
+  /** Operator label for a decision: the nearest `graft.*` frame on the
+    * stack that is not the lever machinery itself — e.g.
+    * `GraphMore.kcoreParts`. Zero API churn at the ~40 stableCheckpoint
+    * call sites, deterministic, and only computed when a decision is
+    * actually being recorded (never per-row).
+    */
+  def callerOp: String = {
+    val own = Set("graft.Autoscale", "graft.Checkpoints", "graft.Tables",
+      "graft.storage.Bucketing")
+    Thread.currentThread().getStackTrace.iterator
+      .map(f => (f.getClassName.takeWhile(_ != '$'), f.getMethodName))
+      .find { case (cls, _) =>
+        cls.startsWith("graft.") && !own.contains(cls)
+      }
+      .map { case (cls, m0) =>
+        // a checkpoint inside a loop body is a lambda frame whose method
+        // is `$anonfun$<enclosing>$N` — report the enclosing method
+        val m = if (m0.startsWith("$anonfun$"))
+          m0.stripPrefix("$anonfun$").takeWhile(_ != '$') else m0
+        s"${cls.substring(cls.lastIndexOf('.') + 1)}.$m"
+      }
+      .getOrElse("unknown")
+  }
 }

@@ -178,12 +178,23 @@ object Bench {
       // still writes the snapshot (r12 advice).
       val canonicalMaster = master == s"local[$cpus]"
       if (only.isEmpty && canonicalSf && canonicalMaster) {
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("bench_queries_full.json"), line)
-        // the parsed one-line summary as a file, so downstream consumers
-        // don't have to scrape it out of an sbt-prefixed stdout tail
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("bench_summary.json"), summary)
+        // ATOMIC replace (temp + move): the driver's round artifact
+        // parses these files while/after the bench runs — a plain
+        // truncate-then-write exposes a torn half-file to any
+        // concurrent reader, which is exactly the recurring
+        // `parsed: null` failure mode (r16 punch item 8). The summary
+        // file is the canonical machine-readable output; the stdout
+        // line is for humans and bounded log tails.
+        def atomicWrite(name: String, content: String): Unit = {
+          val dir = java.nio.file.Paths.get(".").toAbsolutePath
+          val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
+          java.nio.file.Files.writeString(tmp, content)
+          java.nio.file.Files.move(tmp, dir.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        atomicWrite("bench_queries_full.json", line)
+        atomicWrite("bench_summary.json", summary)
       }
     } catch { case _: Throwable => () }
     println(summary)

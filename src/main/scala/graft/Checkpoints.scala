@@ -51,13 +51,19 @@ object Checkpoints {
     *
     * The auto decision keys on the same leaf-scan signal as the bucketed
     * iteration lever (metadata-only, monotone, excludes LogicalRDD
-    * leaves whose stats may be the conf-default Long.MaxValue). A
-    * checkpoint whose lineage roots in a PREVIOUS checkpoint therefore
-    * reads mass 0 and stays deserialized — correct for the loops'
-    * node-scale state (alive sets, ranks, frontiers), and the Θ(E)
-    * in-loop re-checkpoints that would be mis-leveled by it only exist
-    * in the eager iteration shape, which the bucketed-iterations auto
-    * lever replaces past the very same threshold.
+    * leaves whose stats may be the conf-default Long.MaxValue, AND
+    * `graft_scratch_*` depth-scratch tables — see [[Autoscale]]). A
+    * checkpoint whose lineage roots in a PREVIOUS checkpoint or in the
+    * depth mode's own scratch tables therefore reads mass 0 and stays
+    * deserialized — correct for the loops' node-scale state (alive
+    * sets, ranks, frontiers, thresholds) in BOTH iteration shapes
+    * (without the scratch exclusion the bucketed loops' node-scale
+    * in-loop checkpoints silently picked up the adjacency table's Θ(E)
+    * file mass and flipped to SER, contradicting this paragraph — r16
+    * advice); the Θ(E) in-loop re-checkpoints that genuinely need SER
+    * only exist in the eager iteration shape, which the
+    * bucketed-iterations auto lever replaces past the very same
+    * threshold.
     * Setting the conf to an explicit level still forces it everywhere;
     * a 100 TB deployment whose iterative state per partition outgrows
     * executor heaps can also flip [[Flag]] to reliable checkpointing,
@@ -82,12 +88,18 @@ object Checkpoints {
             "(point it at job scratch storage, e.g. an HDFS/S3 path)")
         df.checkpoint()
       } else {
-        val level = spark.conf.getOption(LevelFlag) match {
-          case Some(name) => StorageLevel.fromString(name)
+        val leaf = Autoscale.leafScanBytes(df)
+        val thr = Autoscale.thresholdBytes(spark)
+        val (level, mode) = spark.conf.getOption(LevelFlag) match {
+          case Some(name) => (StorageLevel.fromString(name), "forced")
           case None =>
-            if (Autoscale.big(df)) StorageLevel.MEMORY_AND_DISK_SER
-            else StorageLevel.MEMORY_AND_DISK
+            (if (leaf >= BigInt(thr)) StorageLevel.MEMORY_AND_DISK_SER
+             else StorageLevel.MEMORY_AND_DISK, "auto")
         }
+        // one structured decision row per lever choice (first distinct
+        // occurrence printed), so depth artifacts show which level ran
+        Autoscale.record(Autoscale.callerOp, "localCheckpointLevel",
+          leaf, thr, level.description, mode)
         df.localCheckpoint(true, level)
       }
     }

@@ -28,10 +28,24 @@ object Provenance {
     sha.map(s => if (dirty) s + "-dirty" else s).getOrElse("unknown")
   }
 
+  /** Explicit binary identity for snapshot-binary runs (env
+    * `SPARK_GRAFT_BINARY_SHA`): `gitSha` resolves the CWD's git tree,
+    * which is the WRONG identity when the running classes are a /tmp
+    * snapshot of a known commit (A/B legs, soak/chaos re-stamps) or when
+    * the cwd is outside the repo — those artifacts read `-dirty` or
+    * `unknown` even though the binary is exactly a committed tree (r16
+    * verdict). The runner that MADE the snapshot knows the sha; it
+    * exports it and the artifact records it as `binary_sha` alongside
+    * the tree-resolved `git_sha`.
+    */
+  lazy val binarySha: Option[String] =
+    sys.env.get("SPARK_GRAFT_BINARY_SHA").map(_.trim).filter(_.nonEmpty)
+
   /** JSON fragment (no surrounding braces) to splice into an artifact:
-    * `"git_sha":"…","epoch_ms":…,"protocol":"…"`.
+    * `"git_sha":"…"[,"binary_sha":"…"],"epoch_ms":…,"protocol":"…"`.
     */
   def stamp(protocol: String): String =
-    s""""git_sha":"$gitSha","epoch_ms":${System.currentTimeMillis()},""" +
-      s""""protocol":"$protocol""""
+    s""""git_sha":"$gitSha",""" +
+      binarySha.map(s => s""""binary_sha":"$s",""").getOrElse("") +
+      s""""epoch_ms":${System.currentTimeMillis()},"protocol":"$protocol""""
 }

@@ -151,6 +151,7 @@ object Verify {
       s"""{"n_queries": ${SparkEntry.queries.count(kv => selected(kv._1))},""" +
         s""" "sf_dir": ${q(sfDir)}, "out_dir": ${q(outDir)},""" +
         s""" ${Provenance.stamp("verify-dtype-lint")},""" +
+        s""" "autoscale_decisions": ${Autoscale.decisionsJson},""" +
         s""" "wide_decimal": ${obj(wideDecimalJson.toSeq)},""" +
         s""" "schema_pin": ${obj(schemaPinJson.toSeq)},""" +
         s""" "failed": ${obj(failedJson.toSeq)}}"""

@@ -361,7 +361,14 @@ object GraphMore {
     // r14 one-box scratch killer: 46 GB) disappears entirely. Default
     // path keeps the in-memory checkpoint (faster at gate/bench scale,
     // no warehouse side effects).
-    val bucketed = graft.storage.Bucketing.iterationsEnabled(spark, edges)
+    // size signal: the SAME base scan kcoreParts uses (lineitem once) —
+    // `edges` is a self-join whose leaf mass counts lineitem twice, so
+    // keying on it flipped BFS at half the dataset size kcore does and
+    // the 8 GiB threshold meant different things per operator (r16
+    // advice)
+    val sizeSignal = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val bucketed = graft.storage.Bucketing.iterationsEnabled(spark, sizeSignal)
     val adj =
       if (bucketed) {
         val nB = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -39,11 +39,17 @@ object Bucketing {
     * `input` (the operator's own input plan — its file leaves carry the
     * size signal). Explicit flag wins; unset defers to [[graft.Autoscale]].
     */
-  def iterationsEnabled(spark: SparkSession, input: DataFrame): Boolean =
-    spark.conf.getOption(IterationsFlag) match {
-      case Some(v) => v.equalsIgnoreCase("true")
-      case None => graft.Autoscale.big(input)
+  def iterationsEnabled(spark: SparkSession, input: DataFrame): Boolean = {
+    val leaf = graft.Autoscale.leafScanBytes(input)
+    val thr = graft.Autoscale.thresholdBytes(spark)
+    val (chosen, mode) = spark.conf.getOption(IterationsFlag) match {
+      case Some(v) => (v.equalsIgnoreCase("true"), "forced")
+      case None => (leaf >= BigInt(thr), "auto")
     }
+    graft.Autoscale.record(graft.Autoscale.callerOp, "bucketedIterations",
+      leaf, thr, if (chosen) "bucketed" else "eager", mode)
+    chosen
+  }
 
   /** Drop every `graft_scratch_*` table. The depth-mode iterative ops
     * necessarily leave their FINAL adjacency generation behind — the
@@ -55,7 +61,10 @@ object Bucketing {
   def dropScratch(spark: SparkSession): Unit =
     spark.sessionState.catalog.listTables("default")
       .map(_.table).filter(_.startsWith("graft_scratch_"))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // qualified drop: an unqualified DROP resolves against the
+      // session's CURRENT database, which need not be the `default` we
+      // just listed (r16 advice — wrong-table drop / silent miss)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS default.`$t`"))
 
   /** Persist `df` as a bucketed managed table (overwrite). Also clears a
     * LEFTOVER warehouse directory from a previous JVM: the in-memory

@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * passes", with K chosen from available disk, identical results.
   *
   * Usage: BoundedScratch <sfDir> <suffix|overlap> [outJson]
-  * Env: SPARK_GRAFT_PASSES (default 4), SPARK_GRAFT_CPUS (default 32),
+  * Env: SPARK_GRAFT_PASSES (default: AUTO — derived by [[PassBudget]]
+  *      from the corpus leaf mass and scratch headroom, so a ×1000 run
+  *      needs no pass-count arg), SPARK_GRAFT_CPUS (default 32),
   *      SPARK_GRAFT_CHECK=1 cross-checks the K-pass result against the
   *      gated one-pass query (use at a scale where one-pass fits).
   */
@@ -41,11 +43,19 @@ object BoundedScratch {
 
   private val G = 30
 
+  /** One-pass posting-exchange mass per byte of documents.parquet:
+    * measured at ×1000 — 0.90 GB zstd corpus → 67.6 GB of fixed-width
+    * (doc_id, source, h1, h2) posting shuffle (`x1000_gram_r14.json`;
+    * the map-output mass is K-invariant, every gram is shuffled exactly
+    * once, so Σ per-pass shuffle = the one-pass mass).
+    */
+  private val PostingExpansion = 75.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mode = args(1)
     val outJson = args.lift(2)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val forcedPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -78,6 +88,14 @@ object BoundedScratch {
     // may be redirected off /tmp for big-disk runs — r15 advice)
     def availGb: Double =
       new java.io.File(scratch).getUsableSpace / 1e9
+
+    // K: forced by SPARK_GRAFT_PASSES, else derived from the corpus
+    // leaf mass × the measured posting expansion vs scratch headroom
+    // (r16 punch item 2 — ×1000 completes with no pass-count arg)
+    val passPlan = PassBudget.derive(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("n_chars") >= G),
+      PostingExpansion, scratch, forcedPasses)
+    val passes = passPlan.passes
 
     // pre-split the filtered corpus ONCE: 32 parquet files = 32 scan
     // tasks per pass, no per-pass repartition shuffle of the text
@@ -206,6 +224,8 @@ object BoundedScratch {
     val json =
       f"""{${graft.Provenance.stamp(s"bounded-scratch-$mode")},
          | "sf_dir": "$sfDir", "mode": "$mode", "passes": $passes,
+         | "pass_plan": ${passPlan.json},
+         | "autoscale_decisions": ${graft.Autoscale.decisionsJson},
          | "presplit_sec": $splitSec%.1f, "final_agg_sec": $aggSec%.1f,
          | "result_rows": $nRows, $summary,
          | "total_shuffle_gb": ${shuffleWrite.get() / 1e9}%.2f,

@@ -29,16 +29,34 @@ import org.apache.spark.sql.functions._
   * customer lands in exactly one pass.
   *
   * Usage: CopurchasePasses <sfDir> [outJson]
-  * Env: SPARK_GRAFT_PASSES (default 8), SPARK_GRAFT_CPUS (default 32),
+  * Env: SPARK_GRAFT_PASSES / SPARK_GRAFT_MODEL_PASSES (default: AUTO —
+  *      both derived by [[PassBudget]] from the split's leaf mass and
+  *      scratch headroom, so a ×1000 run needs no pass-count args),
+  *      SPARK_GRAFT_CPUS (default 32),
   *      SPARK_GRAFT_CHECK=1 cross-checks the summed result against the
   *      gated one-pass query (use at a scale where one-pass fits).
   */
 object CopurchasePasses {
 
+  /** Scoring-exchange mass per byte of the split's source scan
+    * (lineitem + orders): measured at ×1000 — 18.7 GB of source files →
+    * ~200 GB of scoring exchange across the customer-hash passes
+    * (12 × 16.6 GB, `x1000_copurchase_r15.json`; Σ per-pass shuffle is
+    * K-invariant, each scored row is shuffled exactly once).
+    */
+  private val ScoreExpansion = 10.7
+
+  /** Capped-pair model exchange per source byte: the one-pass pair
+    * exchange at ×1000 is ~64 GB (it alone over-ran the box's ~55 GB
+    * scratch — the first r15 attempt died writing it; M=4 completed
+    * with the disk never under 35 GB free), so ~3.4× the 18.7 GB
+    * source mass.
+    */
+  private val ModelExpansion = 3.4
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outJson = args.lift(1)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     val spark = SparkSession.builder()
@@ -75,6 +93,18 @@ object CopurchasePasses {
 
     val nPart = cpus.toInt
 
+    // K (scoring) and M (model): forced by the env knobs, else derived
+    // from the split's leaf mass × the measured exchange expansions vs
+    // scratch headroom (r16 punch item 2 — ×1000 completes with no
+    // pass-count args). Both plans land in the artifact.
+    val sizeSignal =
+      graft.queries.AnalyticsSixth.copurchaseSplit(spark, sfDir, 0)
+    val scorePlan = PassBudget.derive(sizeSignal, ScoreExpansion, scratch,
+      sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt))
+    val modelPlan = PassBudget.derive(sizeSignal, ModelExpansion, scratch,
+      sys.env.get("SPARK_GRAFT_MODEL_PASSES").map(_.toInt))
+    val passes = scorePlan.passes
+
     // ---- setup: train/test splits, hash-sliced by customer ------------
     // The splits, the capped basket, the item-item model, and the
     // per-slice scoring below all come from graft.queries.AnalyticsSixth's
@@ -109,9 +139,9 @@ object CopurchasePasses {
     // TOTAL pair generation stays ~one-pass while each pass's (p)-keyed
     // exchange carries mass/M and is GC-released before the next.
     // The top-25-per-p window is slice-local because p determines its
-    // slice. SPARK_GRAFT_MODEL_PASSES=1 (default) degenerates to the
-    // one-pass build.
-    val modelPasses = sys.env.getOrElse("SPARK_GRAFT_MODEL_PASSES", "1").toInt
+    // slice. M=1 (the derived value at gate/×100 scale) degenerates to
+    // the one-pass build.
+    val modelPasses = modelPlan.passes
     val tm = System.nanoTime()
     val basketTbl = "graft_scratch_cop_basket"
     graft.storage.Bucketing.writeBucketed(
@@ -182,7 +212,10 @@ object CopurchasePasses {
       .mkString(",\n")
     val json =
       f"""{${graft.Provenance.stamp("copurchase-passes")},
-         | "sf_dir": "$sfDir", "passes": $passes,
+         | "sf_dir": "$sfDir", "passes": $passes, "model_passes": $modelPasses,
+         | "score_pass_plan": ${scorePlan.json},
+         | "model_pass_plan": ${modelPlan.json},
+         | "autoscale_decisions": ${graft.Autoscale.decisionsJson},
          | "setup_sec": $setupSec%.1f, "model_sec": $modelSec%.1f,
          | "n_users": $nUsers, "n_hit": $nHit, "recall_at_10": $recall,
          | "total_shuffle_gb": ${shuffleWrite.get() / 1e9}%.2f,

@@ -166,6 +166,7 @@ object ProfileStages {
            | ${graft.Provenance.stamp("stage-profile-sweep")},
            | "n_queries": ${results.size},
            | "flag_rule": "stage wall-clock > 500 ms on <= 4 tasks",
+           | "autoscale_decisions": ${graft.Autoscale.decisionsJson},
            | "underparallelized_post_shuffle": [${post.sorted.map(js).mkString(", ")}],
            | "leaf_only_flags": [${leafOnly.sorted.map(js).mkString(", ")}],
            | "queries": {

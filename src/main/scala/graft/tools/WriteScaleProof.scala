@@ -76,6 +76,20 @@ object WriteScaleProof {
     val nKeys = ev.select(col("key")).distinct().count()
 
     val shardConfigs = Seq(4, 32)
+
+    // Expected shard coverage from the ACTUAL routing function evaluated
+    // over the distinct keys — deterministic, unlike the former
+    // probabilistic >=10·n floor, which turned a healthy run into a hard
+    // require failure ~0.15% of the time at the minimum qualifying key
+    // mass (r16 advice). A fresh never-resharded n-shard stream's
+    // shardNameCol is placement-identical to shardIndexCol (see
+    // ShardedLogWriter), so the exact shard set each write must touch is
+    // computable before any write happens.
+    val expectedShards = shardConfigs.map { n =>
+      n -> ev.select(ShardedLogWriter.shardIndexCol(col("key"), n).as("s"))
+        .distinct().count()
+    }.toMap
+
     val secs = scala.collection.mutable.Map.empty[Int, List[Double]]
       .withDefaultValue(Nil)
     for (r <- 1 to repeat; n <- shardConfigs) {
@@ -104,19 +118,16 @@ object WriteScaleProof {
       n -> (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }.toMap
     verify.foreach { case (n, (total, seqSum, nShards)) =>
-      // Coverage FLOOR, not exact == n: a shard with zero traffic is
-      // legal under skewed or tiny inputs. But with K distinct
-      // uniformly-hashed keys and K >= 10·n, the chance any shard stays
-      // empty is n·e^{-K/n} < 0.2% — so routing must then touch EVERY
-      // shard, and a width regression (all records on one shard, which
-      // still satisfies the total/seqSum equalities) fails loudly
-      // (r15 advice). Below that key mass the floor relaxes to 1 and
-      // the per-config n_shards in the artifact carries the signal.
-      val floor = if (nKeys >= 10L * n) n.toLong else 1L
-      require(total == nRows && seqSum == nRows &&
-          nShards <= n && nShards >= floor,
+      // Exact coverage: the write must touch precisely the shards the
+      // routing function maps the distinct keys to — a width regression
+      // (all records on one shard, which still satisfies the
+      // total/seqSum equalities) fails loudly, and a legitimately
+      // skewed/tiny key set cannot false-alarm because the expectation
+      // comes from the same routing the writer uses.
+      require(total == nRows && seqSum == nRows && nShards == expectedShards(n),
         s"readback mismatch for $n shards: total=$total seqSum=$seqSum " +
-          s"shards=$nShards (floor=$floor, keys=$nKeys) expected rows=$nRows")
+          s"shards=$nShards (expected=${expectedShards(n)}, keys=$nKeys) " +
+          s"expected rows=$nRows")
     }
 
     val mins = shardConfigs.map(n => n -> secs(n).min).toMap
@@ -127,7 +138,7 @@ object WriteScaleProof {
          | "distinct_keys": $nKeys,
          | "write_sec": {${shardConfigs.map(n => s""""shards_$n": {"min": ${mins(n)}, "all": [${secs(n).reverse.mkString(", ")}]}""").mkString(", ")}},
          | "speedup_4_to_32": $ratio,
-         | "readback": {${verify.map { case (n, (t, s, k)) => s""""shards_$n": {"total": $t, "seq_sum": $s, "n_shards": $k}""" }.mkString(", ")}}}""".stripMargin
+         | "readback": {${verify.map { case (n, (t, s, k)) => s""""shards_$n": {"total": $t, "seq_sum": $s, "n_shards": $k, "expected_shards": ${expectedShards(n)}}""" }.mkString(", ")}}}""".stripMargin
     println("[writescale] " + json.replaceAll("\n", " "))
     outJson.foreach(p => Files.write(Paths.get(p), json.getBytes("UTF-8")))
 

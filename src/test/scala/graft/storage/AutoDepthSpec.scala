@@ -95,6 +95,63 @@ class AutoDepthSpec extends SparkTestBase
     assert(lvl.deserialized, s"explicit level must win over auto, got $lvl")
   }
 
+  test("each lever choice records a structured decision row (r17)") {
+    Autoscale.clearDecisions()
+    // lever 1: bucketedIterations (auto, below threshold → eager)
+    GraphMore.kcoreParts(spark, sf0001)
+    val iter = Autoscale.decisions.filter(_.lever == "bucketedIterations")
+    assert(iter.nonEmpty, "iterationsEnabled must record a decision")
+    assert(iter.forall(d => d.mode == "auto" && d.chosen == "eager" &&
+      d.leafBytes > 0 && d.thresholdBytes == Autoscale.DefaultThresholdBytes))
+    assert(iter.exists(_.op == "GraphMore.kcoreParts"),
+      s"decision op should name the operator, got ${iter.map(_.op)}")
+    // lever 2: localCheckpointLevel (auto, below threshold → deserialized)
+    Autoscale.clearDecisions()
+    graft.Tables.lineitem(spark, sf0001).stableCheckpoint()
+    val lvl = Autoscale.decisions.filter(_.lever == "localCheckpointLevel")
+    assert(lvl.exists(d => d.mode == "auto" &&
+      d.chosen == StorageLevel.MEMORY_AND_DISK.description))
+    // forced mode is recorded as forced
+    Autoscale.clearDecisions()
+    withConf(Bucketing.IterationsFlag -> "false") {
+      GraphMore.kcoreParts(spark, sf0001)
+    }
+    assert(Autoscale.decisions
+      .filter(_.lever == "bucketedIterations").forall(_.mode == "forced"))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    Autoscale.clearDecisions()
+  }
+
+  test("threshold conf rejects non-numeric values with the conf key (r17)") {
+    val e = intercept[IllegalArgumentException] {
+      withConf(Autoscale.ThresholdFlag -> "8g") {
+        Autoscale.thresholdBytes(spark)
+      }
+    }
+    assert(e.getMessage.contains(Autoscale.ThresholdFlag) &&
+      e.getMessage.contains("8g"),
+      s"error must name the conf key and the bad value, got: ${e.getMessage}")
+  }
+
+  test("leafScanBytes excludes graft_scratch_ tables (r17)") {
+    // a plan rooting in the depth mode's own scratch is the loop's
+    // node-scale state — counting the table's edge-scale file mass would
+    // flip in-loop checkpoints to SER past the threshold (r16 advice)
+    Bucketing.writeBucketed(
+      graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_partkey"),
+      "graft_scratch_leafspec", "l_orderkey", 2)
+    try {
+      val scan = spark.table("graft_scratch_leafspec")
+      assert(Autoscale.leafScanBytes(scan) == 0,
+        "scratch-table leaves must not count toward the depth signal")
+      // ... while a real file leaf in the same plan still counts
+      val mixed = scan.join(graft.Tables.lineitem(spark, sf0001)
+        .select(org.apache.spark.sql.functions.col("l_orderkey")), "l_orderkey")
+      assert(Autoscale.leafScanBytes(mixed) > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS default.graft_scratch_leafspec")
+  }
+
   test("leafScanBytes reads file mass and ignores checkpointed lineage") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val bytes = Autoscale.leafScanBytes(li)

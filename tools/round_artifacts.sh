@@ -44,10 +44,23 @@ echo "== [2/5] correctness gate at $SF001"
 "$JAVA" -cp "$CP" graft.Verify "$SF001" /tmp/graft_gate
 python3 tools/local_verify.py /tmp/graft_gate "$SF001" | tail -2
 
-echo "== [3/5] full-surface profiler sweep"
-SPARK_GRAFT_ONLY=ALL SPARK_GRAFT_SF_DIR="$SF01" \
+echo "== [3/5] full-surface profiler sweep (multi-row-group layout)"
+# The sweep runs on the 32-row-group rewrite of sf0.1, not the shipped
+# one-row-group files (r17, from r16 punch item 8's finding): on the
+# shipped layout every leaf scan is structurally 1 task, which buried the
+# sweep's real signal under 28-31 inherent "leaf-only" flags. On the mrg
+# layout (with split sizes scaled so ~512 KB plays the role the 128 MB
+# default plays against GB-scale production files) leaf flags drop to the
+# genuine few, so a NEW flag in this sweep is a real parallelism
+# regression, not layout noise.
+MRG=/tmp/sf01_mrg
+[ -f "$MRG/lineitem.parquet" ] || \
+  python3 tools/rowgroup_rewrite.py "$SF01" "$MRG" 32
+SPARK_GRAFT_ONLY=ALL SPARK_GRAFT_SF_DIR="$MRG" \
   SPARK_GRAFT_PROFILE_OUT="profile_sweep_r${ROUND}.json" \
-  "$JAVA" -cp "$CP" graft.tools.ProfileStages | tail -1
+  "$JAVA" -Dspark.sql.files.maxPartitionBytes=524288 \
+    -Dspark.sql.files.openCostInBytes=65536 \
+    -cp "$CP" graft.tools.ProfileStages | tail -1
 
 echo "== [4/5] canonical interleaved min-of-3 bench at $SF01"
 SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 \
