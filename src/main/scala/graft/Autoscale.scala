@@ -38,11 +38,15 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   *     documented design (r16 advice). The Θ(E) objects in depth mode
   *     are the bucketed tables themselves, never checkpoint blocks.
   *
-  * Default threshold 8 GiB: ≥4× above the measured ×100 crossover mass
-  * (1.4 GB zstd lineitem — eager/deserialized still faster there) and
-  * ~half the ×1000 mass (15 GB — where the depth shapes are the only
-  * ones that complete). Codec variation (snappy vs zstd ~2×) cannot
-  * bridge that decade. Override per session with
+  * Default threshold 2 GiB, located by bracketing the crossover
+  * (`depth_crossover_r17.json`): at ×100 (1.4 GB) eager still wins
+  * (kcore 72.9 vs 76.4 s), at ×300 (4.6 GB) the bucketed shape already
+  * wins 1.46× (kcore 528.8 vs 773.3 s), and at ×1000 (15 GB) eager
+  * DNFs one box — so the crossover sits in (1.4, 4.6) GB and the error
+  * costs are ASYMMETRIC: flipping early costs at most the ~5% ×100
+  * margin, flipping late costs 46%+ and eventually a DNF. 2 GiB sits
+  * just above the measured eager-wins point (r16's 8 GiB default left
+  * the 2–8 GiB band running the wrong shape). Override per session with
   * `spark.graft.depthAutoThresholdBytes`; the explicit lever flags still
   * force either way.
   *
@@ -58,7 +62,7 @@ object Autoscale {
     */
   val ThresholdFlag = "spark.graft.depthAutoThresholdBytes"
 
-  val DefaultThresholdBytes: Long = 8L << 30 // 8 GiB
+  val DefaultThresholdBytes: Long = 2L << 30 // 2 GiB
 
   def thresholdBytes(spark: SparkSession): Long =
     spark.conf.getOption(ThresholdFlag).map { v =>

@@ -364,7 +364,7 @@ object GraphMore {
     // size signal: the SAME base scan kcoreParts uses (lineitem once) —
     // `edges` is a self-join whose leaf mass counts lineitem twice, so
     // keying on it flipped BFS at half the dataset size kcore does and
-    // the 8 GiB threshold meant different things per operator (r16
+    // the byte threshold meant different things per operator (r16
     // advice)
     val sizeSignal = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"))

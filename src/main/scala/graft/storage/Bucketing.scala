@@ -25,8 +25,9 @@ object Bucketing {
     *
     * UNSET (the default) is AUTO: the operator enables the bucketed
     * shape when its leaf input scan crosses [[graft.Autoscale]]'s
-    * threshold (default 8 GiB — above the measured ×100 crossover where
-    * eager still wins, below the ×1000 mass where eager DNFs one box),
+    * threshold (default 2 GiB — above the measured ×100 crossover where
+    * eager still wins, below the ×300 point where bucketed already wins
+    * 1.46× and the ×1000 mass where eager DNFs one box),
     * so a ×1000 depth run completes with NO per-run conf while gate /
     * bench / ×100 plans are byte-identical to the flag-off shape.
     * "true"/"false" force the mode either way (the spec's result-identity

@@ -32,7 +32,7 @@ class AutoDepthSpec extends SparkTestBase
     df.queryExecution.optimizedPlan.toString
 
   test("auto depth mode stays OFF below the threshold (default confs)") {
-    // sf0.001 leaf mass is KBs, threshold is 8 GiB: the flag-unset plan
+    // sf0.001 leaf mass is KBs, threshold is 2 GiB: the flag-unset plan
     // must be the eager checkpoint shape — no scratch-table scan
     val df = GraphMore.kcoreParts(spark, sf0001)
     assert(!plan(df).contains("graft_scratch_kcore_adj"),
