@@ -188,10 +188,15 @@ object Bench {
         def atomicWrite(name: String, content: String): Unit = {
           val dir = java.nio.file.Paths.get(".").toAbsolutePath
           val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
-          java.nio.file.Files.writeString(tmp, content)
-          java.nio.file.Files.move(tmp, dir.resolve(name),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // a failed write/move must not strand *.tmp litter in the
+          // working tree (it would sit next to tracked snapshots and
+          // can end up committed — r17 advice)
+          try {
+            java.nio.file.Files.writeString(tmp, content)
+            java.nio.file.Files.move(tmp, dir.resolve(name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally java.nio.file.Files.deleteIfExists(tmp)
         }
         atomicWrite("bench_queries_full.json", line)
         atomicWrite("bench_summary.json", summary)

@@ -47,9 +47,12 @@ object BoundedScratch {
     * measured at ×1000 — 0.90 GB zstd corpus → 67.6 GB of fixed-width
     * (doc_id, source, h1, h2) posting shuffle (`x1000_gram_r14.json`;
     * the map-output mass is K-invariant, every gram is shuffled exactly
-    * once, so Σ per-pass shuffle = the one-pass mass).
+    * once, so Σ per-pass shuffle = the one-pass mass). Distribution-
+    * dependent: overridable via SPARK_GRAFT_POSTING_EXPANSION, and a
+    * badly-off value is caught after pass 0 by [[PassBudget.replan]].
     */
-  private val PostingExpansion = 75.0
+  private def postingExpansion: Double =
+    PassBudget.expansion("SPARK_GRAFT_POSTING_EXPANSION", 75.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -94,7 +97,8 @@ object BoundedScratch {
     // (r16 punch item 2 — ×1000 completes with no pass-count arg)
     val passPlan = PassBudget.derive(
       spark.read.parquet(s"$sfDir/documents.parquet").filter(col("n_chars") >= G),
-      PostingExpansion, scratch, forcedPasses)
+      postingExpansion, scratch, forcedPasses,
+      op = s"bounded-scratch-$mode")
     val passes = passPlan.passes
 
     // pre-split the filtered corpus ONCE: 32 parquet files = 32 scan
@@ -107,7 +111,7 @@ object BoundedScratch {
       .write.mode("overwrite").parquet(s"$scratch/docs")
     val splitSec = (System.nanoTime() - t0) / 1e9
 
-    def postings(p: Int): DataFrame =
+    def postings(slice: PassBudget.SlicePass): DataFrame =
       spark.read.parquet(s"$scratch/docs")
         .select(col("doc_id"), col("source"), col("text"),
           explode(sequence(lit(1), col("n_chars") - (G - 1))).as("pp"))
@@ -116,32 +120,51 @@ object BoundedScratch {
         .select(col("doc_id"), col("source"),
           conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("h1"),
           conv(substring(col("hx"), 17, 15), 16, 10).cast("long").as("h2"))
-        .filter(pmod(col("h1"), lit(passes.toLong)) === p)
+        .filter(PassBudget.slicePredicate(col("h1"), passes, slice))
 
-    case class PassStat(idx: Int, sec: Double, shuffleGb: Double,
-      spillGb: Double, availAfterGb: Double)
+    case class PassStat(idx: Int, label: String, sec: Double,
+      shuffleGb: Double, spillGb: Double, availAfterGb: Double)
     val passStats = scala.collection.mutable.ArrayBuffer.empty[PassStat]
+    var replanInfo: Option[PassBudget.Replan] = None
+    val passDirs = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    def runPasses(partial: (DataFrame, Int) => DataFrame): Unit =
-      for (p <- 0 until passes) {
+    // Pass 0 runs residue 0 of the planned schedule; its MEASURED
+    // shuffle mass then either confirms the plan or re-slices the
+    // remaining residues (r17 punch item 1 — the expansion constants are
+    // distribution-dependent, so the schedule self-corrects before a
+    // later pass can overrun the disk). Slicing on h1 keeps every gram
+    // whole within one pass under any schedule, so partials stay
+    // additive and the result is schedule-invariant.
+    def runPasses(partial: DataFrame => DataFrame): Unit = {
+      def runOne(slice: PassBudget.SlicePass): Long = {
+        val idx = passDirs.size
         val sw0 = shuffleWrite.get(); val sp0 = spill.get()
         val tp = System.nanoTime()
-        partial(postings(p), p)
-          .write.mode("overwrite").parquet(s"$scratch/pass_$p")
+        val dir = s"$scratch/pass_$idx"
+        partial(postings(slice)).write.mode("overwrite").parquet(dir)
+        passDirs += dir
         val sec = (System.nanoTime() - tp) / 1e9
         // release this pass's shuffle files before the next pass maps
         System.gc()
         Thread.sleep(3000)
-        passStats += PassStat(p, sec,
-          (shuffleWrite.get() - sw0) / 1e9, (spill.get() - sp0) / 1e9, availGb)
-        println(f"[bounded] pass $p: ${sec}%.1f s, " +
-          f"shuffle ${(shuffleWrite.get() - sw0) / 1e9}%.1f GB, avail $availGb%.1f GB")
+        val swDelta = shuffleWrite.get() - sw0
+        passStats += PassStat(idx, slice.label, sec,
+          swDelta / 1e9, (spill.get() - sp0) / 1e9, availGb)
+        println(f"[bounded] pass $idx (${slice.label}): ${sec}%.1f s, " +
+          f"shuffle ${swDelta / 1e9}%.1f GB, avail $availGb%.1f GB")
+        swDelta
       }
+      val measured0 = runOne(PassBudget.SlicePass(Seq(0), 0, 1))
+      val rp = PassBudget.replan(passPlan, measured0,
+        op = s"bounded-scratch-$mode")
+      replanInfo = Some(rp)
+      rp.remaining.foreach(runOne)
+    }
 
     val result: DataFrame = mode match {
       case "suffix" =>
         // per pass: per-doc (positions-in-pass, dup-positions-in-pass)
-        runPasses { (pos, _) =>
+        runPasses { pos =>
           val wg = org.apache.spark.sql.expressions.Window
             .partitionBy(col("h1"), col("h2"))
           pos
@@ -151,7 +174,7 @@ object BoundedScratch {
             .agg(count(lit(1)).as("n_pos_p"),
               sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos_p"))
         }
-        spark.read.parquet((0 until passes).map(p => s"$scratch/pass_$p"): _*)
+        spark.read.parquet(passDirs.toSeq: _*)
           .groupBy(col("doc_id"))
           .agg(sum(col("n_pos_p")).as("n_pos"),
             sum(col("n_dup_pos_p")).as("n_dup_pos"))
@@ -160,7 +183,7 @@ object BoundedScratch {
           .select(col("doc_id"), col("n_pos"), col("n_dup_pos"), col("dup_frac"))
       case "overlap" =>
         // per pass: the (mask, cnt) histogram of the pass's grams
-        runPasses { (pos, _) =>
+        runPasses { pos =>
           pos
             .select(expr("cast(substring(source, 4) as int)").as("si"),
               col("h1"), col("h2"))
@@ -170,7 +193,7 @@ object BoundedScratch {
         }
         import spark.implicits._
         val masks = spark.read
-          .parquet((0 until passes).map(p => s"$scratch/pass_$p"): _*)
+          .parquet(passDirs.toSeq: _*)
           .groupBy(col("mask")).agg(sum(col("cnt")).as("cnt"))
         val pairs = (for { a <- 0 until 20; b <- a + 1 until 20 } yield (a, b))
           .toDF("a", "b")
@@ -218,13 +241,16 @@ object BoundedScratch {
     }
 
     val passJson = passStats.map(s =>
-      f"""  {"pass":${s.idx},"sec":${s.sec}%.1f,"shuffle_gb":${s.shuffleGb}%.2f,""" +
+      f"""  {"pass":${s.idx},"slice":"${s.label}","sec":${s.sec}%.1f,""" +
+        f""""shuffle_gb":${s.shuffleGb}%.2f,""" +
         f""""spill_gb":${s.spillGb}%.2f,"disk_avail_after_gb":${s.availAfterGb}%.1f}""")
       .mkString(",\n")
     val json =
       f"""{${graft.Provenance.stamp(s"bounded-scratch-$mode")},
          | "sf_dir": "$sfDir", "mode": "$mode", "passes": $passes,
+         | "passes_run": ${passDirs.size},
          | "pass_plan": ${passPlan.json},
+         | "replan": ${replanInfo.map(_.json).getOrElse("null")},
          | "autoscale_decisions": ${graft.Autoscale.decisionsJson},
          | "presplit_sec": $splitSec%.1f, "final_agg_sec": $aggSec%.1f,
          | "result_rows": $nRows, $summary,

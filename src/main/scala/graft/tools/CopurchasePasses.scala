@@ -43,16 +43,21 @@ object CopurchasePasses {
     * ~200 GB of scoring exchange across the customer-hash passes
     * (12 × 16.6 GB, `x1000_copurchase_r15.json`; Σ per-pass shuffle is
     * K-invariant, each scored row is shuffled exactly once).
+    * Distribution-dependent: overridable via SPARK_GRAFT_SCORE_EXPANSION,
+    * and a badly-off value is caught after pass 0 by
+    * [[PassBudget.replan]].
     */
-  private val ScoreExpansion = 10.7
+  private def scoreExpansion: Double =
+    PassBudget.expansion("SPARK_GRAFT_SCORE_EXPANSION", 10.7)
 
   /** Capped-pair model exchange per source byte: the one-pass pair
     * exchange at ×1000 is ~64 GB (it alone over-ran the box's ~55 GB
     * scratch — the first r15 attempt died writing it; M=4 completed
     * with the disk never under 35 GB free), so ~3.4× the 18.7 GB
-    * source mass.
+    * source mass. Overridable via SPARK_GRAFT_MODEL_EXPANSION.
     */
-  private val ModelExpansion = 3.4
+  private def modelExpansion: Double =
+    PassBudget.expansion("SPARK_GRAFT_MODEL_EXPANSION", 3.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -99,10 +104,13 @@ object CopurchasePasses {
     // pass-count args). Both plans land in the artifact.
     val sizeSignal =
       graft.queries.AnalyticsSixth.copurchaseSplit(spark, sfDir, 0)
-    val scorePlan = PassBudget.derive(sizeSignal, ScoreExpansion, scratch,
-      sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt))
-    val modelPlan = PassBudget.derive(sizeSignal, ModelExpansion, scratch,
-      sys.env.get("SPARK_GRAFT_MODEL_PASSES").map(_.toInt))
+    val scorePlan = PassBudget.derive(sizeSignal, scoreExpansion, scratch,
+      sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt),
+      op = "copurchase-passes")
+    val modelPlan = PassBudget.derive(sizeSignal, modelExpansion, scratch,
+      sys.env.get("SPARK_GRAFT_MODEL_PASSES").map(_.toInt),
+      knob = "SPARK_GRAFT_MODEL_PASSES",
+      op = "copurchase-passes", lever = "modelPassCount")
     val passes = scorePlan.passes
 
     // ---- setup: train/test splits, hash-sliced by customer ------------
@@ -149,16 +157,29 @@ object CopurchasePasses {
         .copurchaseCappedBasket(train.select(col("c"), col("p")), nPart)
         .repartition(nPart, col("c")),
       basketTbl, "c", nPart, sortCols = Seq("c"))
-    for (m <- 0 until modelPasses) {
+    // Model pass 0 (residue 0 of pmod(p, M)) measures the real pair-
+    // exchange mass; PassBudget.replan then confirms or re-slices the
+    // remaining p-residues (r17 punch item 1). Slicing on p keeps each
+    // item's top-25 window whole within one pass under any schedule.
+    var modelRun = 0
+    def modelPass(slice: PassBudget.SlicePass): Long = {
+      val sw0 = shuffleWrite.get()
       val bp = spark.table(basketTbl)
-        .filter(pmod(col("p"), lit(modelPasses.toLong)) === m)
+        .filter(PassBudget.slicePredicate(col("p"), modelPasses, slice))
       graft.queries.AnalyticsSixth
         .copurchaseItemModel(bp, spark.table(basketTbl).toDF("c", "q"), nPart)
-        .write.mode(if (m == 0) "overwrite" else "append")
+        .write.mode(if (modelRun == 0) "overwrite" else "append")
         .parquet(s"$scratch/model")
+      modelRun += 1
       gcRelease() // drop this pass's pair-mass shuffle files
-      println(f"[copurchase] model pass $m/${modelPasses}: avail $availGb%.1f GB")
+      println(f"[copurchase] model pass $modelRun (${slice.label}): " +
+        f"avail $availGb%.1f GB")
+      shuffleWrite.get() - sw0
     }
+    val modelMeasured0 = modelPass(PassBudget.SlicePass(Seq(0), 0, 1))
+    val modelReplan = PassBudget.replan(modelPlan, modelMeasured0,
+      op = "copurchase-passes", lever = "modelPassReplan")
+    modelReplan.remaining.foreach(modelPass)
     spark.sql(s"DROP TABLE IF EXISTS $basketTbl")
     val modelSec = (System.nanoTime() - tm) / 1e9
     val model = spark.read.parquet(s"$scratch/model")
@@ -166,16 +187,28 @@ object CopurchasePasses {
       f"($modelPasses passes), avail $availGb%.1f GB")
 
     // ---- K scoring passes over customer hash ranges ---------------------
-    case class PassStat(idx: Int, sec: Double, users: Long, hits: Long,
-      shuffleGb: Double, spillGb: Double, availAfterGb: Double)
+    // Pass 0 runs slice 0; its measured scoring-exchange mass confirms
+    // or re-slices the remaining customer slices (r17 punch item 1).
+    // The slice column (= pmod(c, K)) still prunes the partitioned
+    // files under a grouped or subdivided schedule; a subdivided pass
+    // adds the finer pmod(c, K·J) row filter on top. Every customer
+    // stays whole within one pass, so the two counters stay additive.
+    case class PassStat(idx: Int, label: String, sec: Double, users: Long,
+      hits: Long, shuffleGb: Double, spillGb: Double, availAfterGb: Double)
     val stats = scala.collection.mutable.ArrayBuffer.empty[PassStat]
-    for (p <- 0 until passes) {
+    def slicedSplit(name: String, sp: PassBudget.SlicePass): DataFrame = {
+      val pruned = spark.read.parquet(s"$scratch/$name")
+        .filter(col("slice").isin(sp.residues.map(_.toLong): _*))
+      (if (sp.subCount == 1) pruned
+       else pruned.filter(PassBudget.slicePredicate(col("c"), passes, sp)))
+        .select(col("c"), col("p"))
+    }
+    def scorePass(sp: PassBudget.SlicePass): Long = {
+      val idx = stats.size
       val sw0 = shuffleWrite.get(); val sp0 = spill.get()
       val tp = System.nanoTime()
-      val trainP = spark.read.parquet(s"$scratch/train")
-        .filter(col("slice") === p).select(col("c"), col("p"))
-      val testP = spark.read.parquet(s"$scratch/test")
-        .filter(col("slice") === p).select(col("c"), col("p"))
+      val trainP = slicedSplit("train", sp)
+      val testP = slicedSplit("test", sp)
       val evalP = trainP.select(col("c")).distinct()
         .join(testP.select(col("c")).distinct(), "c")
       val row = graft.queries.AnalyticsSixth
@@ -183,12 +216,19 @@ object CopurchasePasses {
         .collect()(0)
       val sec = (System.nanoTime() - tp) / 1e9
       gcRelease()
-      stats += PassStat(p, sec, row.getLong(0), row.getLong(1),
-        (shuffleWrite.get() - sw0) / 1e9, (spill.get() - sp0) / 1e9, availGb)
-      println(f"[copurchase] pass $p: ${sec}%.1f s, users ${row.getLong(0)}, " +
-        f"hits ${row.getLong(1)}, shuffle ${(shuffleWrite.get() - sw0) / 1e9}%.1f GB, " +
+      val swDelta = shuffleWrite.get() - sw0
+      stats += PassStat(idx, sp.label, sec, row.getLong(0), row.getLong(1),
+        swDelta / 1e9, (spill.get() - sp0) / 1e9, availGb)
+      println(f"[copurchase] pass $idx (${sp.label}): ${sec}%.1f s, " +
+        f"users ${row.getLong(0)}, " +
+        f"hits ${row.getLong(1)}, shuffle ${swDelta / 1e9}%.1f GB, " +
         f"avail $availGb%.1f GB")
+      swDelta
     }
+    val scoreMeasured0 = scorePass(PassBudget.SlicePass(Seq(0), 0, 1))
+    val scoreReplan = PassBudget.replan(scorePlan, scoreMeasured0,
+      op = "copurchase-passes")
+    scoreReplan.remaining.foreach(scorePass)
     val nUsers = stats.map(_.users).sum
     val nHit = stats.map(_.hits).sum
     val recall = nHit.toDouble / nUsers.toDouble
@@ -206,15 +246,19 @@ object CopurchasePasses {
       } else None
 
     val passJson = stats.map(s =>
-      f"""  {"pass":${s.idx},"sec":${s.sec}%.1f,"users":${s.users},"hits":${s.hits},""" +
+      f"""  {"pass":${s.idx},"slice":"${s.label}","sec":${s.sec}%.1f,""" +
+        f""""users":${s.users},"hits":${s.hits},""" +
         f""""shuffle_gb":${s.shuffleGb}%.2f,"spill_gb":${s.spillGb}%.2f,""" +
         f""""disk_avail_after_gb":${s.availAfterGb}%.1f}""")
       .mkString(",\n")
     val json =
       f"""{${graft.Provenance.stamp("copurchase-passes")},
          | "sf_dir": "$sfDir", "passes": $passes, "model_passes": $modelPasses,
+         | "passes_run": ${stats.size}, "model_passes_run": $modelRun,
          | "score_pass_plan": ${scorePlan.json},
          | "model_pass_plan": ${modelPlan.json},
+         | "score_replan": ${scoreReplan.json},
+         | "model_replan": ${modelReplan.json},
          | "autoscale_decisions": ${graft.Autoscale.decisionsJson},
          | "setup_sec": $setupSec%.1f, "model_sec": $modelSec%.1f,
          | "n_users": $nUsers, "n_hit": $nHit, "recall_at_10": $recall,

@@ -54,8 +54,15 @@ echo "== [3/5] full-surface profiler sweep (multi-row-group layout)"
 # genuine few, so a NEW flag in this sweep is a real parallelism
 # regression, not layout noise.
 MRG=/tmp/sf01_mrg
-[ -f "$MRG/lineitem.parquet" ] || \
+# Cache guard keys on a DONE sentinel written only after the rewrite
+# finishes, not on lineitem.parquet alone — a rewrite that died partway
+# (sorted glob writes lineitem before nation/orders/...) must not pass
+# the guard and feed the sweep an incomplete dir (r17 advice).
+[ -f "$MRG/.rewrite_done" ] || {
+  rm -rf "$MRG"
   python3 tools/rowgroup_rewrite.py "$SF01" "$MRG" 32
+  touch "$MRG/.rewrite_done"
+}
 SPARK_GRAFT_ONLY=ALL SPARK_GRAFT_SF_DIR="$MRG" \
   SPARK_GRAFT_PROFILE_OUT="profile_sweep_r${ROUND}.json" \
   "$JAVA" -Dspark.sql.files.maxPartitionBytes=524288 \
@@ -66,9 +73,23 @@ echo "== [4/5] canonical interleaved min-of-3 bench at $SF01"
 SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_CPUS=32 \
   "$JAVA" -cp "$CP" graft.Bench | grep metric
 
-echo "== [5/5] full-surface sf0.1 oracle replay"
-"$JAVA" -cp "$CP" graft.Verify "$SF01" /tmp/graft_replay
-python3 tools/replay_sf01.py /tmp/graft_replay "$SF01" 150 | tail -2
+# The deep replay ROTATES between the canonical one-row-group layout and
+# the 32-row-group mrg rewrite (r17 punch item 6): even rounds run mrg
+# (with the same forced-split confs as the sweep, so mid-file task splits
+# are exercised at sf0.1), odd rounds run canonical. One replay per round
+# either way; layout-independence stays continuously certified, and the
+# summary's sf_dir field records which layout ran.
+if [ $((ROUND % 2)) -eq 0 ]; then
+  REPLAY_DIR="$MRG"; REPLAY_LAYOUT="mrg-32rg"
+  REPLAY_FLAGS="-Dspark.sql.files.maxPartitionBytes=524288 -Dspark.sql.files.openCostInBytes=65536"
+else
+  REPLAY_DIR="$SF01"; REPLAY_LAYOUT="canonical"
+  REPLAY_FLAGS=""
+fi
+echo "== [5/5] full-surface sf0.1 oracle replay (layout: $REPLAY_LAYOUT)"
+# shellcheck disable=SC2086  # REPLAY_FLAGS is intentionally word-split
+"$JAVA" $REPLAY_FLAGS -cp "$CP" graft.Verify "$REPLAY_DIR" /tmp/graft_replay
+python3 tools/replay_sf01.py /tmp/graft_replay "$REPLAY_DIR" 150 | tail -2
 cp /tmp/graft_replay/replay_summary.json "replay_summary_r${ROUND}.json"
 
 echo "done: lint_report_latest.json profile_sweep_r${ROUND}.json" \
