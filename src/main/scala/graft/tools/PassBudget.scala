@@ -97,9 +97,27 @@ object PassBudget {
         s""""expansion":$expansion}"""
   }
 
+  /** Per-pass scratch budget: 30% of usable, clamped to [8, 24] GiB.
+    * `SPARK_GRAFT_PASS_BUDGET_BYTES` overrides (validated ≥ 1) — the
+    * seam for a different disk-reservation policy and for the replan
+    * proof runs, which need a small budget to exercise the subdivide
+    * direction at a scale one box can cross-check.
+    */
   def budgetBytes(availBytes: Long): Long =
-    math.min(MaxBudgetBytes,
-      math.max(MinBudgetBytes, (availBytes * HeadroomFraction).toLong))
+    sys.env.get("SPARK_GRAFT_PASS_BUDGET_BYTES").map { v =>
+      val b =
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_PASS_BUDGET_BYTES must be a plain byte count " +
+              s"as a long; got '$v'")
+        }
+      require(b >= 1,
+        s"SPARK_GRAFT_PASS_BUDGET_BYTES must be >= 1; got '$v'")
+      b
+    }.getOrElse(
+      math.min(MaxBudgetBytes,
+        math.max(MinBudgetBytes, (availBytes * HeadroomFraction).toLong)))
 
   /** Derive the pass count for an exchange estimated as
     * `expansion × leafScanBytes(input)` against `scratchDir`'s usable
