@@ -14,8 +14,9 @@ object PlanAudit {
       "events_asof_last_purchase", "sim_topk_bruteforce", "dedup_minhash_lsh",
       "q6_forecast_revenue", "q17_small_quantity", "skew_salted_join_agg",
       "pack_sequences", "events_gapfill_hourly", "agg_grouping_sets")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
