@@ -184,10 +184,15 @@ object SimMore {
     * compares exact longs.
     */
   def embedRandomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    Similarity.registerCosine(spark)
     val w = Similarity.hyperplaneWeights(16, Dim)
     val projCols = w.zipWithIndex.map { case (row, j) =>
-      val chain = (0 until Dim).map(d =>
-        element_at(col("e"), d + 1) * lit(row(d).toDouble)).reduceLeft(_ + _)
+      // One fused DotProduct loop against a folded array literal replaces
+      // the former unrolled 64-term multiply-add chain: identical strict
+      // left-to-right accumulation (bit-for-bit), but 16 expression nodes
+      // instead of ~1 000 — the plan itself was the cost (task-deser).
+      val wCol = array(row.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+      val chain = Similarity.dot(col("e"), wCol)
       round(chain * lit(1e6)).cast("long").as(s"p$j")
     }
     // orderedBelow: 16 codegen'd 64-term multiply-add chains per row —

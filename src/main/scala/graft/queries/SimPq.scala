@@ -59,14 +59,27 @@ object SimPq {
     }
   }
 
-  /** Encoding distance ‖e_m − c‖² as a fixed-order column chain. */
+  /** Registers the codegen'd [[graft.functions.SqDistAt]] loop used for
+    * every fixed-order distance in this file (idempotent).
+    */
+  private def registerFns(spark: SparkSession): Unit =
+    graft.functions.FunctionRegistration.tempFunctionOnce(spark,
+      "sq_dist_at", exprs => graft.functions.SqDistAt(exprs(0), exprs(1), exprs(2)))
+
+  /** Centroid as a foldable array literal (ONE Literal node post-folding). */
+  private def wLit(c: Array[Long]): Column =
+    array(c.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+
+  /** Encoding distance ‖e_m − c‖²: the same strict left-to-right double
+    * chain the oracle spells out, evaluated as one codegen'd loop
+    * ([[graft.functions.SqDistAt]]) instead of an unrolled 8-term tree —
+    * see the plan-weight rationale on that class.
+    */
   private def encDist(m: Int, c: Array[Long]): Column =
-    (0 until SubDim).map { d =>
-      val x = element_at(col("e"), m * SubDim + d + 1) - lit(c(d).toDouble)
-      x * x
-    }.reduceLeft(_ + _)
+    call_function("sq_dist_at", col("e"), wLit(c), lit(m * SubDim))
 
   def simPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    registerFns(spark)
     val cb = codebook
     val table = adcTable
     // per subspace: argmin code (ties → lowest k, first-index-of-min)
@@ -145,12 +158,11 @@ object SimPq {
     }
   }
 
-  /** ‖e − C_j‖² as a fixed-order column chain over the full 64 dims. */
+  /** ‖e − C_j‖² over the full 64 dims — same fixed-order chain, one
+    * [[graft.functions.SqDistAt]] loop per centroid.
+    */
   private def coarseDist(c: Array[Long]): Column =
-    (0 until M * SubDim).map { d =>
-      val x = element_at(col("e"), d + 1) - lit(c(d).toDouble)
-      x * x
-    }.reduceLeft(_ + _)
+    call_function("sq_dist_at", col("e"), wLit(c), lit(0))
 
   /** IVF-PQ probe: every corpus vector routes to its nearest coarse
     * centroid (argmin fixed-order L2, ties → lowest list — map-only; at
@@ -162,6 +174,7 @@ object SimPq {
     * float vector touched at query time.
     */
   def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    registerFns(spark)
     val cb = codebook
     val table = adcTable
     val qd = queryCoarseDists
@@ -256,6 +269,7 @@ object SimPq {
     * identically and the curve hash-gates.
     */
   def annNprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    registerFns(spark)
     val cb = codebook
     val table = adcTable
     val ranks = listRanks
@@ -269,10 +283,7 @@ object SimPq {
       element_at(lut, col(s"c$m") + 1)
     }.reduceLeft(_ + _)
     val q = queryVec
-    val exactDist = (0 until M * SubDim).map { d =>
-      val x = element_at(col("e"), d + 1) - lit(q(d).toDouble)
-      x * x
-    }.reduceLeft(_ + _)
+    val exactDist = call_function("sq_dist_at", col("e"), wLit(q), lit(0))
     val rankLut = array(ranks.map(r => lit(r)): _*)
     val scored = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("e"))

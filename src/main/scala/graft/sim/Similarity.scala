@@ -33,6 +33,9 @@ object Similarity {
   /** Fused single-pass cosine (requires [[registerCosine]] on the session). */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
+  /** Fused single-pass dot product (requires [[registerCosine]]). */
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
   /** Built-in composition fallback (4 array passes; bit-identical result). */
   def cosineBuiltin(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
