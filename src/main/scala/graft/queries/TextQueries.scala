@@ -235,12 +235,14 @@ object TextQueries {
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("id_a"), col("id_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), gramsExpr.as("ts"))
+    // sorted gram arrays → merge-walk intersect (see minhashAccuracy)
+    graft.functions.IntersectCountSortedStr.register(spark)
+    val sets = docs.select(col("doc_id"), array_sort(gramsExpr).as("ts"))
     cand
       .join(sets.toDF("id_a", "ts_a"), "id_a")
       .join(sets.toDF("id_b", "ts_b"), "id_b")
       .withColumn("n_inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        call_function("intersect_count_sorted_str", col("ts_a"), col("ts_b")))
       .withColumn("n_union",
         (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("n_inter"))
       .filter(col("n_inter") * 20 >= col("n_union") * 19)
@@ -344,15 +346,20 @@ object TextQueries {
     * standard "verify stage" cost of an LSH dedup pipeline.
     */
   def minhashAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.IntersectCountSortedStr.register(spark)
     val docs = Tables.documents(spark, sfDir)
     val cand = Dedup.minhashCandidates(docs, k = 16, bands = 2)
+    // array_sort once per doc buys the allocation-free merge-walk
+    // intersect per candidate pair below (2.37 M pairs at sf0.1 — the
+    // per-pair hash-set build was the query's dominant task time);
+    // sort order never reaches the output (size/intersect-count only).
     val sets = docs.select(col("doc_id"),
-      array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+      array_sort(array_distinct(TextFunctions.tokens(col("text")))).as("ts"))
     cand
       .join(sets.toDF("id_a", "ts_a"), "id_a")
       .join(sets.toDF("id_b", "ts_b"), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+        call_function("intersect_count_sorted_str", col("ts_a"), col("ts_b")))
       .withColumn("na", size(col("ts_a")).cast("long"))
       .withColumn("nb", size(col("ts_b")).cast("long"))
       .withColumn("exact_jaccard",
