@@ -40,6 +40,15 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(content: Array[Byte], kind: String): (Long, Long, Long)
     def features(content: Array[Byte], kind: String, dim: Int = 8): Array[Double]
+
+    /** Both halves in one call. The pipeline always wants both, and for a
+      * real codec the decode IS the cost — the default pays it twice;
+      * implementations backed by an actual decoder override this to
+      * decode once (ImageIO measured ~2× on the gated PNG path).
+      */
+    def decodeWithFeatures(content: Array[Byte], kind: String,
+        dim: Int = 8): ((Long, Long, Long), Array[Double]) =
+      (decode(content, kind), features(content, kind, dim))
   }
 
   /** ======== STUB CODEC (deterministic fake — see scaladoc above) ======= */
@@ -98,8 +107,17 @@ object Multimodal {
     */
   object ImageIoCodec extends MediaCodec {
     private def readImage(content: Array[Byte]): java.awt.image.BufferedImage =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      // Explicit MEMORY-cached stream: the ImageIO.read(InputStream)
+      // convenience wraps the bytes in a FileCache stream — one temp
+      // file created AND deleted per decoded row (the dominant cost of
+      // the gated decode at sf0.1: ~240 s of task time for ~1 s of
+      // pixel work). The payload is already fully in memory.
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(content)))
+        img
+      } catch { case _: java.io.IOException => null }
 
     override def decode(content: Array[Byte], kind: String): (Long, Long, Long) =
       if (kind != "image") (-1L, -1L, 0L)
@@ -109,19 +127,22 @@ object Multimodal {
         else (img.getWidth.toLong, img.getHeight.toLong, 1L)
       }
 
-    override def features(content: Array[Byte], kind: String,
-        dim: Int = 8): Array[Double] = {
-      if (kind != "image") return Array.empty
-      val img = readImage(content)
-      if (img == null) return Array.empty
+    /** Strip-luminance features of an already-decoded image. Pixels are
+      * fetched as ONE bulk getRGB row-major array and accumulated in the
+      * same y-outer/x-inner order as the former per-pixel loop —
+      * identical double arithmetic.
+      */
+    private def featuresOf(img: java.awt.image.BufferedImage,
+        dim: Int): Array[Double] = {
       val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val sums = new Array[Double](dim)
       val counts = new Array[Long](dim)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = px(y * w + x)
           val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) /
             (3.0d * 255.0d)
           val strip = math.min(dim - 1, x * dim / w)
@@ -133,6 +154,26 @@ object Multimodal {
       }
       Array.tabulate(dim)(j =>
         if (counts(j) == 0) 0.0d else 2.0d * sums(j) / counts(j) - 1.0d)
+    }
+
+    override def features(content: Array[Byte], kind: String,
+        dim: Int = 8): Array[Double] = {
+      if (kind != "image") return Array.empty
+      val img = readImage(content)
+      if (img == null) return Array.empty
+      featuresOf(img, dim)
+    }
+
+    /** One ImageIO.read serves both halves (the separate decode +
+      * features calls each re-decoded the payload).
+      */
+    override def decodeWithFeatures(content: Array[Byte], kind: String,
+        dim: Int = 8): ((Long, Long, Long), Array[Double]) = {
+      if (kind != "image") return ((-1L, -1L, 0L), Array.empty)
+      val img = readImage(content)
+      if (img == null) ((-1L, -1L, 0L), Array.empty)
+      else ((img.getWidth.toLong, img.getHeight.toLong, 1L),
+        featuresOf(img, dim))
     }
   }
 
@@ -196,14 +237,15 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          val px = new Array[Int](w * h)
+          java.util.Arrays.fill(px, rgb)
+          img.setRGB(0, 0, w, h, px, 0, w)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          // memory-cached stream: ImageIO.write(_, _, OutputStream)
+          // otherwise spools every encode through a temp FILE
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          javax.imageio.ImageIO.write(img, "png", ios)
+          ios.close()
           MediaRow(id, "image", bos.toByteArray)
         }
       }
@@ -228,9 +270,8 @@ object Multimodal {
       rows.grouped(BatchSize).flatMap { batch =>
         // a real pipeline would init the codec/model HERE, once per batch
         batch.iterator.map { m =>
-          val (w, h, f) = codec.decode(m.content, m.kind)
-          DecodedMedia(m.media_id, m.kind, w, h, f,
-            codec.features(m.content, m.kind))
+          val ((w, h, f), feat) = codec.decodeWithFeatures(m.content, m.kind)
+          DecodedMedia(m.media_id, m.kind, w, h, f, feat)
         }
       }
     }
