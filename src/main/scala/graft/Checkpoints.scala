@@ -103,5 +103,42 @@ object Checkpoints {
         df.localCheckpoint(true, level)
       }
     }
+
+    /** LAZY variant of [[stableCheckpoint]]: marks the plan for
+      * truncation but lets the CALLER's next action materialize the
+      * blocks as a side effect — one job instead of two wherever a
+      * checkpoint is immediately followed by an action over it (the
+      * iterative loops' shape: truncate, then read a convergence
+      * scalar). The r18 probe sweep measured the per-action driver
+      * round-trip at ~100-300 ms; a 10-round component loop pays it 20
+      * times eagerly, 10 times lazily, with identical blocks, lineage
+      * truncation and results. Callers MUST run an action on the
+      * returned frame before the next loop round builds on it —
+      * otherwise round N+1's plan silently grows the untruncated
+      * lineage (the exact disease this seam exists to prevent).
+      */
+    def stableCheckpointLazy(): DataFrame = {
+      val spark = df.sparkSession
+      val reliable =
+        spark.conf.getOption(Flag).exists(_.equalsIgnoreCase("true"))
+      if (reliable) {
+        require(spark.sparkContext.getCheckpointDir.isDefined,
+          s"$Flag=true requires SparkContext.setCheckpointDir " +
+            "(point it at job scratch storage, e.g. an HDFS/S3 path)")
+        df.checkpoint(false)
+      } else {
+        val leaf = Autoscale.leafScanBytes(df)
+        val thr = Autoscale.thresholdBytes(spark)
+        val (level, mode) = spark.conf.getOption(LevelFlag) match {
+          case Some(name) => (StorageLevel.fromString(name), "forced")
+          case None =>
+            (if (leaf >= BigInt(thr)) StorageLevel.MEMORY_AND_DISK_SER
+             else StorageLevel.MEMORY_AND_DISK, "auto")
+        }
+        Autoscale.record(Autoscale.callerOp, "localCheckpointLevel",
+          leaf, thr, level.description, mode)
+        df.localCheckpoint(false, level)
+      }
+    }
   }
 }

@@ -50,7 +50,7 @@ object BpeTrainer {
       posexplode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "sym")))
-      .stableCheckpoint()
+      .stableCheckpointLazy() // round 1's argmax action materializes
 
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
     var exhausted = false
@@ -82,6 +82,9 @@ object BpeTrainer {
           Window.partitionBy(col("w"), col("island"))))
         .filter((col("pos") - col("start")) % 2 === 0)
         .select(col("w"), col("pos").as("mpos"))
+      // EAGER on purpose: two sibling probes consume this in one plan,
+      // and a lazy mark let their build sides race to compute it twice
+      // (measured +0.8 s); materializing once upfront is cheaper.
       val keptCk = kept.stableCheckpoint() // two probes below
       seq = marked
         .join(keptCk.select(col("w"), col("mpos").as("pos"),
@@ -94,7 +97,7 @@ object BpeTrainer {
         .withColumn("pos", row_number().over(wWin).cast("long") - 1)
         .select(col("w"), col("freq"), col("pos"), col("sym"))
         .repartition(nPart, col("w"))
-        .stableCheckpoint()
+        .stableCheckpointLazy()
       out += ((round, pa, pb, pf, seq.count()))
       }
     }

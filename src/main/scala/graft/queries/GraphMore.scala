@@ -42,14 +42,19 @@ object GraphMore {
     // `items` roots in the lineitem files, the honest size signal)
     if (graft.storage.Bucketing.iterationsEnabled(spark, items))
       return kcoreBucketed(spark, pairs)
-    var edges = pairs.stableCheckpoint()
+    // LAZY truncation (the r18 BFS treatment): the peel count is FIXED —
+    // no driver-side scalar gates a round — so every checkpoint defers
+    // to the final aggregate's single action; per-round plans still root
+    // in flat LogicalRDDs and each marked RDD materializes once (the
+    // eager shape paid ~6 driver round-trips per run).
+    var edges = pairs.stableCheckpointLazy()
     def degrees(e: DataFrame): DataFrame =
       e.select(col("pa").as("u"))
         .unionAll(e.select(col("pb").as("u")))
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val d0 = degrees(edges)
     val n = d0.agg(count(lit(1)).as("n"))
-    val thr = kcoreThreshold(d0, n).stableCheckpoint()
+    val thr = kcoreThreshold(d0, n).stableCheckpointLazy()
     for (_ <- 1 to Rounds) {
       val alive = degrees(edges)
         .crossJoin(broadcast(thr))
@@ -58,7 +63,7 @@ object GraphMore {
         .join(alive.toDF("pa"), "pa")
         .join(alive.toDF("pb"), "pb")
         .select(col("pa"), col("pb"))
-        .stableCheckpoint()
+        .stableCheckpointLazy()
     }
     degrees(edges)
       .select(col("u").as("part_key"), col("deg"))
@@ -375,10 +380,17 @@ object GraphMore {
         graft.storage.Bucketing.writeBucketed(
           adjPlan, "graft_scratch_bfs_adj", "u", nB)
         spark.table("graft_scratch_bfs_adj")
-      } else adjPlan.stableCheckpoint() // probed once per BFS round
+      } else adjPlan.stableCheckpointLazy() // probed once per BFS round
+    // LAZY truncation throughout: the round count is FIXED (no driver
+    // reads any per-round scalar), so every checkpoint can defer to the
+    // query's single final action — per-round plans still root in flat
+    // LogicalRDDs (no lineage growth) and each marked RDD's blocks are
+    // saved the first time the one real execution computes them. The
+    // eager version paid ~10 driver round-trips (checkpoint actions) per
+    // run for state the final aggregate was about to materialize anyway.
     val src = adj.agg(min(col("u")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
-    var visited = src.stableCheckpoint()
+    var visited = src.stableCheckpointLazy()
     var frontier = visited
     for (d <- 1 to 4) {
       // bucketed mode: force SHJ with the frontier as build side so the
@@ -390,8 +402,8 @@ object GraphMore {
         .select(col("v").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("dist"))
-        .stableCheckpoint()
-      visited = visited.unionAll(next).stableCheckpoint()
+        .stableCheckpointLazy()
+      visited = visited.unionAll(next).stableCheckpointLazy()
       frontier = next
     }
     val reached = visited.groupBy(col("dist"))

@@ -84,14 +84,17 @@ object IngestQueries {
         cols.flatMap(c => Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
           countDistinct(col(c)).as(s"__ndv_$c")))
-      // one row; checkpoint so the per-column union branches read it
-      // instead of re-running the whole-table aggregate per column
-      val one = df.agg(aggs.head, aggs.tail: _*).stableCheckpoint()
-      cols.map { c =>
-        one.select(lit(table).as("table_name"), lit(c).as("column_name"),
-          col("__n").as("n_rows"), col(s"__nulls_$c").as("n_nulls"),
-          col(s"__ndv_$c").as("ndv"))
-      }.reduce(_ unionByName _)
+      // ONE consumer of the one-row aggregate: explode a struct per
+      // column instead of unioning three re-projections (the union
+      // shape needed an eager checkpoint per table — three extra
+      // driver round-trips — to keep the branches from re-running the
+      // whole-table aggregate)
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(table).as("table_name"), lit(c).as("column_name"),
+            col("__n").as("n_rows"), col(s"__nulls_$c").as("n_nulls"),
+            col(s"__ndv_$c").as("ndv"))): _*)).as("s"))
+        .select(col("s.*"))
     }
     stats("orders", Tables.orders(spark, sfDir),
         Seq("o_custkey", "o_orderpriority", "o_orderstatus"))

@@ -143,28 +143,15 @@ object Dedup {
     * Identical output, md5 once per token.
     */
   def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val counters = aggregate(
-      hashes,
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
-        (c, b) => c + when(call_function("shiftright", h, b)
-          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    val sig = aggregate(
-      counters,
-      struct(lit(0).as("b"), lit(0L).as("acc")),
-      (st, c) => struct(
-        (st.getField("b") + 1).as("b"),
-        (st.getField("acc") + when(c > 0,
-          call_function("shiftleft", lit(1L), st.getField("b")))
-          .otherwise(lit(0L))).as("acc")),
-      st => st.getField("acc"))
-    // NULL text → 0L signature (no bit sum is positive over zero tokens),
-    // matching the pre-r11 when/otherwise form: `aggregate` over a NULL
-    // array is NULL, which would otherwise poison downstream xor/hamming
-    // comparisons on null-text rows.
-    coalesce(sig, lit(0L))
+    // codegen'd loop ([[graft.functions.SimHash60]]) — definitionally the
+    // two-fold HOF composition it replaces (md5-top60 per token, 60 ±1
+    // counters, positive-counter bits), which ran interpreted with a
+    // 60-element allocation per TOKEN. NULL text still → 0L (the
+    // expression is null-intolerant like the aggregate chain was).
+    graft.functions.SimHash60.register(
+      org.apache.spark.sql.SparkSession.active)
+    coalesce(
+      call_function("simhash60", TextFunctions.tokens(text)), lit(0L))
   }
 
   /** Hamming distance between two simhash signatures (bit_count of xor). */
@@ -209,10 +196,15 @@ object Dedup {
     * an embedded `tokens(text)` would re-split the document once per gram
     * position — quadratic in document length).
     */
-  def ngramSetOfTokens(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  def ngramSetOfTokens(toks: Column, n: Int): Column = {
+    // codegen'd loop ([[graft.functions.NgramSet]]) — definitionally the
+    // HOF `array_distinct(transform(sequence(1, greatest(size-n+1, 1)),
+    // i -> concat_ws(' ', slice(toks, i, n))))` it replaces, which ran
+    // interpreted in eleven gated queries' hottest map stage
+    graft.functions.NgramSet.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("ngram_set", toks, lit(n))
+  }
 
   /** Convenience wrapper over [[ngramSetOfTokens]]; prefer projecting the
     * token array first on anything bigger than a test row.
@@ -331,9 +323,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // LAZY checkpoint: the edge count below is the materializing action
+    // (one job saves the blocks AND returns the scalar)
     val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .stableCheckpoint()
+      .stableCheckpointLazy()
     // Right-size the iteration parallelism to the EDGE count, not the
     // session default: candidate-pair graphs are usually tiny relative
     // to the corpus, and every label-propagation round otherwise pays a
@@ -343,9 +337,11 @@ object Dedup {
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (edges0.count() / 50000L).toInt + 1))
-    val edges = edges0.repartition(parts, col("dst")).stableCheckpoint()
+    // Both lazy: round 1's convergence aggregate is the first action over
+    // them, and its one job materializes edge AND label blocks en route.
+    val edges = edges0.repartition(parts, col("dst")).stableCheckpointLazy()
     var labels = edges.select(col("src")).distinct()
-      .withColumn("lbl", col("src")).stableCheckpoint()
+      .withColumn("lbl", col("src")).stableCheckpointLazy()
     var iter = 0
     var converged = false
     // Convergence via the label-sum invariant where labels are numeric
@@ -359,12 +355,15 @@ object Dedup {
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var prevSum = Option.empty[java.math.BigDecimal]
     while (iter < maxIter && !converged) {
+      // LAZY: the convergence check right below (Σlbl or the isEmpty
+      // join — both paths always run one) doubles as the materializer,
+      // halving the loop's driver round-trips (2 jobs/round → 1).
       val next = edges
         .join(labels.select(col("src").as("dst"), col("lbl")), "dst")
         .select(col("src"), col("lbl"))
         .union(labels)
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
-        .stableCheckpoint()
+        .stableCheckpointLazy()
       if (numericLbl) {
         val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
           .head().getDecimal(0)
