@@ -261,17 +261,25 @@ object AnalyticsSeventh {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("w"))
-      // NUMBERED repartition: spread the 600k-row partial aggregation
-      // off the single-partition scan
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      // NUMBERED repartition ON THE GROUP KEY: spreads the 600k-row
+      // partial aggregation off the single-partition scan AND satisfies
+      // the aggregate's distribution, so the histogram mass crosses the
+      // wire once (the unkeyed spread paid a second (flag, cents)
+      // exchange right after)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_returnflag"), col("cents"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("wt"))
-    val byFlag = Window.partitionBy(col("l_returnflag"))
+    // per-flag totals as a 3-row broadcast join, NOT a second WindowExec:
+    // the empty-frame window buffered the whole ~500k-row histogram per
+    // flag a second time just to attach one scalar
+    val totals = h.groupBy(col("l_returnflag"))
+      .agg(sum(col("wt")).as("total_w"))
     val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     h
       .withColumn("cum", sum(col("wt")).over(cumW))
-      .withColumn("total_w", sum(col("wt")).over(byFlag))
+      .join(broadcast(totals), "l_returnflag")
       .withColumn("r", expr("(total_w + 1) div 2"))
       .filter(col("cum") >= col("r") && col("cum") - col("wt") < col("r"))
       .select(col("l_returnflag"), col("total_w").as("total_units"),

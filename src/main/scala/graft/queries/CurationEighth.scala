@@ -518,9 +518,14 @@ object CurationEighth {
       .join(grams.toDF("sb", "g"), "g")
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    // codegen'd MinHashSignature loop over the 1-gram array ≡ the HOF
+    // `transform(sequence(0,15), j -> md5(j || ':' || g))` it replaces
+    // (same definition, same hex strings) — the lambda ran INTERPRETED
+    // with a 16-string array allocation per gram row
+    graft.functions.MinHashSignature.register(spark)
     val sigs = grams
-      .select(col("source"), posexplode(expr(
-        "transform(sequence(0, 15), j -> md5(concat(cast(j as string), ':', g)))"))
+      .select(col("source"), posexplode(
+        call_function("minhash_sig", array(col("g")), lit(16)))
         .as(Seq("j", "h")))
       .groupBy(col("source"), col("j")).agg(min(col("h")).as("sig"))
     val est = sigs.toDF("sa", "j", "sig_a")
