@@ -16,8 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-JVM parquet SCHEMA memo (path-keyed). Plain
+    * `spark.read.parquet` runs a footer-reading schema-inference JOB on
+    * every call — two to four ~60 ms driver round-trips per query, ~30 s
+    * across a 286-query bench pass (r18 probe). Passing the
+    * once-inferred schema skips exactly that job and nothing else: this
+    * caches METADATA (the role a catalog/metastore plays in a real
+    * deployment — at 100 TB nobody schema-infers per query), never data
+    * or results — every query still scans the parquet inputs in full.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -67,15 +67,18 @@ object AnalyticsFifth {
       .distinct()
       .repartition(nPart, col("p"))
 
-    // mode(label) per key with deterministic smallest-label tiebreak
-    def modeOf(df: DataFrame, key: String, label: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col(key))
-        .orderBy(col("cnt").desc, col(label).asc)
+    // mode(label) per key with deterministic smallest-label tiebreak.
+    // max_by over the strictly-unique ordering struct (cnt, −label)
+    // replaces the old row_number window: same winner by construction
+    // (labels are distinct within a key after the count groupBy, and
+    // positive, so −label never overflows), but a partial-aggregable
+    // DeclarativeAggregate instead of a full per-key SORT per round —
+    // four rounds of WindowExec over the ~240k-row count relation gone.
+    def modeOf(df: DataFrame, key: String, label: String, out: String): DataFrame =
       df.groupBy(col(key), col(label)).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col(key), col(label).as(out))
-    }
+        .groupBy(col(key))
+        .agg(max_by(col(label),
+          struct(col("cnt"), (-col(label)).as("neg"))).as(out))
 
     val pl1 = modeOf(edges.select(col("p"), col("c").as("lbl")), "p", "lbl", "pl1")
     val cl1 = modeOf(edges.join(pl1, "p").select(col("c"), col("pl1").as("lbl")),
