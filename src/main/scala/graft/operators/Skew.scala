@@ -27,10 +27,24 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       discriminator: Column, buckets: Int): DataFrame = {
+    // Keep the join a SHUFFLE join at full width — that is the whole
+    // operator. Left unhinted, AQE broadcast-converts at small scale
+    // (a ~0.7 s driver-side hash-table build of the bucket-replicated
+    // right, measured on the r18 StageGapProbe) and byte-based
+    // coalescing then serialized the probe+partial-agg onto 2-3 tasks.
+    // SHUFFLE_HASH builds per-bucket hash maps off the (key, salt)
+    // exchange (no sort, no driver build), and the NUMBERED left
+    // repartition — which already satisfies the join's distribution —
+    // pins the salt's parallelism so AQE cannot fold the split
+    // buckets back together.
+    val nPart = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val saltedLeft = left.withColumn("__salt", saltCol(discriminator, buckets))
+      .repartition(nPart, col(key), col("__salt"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+    saltedLeft.join(replicatedRight.hint("shuffle_hash"),
+      Seq(key, "__salt")).drop("__salt")
   }
 
   /** Two-phase skew-safe aggregation: partial aggregate on (keys, salt),
