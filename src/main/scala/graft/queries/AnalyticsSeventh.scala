@@ -275,12 +275,37 @@ object AnalyticsSeventh {
     // flag a second time just to attach one scalar
     val totals = h.groupBy(col("l_returnflag"))
       .agg(sum(col("wt")).as("total_w"))
+    // TWO-PHASE rank lookup (the kcoreThreshold / lorenzGini pattern):
+    // a per-flag cumulative window over the RAW ~500k-row cents
+    // histogram is a 3-task sequential scan whose size grows with the
+    // price domain (the r18 mrg sweep flagged it >500 ms on 3 tasks).
+    // Phase 1 cumulates a 65536-cent COARSE-BIN histogram (~160 bins
+    // per flag — the only full-domain window, trivially sized at any
+    // scale) and locates the single bin containing rank
+    // r = (total_w + 1) div 2; phase 2 runs the exact running sum over
+    // ONLY that bin's rows, seeded with the bins-before prefix. The
+    // selected row satisfies the same global cum ≥ r > cum − wt
+    // predicate, so the output is identical by construction.
+    val bins = h
+      .groupBy(col("l_returnflag"), expr("cents div 65536").as("bin"))
+      .agg(sum(col("wt")).as("bw"))
+    val cumBinW = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tgt = bins
+      .withColumn("cum_to_bin", sum(col("bw")).over(cumBinW))
+      .join(broadcast(totals), "l_returnflag")
+      .withColumn("r", expr("(total_w + 1) div 2"))
+      .filter(col("cum_to_bin") >= col("r") &&
+        col("cum_to_bin") - col("bw") < col("r"))
+      .select(col("l_returnflag"), col("bin"),
+        (col("cum_to_bin") - col("bw")).as("cum_before"),
+        col("total_w"), col("r"))
     val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     h
-      .withColumn("cum", sum(col("wt")).over(cumW))
-      .join(broadcast(totals), "l_returnflag")
-      .withColumn("r", expr("(total_w + 1) div 2"))
+      .join(broadcast(tgt), Seq("l_returnflag"))
+      .filter(expr("cents div 65536") === col("bin"))
+      .withColumn("cum", col("cum_before") + sum(col("wt")).over(cumW))
       .filter(col("cum") >= col("r") && col("cum") - col("wt") < col("r"))
       .select(col("l_returnflag"), col("total_w").as("total_units"),
         col("cents").as("weighted_median_cents"))
