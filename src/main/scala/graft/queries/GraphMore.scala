@@ -32,12 +32,7 @@ object GraphMore {
   def kcoreParts(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = items.toDF("ok", "pa")
-      .join(items.toDF("ok", "pb"), "ok")
-      .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-      .distinct()
+    val pairs = orderPairs(spark, sfDir).distinct()
     // depth-mode decision (explicit flag, else auto by leaf-scan mass —
     // `items` roots in the lineitem files, the honest size signal)
     if (graft.storage.Bucketing.iterationsEnabled(spark, items))
@@ -59,9 +54,12 @@ object GraphMore {
       val alive = degrees(edges)
         .crossJoin(broadcast(thr))
         .filter(col("deg") >= col("k_thr")).select(col("u"))
+      // SHUFFLE_HASH on the node-scale alive sides (the kcoreBucketed
+      // idiom): understated sorted_pairs-build estimates otherwise let
+      // the static planner broadcast Θ(V)/Θ(E) relations into the peel
       edges = edges
-        .join(alive.toDF("pa"), "pa")
-        .join(alive.toDF("pb"), "pb")
+        .join(alive.toDF("pa").hint("shuffle_hash"), "pa")
+        .join(alive.toDF("pb").hint("shuffle_hash"), "pb")
         .select(col("pa"), col("pb"))
         .stableCheckpointLazy()
     }
@@ -149,11 +147,56 @@ object GraphMore {
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col("deg").as("k_thr"))
 
+  /** Per-order co-purchase pair rows (pa < pb, one row per order that
+    * contains the pair; baskets capped at each order's `cap` smallest
+    * distinct parts) — the shared pair-generation kernel of every graph
+    * query. One `collect_set` aggregation keyed on the order plus the
+    * [[graft.functions.SortedPairs]] codegen loop replaces the r5-r17
+    * `items ⋈ items ON ok` self-join: the old shape paid the (ok,pk)
+    * distinct exchange, an ok re-exchange of BOTH join sides and a
+    * sort-merge join before the pair filter; this shape pays ONE
+    * numbered ok exchange (numbered for the fan-out-blind-AQE reason
+    * documented on `copurchaseRecallAtK`: the pair explosion multiplies
+    * rows ~8×, so byte-based coalescing of the small basket shuffle
+    * would serialize it) and emits pairs straight out of the compiled
+    * loop. Probe on this box (sf0.1, warm min, bare edge list): 1259 →
+    * 964 ms. Dedup/cap semantics match the self-join contract clause by
+    * clause — see the expression's scaladoc.
+    */
+  private[queries] def orderPairs(spark: SparkSession, sfDir: String,
+      cap: Int = Int.MaxValue): DataFrame = {
+    graft.functions.SortedPairs.register(spark)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(nPart, col("ok"))
+      .groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(call_function("sorted_pairs", col("ps"),
+        lit(cap))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+  }
+
   /** Distinct co-purchase edge list (pa < pb): the shared graph of the
     * clustering-coefficient / rich-club / BFS queries. One definition so
     * a future cap or dedup tweak applies to every consumer at once.
     */
-  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    orderPairs(spark, sfDir).distinct()
+
+  /** BFS-only edge list: the r5-r17 self-join shape, kept DELIBERATELY.
+    * The sorted_pairs kernel regressed BFS in every variant tried
+    * (isolated min-of-5: 3.44 s old vs 4.59 s kernel+union / 4.77 s
+    * one-chain symmetric / 5.65 s symmetric+eager-checkpoint) — BFS is
+    * the one consumer that layers 4 lazily-checkpointed rounds (11
+    * actions) on top of the edge relation, and with the kernel in the
+    * lineage its warm runs grow ~4.5 s driver-side dead gaps between
+    * rounds (StageGapProbe; the old shape's gaps are ≤1.3 s — the
+    * non-deterministic `collect_set` in the lineage defeats plan/stage
+    * reuse that the all-deterministic join chain gets). Every
+    * non-iterative consumer keeps the faster kernel ([[orderPairs]]).
+    */
+  private def bfsEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -191,10 +234,16 @@ object GraphMore {
     val nbrs = adj.join(broadcast(top.select(col("center"))),
         col("u") === col("center"))
       .select(col("center"), col("v"))
+    // SHUFFLE_HASH pins: the hub-neighbor set is Θ(Σ_top deg) and the
+    // close probe's right side is the Θ(E) edge list — understated
+    // sorted_pairs-build estimates would statically broadcast both
+    // (driver collects that grow with the graph); partitioned hash
+    // builds keep the wedge-close shape scale-uniform
     val closed = nbrs.toDF("center", "x")
-      .join(nbrs.toDF("center", "y"), Seq("center"))
+      .join(nbrs.toDF("center", "y").hint("shuffle_hash"), Seq("center"))
       .filter(col("x") < col("y"))
-      .join(edges.toDF("x", "y"), Seq("x", "y"), "left_semi")
+      .join(edges.toDF("x", "y").hint("shuffle_hash"),
+        Seq("x", "y"), "left_semi")
       .groupBy(col("center")).agg(count(lit(1)).as("closed_wedges"))
     top.join(closed, Seq("center"), "left")
       .withColumn("closed_wedges", coalesce(col("closed_wedges"), lit(0L)))
@@ -298,9 +347,13 @@ object GraphMore {
     val hubs = deg.crossJoin(broadcast(ks))
       .filter(col("deg") > col("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_hubs"))
+    // SHUFFLE_HASH pins on the Θ(V) degree sides: understated Generate
+    // estimates from the sorted_pairs build otherwise flip these to
+    // static broadcasts of the whole degree table (see
+    // neighborDegreeFunction)
     val within = edges
-      .join(deg.toDF("pa", "da"), Seq("pa"))
-      .join(deg.toDF("pb", "db"), Seq("pb"))
+      .join(deg.toDF("pa", "da").hint("shuffle_hash"), Seq("pa"))
+      .join(deg.toDF("pb", "db").hint("shuffle_hash"), Seq("pb"))
       .crossJoin(broadcast(ks))
       .filter(col("da") > col("k") && col("db") > col("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("edges_within"))
@@ -355,7 +408,7 @@ object GraphMore {
     * a depth-bounded recursive CTE. Output is pure integer counts.
     */
   def bfsDistanceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, sfDir)
+    val edges = bfsEdges(spark, sfDir)
     val adjPlan = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
     // Depth mode ([[graft.storage.Bucketing.IterationsFlag]]): the
@@ -463,8 +516,13 @@ object GraphMore {
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .stableCheckpoint() // joined twice: own degree + neighbor degree
-    adj.join(deg.toDF("v", "nbr_deg"), Seq("v"))
-      .join(deg, Seq("u"))
+    // SHUFFLE_HASH pins: the sorted_pairs build's Generate-propagated
+    // estimates UNDERSTATE the checkpointed edge/degree relations, so
+    // unhinted these joins statically broadcast Θ(V) builds (a driver
+    // collect that grows with the graph); the pinned partitioned hash
+    // build keeps the shape scale-uniform (kcoreBucketed idiom)
+    adj.join(deg.toDF("v", "nbr_deg").hint("shuffle_hash"), Seq("v"))
+      .join(deg.hint("shuffle_hash"), Seq("u"))
       .groupBy(col("deg").as("k"))
       .agg(countDistinct(col("u")).as("n_nodes"),
         count(lit(1)).as("n_edge_ends"),

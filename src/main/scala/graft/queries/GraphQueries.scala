@@ -138,23 +138,18 @@ object GraphQueries {
     * cap as `AnalyticsFourth.marketBasketLift`). Checkpointed — every
     * caller reads it several times (wedge sides, semi join, degrees).
     */
-  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .dropDuplicates("ok", "pk")
-      .withColumn("rn", row_number().over(perOrder))
-      .filter(col("rn") <= 64)
-      .drop("rn")
-    items.toDF("ok", "a")
-      .join(items.toDF("ok", "b"), Seq("ok"))
-      .filter(col("a") < col("b"))
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    // pair generation via the shared collect_set + sorted_pairs codegen
+    // kernel (see [[GraphMore.orderPairs]]): the 64-item basket cap rides
+    // the expression's cap argument (smallest-64, exactly the old keyed
+    // row_number guard), each order emits a surviving pair at most once,
+    // so the (a,b) count below still counts ORDERS containing the pair
+    GraphMore.orderPairs(spark, sfDir, cap = 64)
+      .toDF("a", "b")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("a"), col("b"))
       .stableCheckpoint()
-  }
 
   /** Triangle count over the co-purchase graph. Edges are oriented
     * a < b, so each triangle is counted exactly once as the wedge a–b–c
@@ -169,17 +164,24 @@ object GraphQueries {
     val edges = coPurchaseEdges(spark, sfDir)
     // wedge COUNT from degree products (Σ_b in(b)·out(b)) — never by
     // materializing the Σd²-sized wedge set just to count it
+    // SHUFFLE_HASH pins on every Θ(E)/Θ(V)-side join: the sorted_pairs
+    // edge build plans with Generate-propagated (fan-out-blind, UNDER-
+    // stated) size estimates, so unhinted joins here statically
+    // broadcast edge-scale relations — fine at bench bytes, a driver
+    // collect of the whole graph at depth. A pinned partitioned hash
+    // build is scale-uniform (the kcoreBucketed/salted-join idiom).
     val nWedges = edges.groupBy(col("b")).agg(count(lit(1)).as("din"))
-      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("dout")),
-        col("b") === col("a"))
+      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("dout"))
+        .hint("shuffle_hash"), col("b") === col("a"))
       .agg(coalesce(sum(col("din") * col("dout")), lit(0L)).as("n_wedges"))
     val nodes = edges.select(col("a").as("x"))
       .union(edges.select(col("b").as("x")))
       .agg(countDistinct(col("x")).as("n_nodes"))
     val triangles = edges.toDF("a", "b")
-      .join(edges.toDF("b", "c"), Seq("b"))
+      .join(edges.toDF("b", "c").hint("shuffle_hash"), Seq("b"))
       .select(col("a"), col("b"), col("c"))
-      .join(edges.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      .join(edges.toDF("a", "c").hint("shuffle_hash"),
+        Seq("a", "c"), "left_semi")
     nodes
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(nWedges))

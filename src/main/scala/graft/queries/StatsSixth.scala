@@ -175,29 +175,24 @@ object StatsSixth {
     * double expression.
     */
   def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .dropDuplicates("ok", "pk")
-      // NUMBERED repartition: AQE coalesces the small dedup exchange to
-      // 2-3 partitions and the per-order pair explosion below would
-      // serialize there (the copurchase fan-out pathology)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("ok"))
-      .withColumn("rn", row_number().over(perOrder))
-      .filter(col("rn") <= 64)
-      .drop("rn")
-    val a = items.toDF("ok", "pa")
-    val b = items.toDF("ok", "pb")
-    val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
+    // pair generation via the shared collect_set + sorted_pairs codegen
+    // kernel (see [[graft.queries.GraphMore.orderPairs]]); the 64-item
+    // basket cap rides the expression's cap argument (smallest-64,
+    // exactly the old keyed row_number guard), and the kernel keeps the
+    // NUMBERED ok repartition that pins the pair explosion at full
+    // parallelism (the copurchase fan-out pathology)
+    val edges = graft.queries.GraphMore.orderPairs(spark, sfDir, cap = 64)
+      .distinct()
       .stableCheckpoint() // reused: degree counts + both join probes
     val deg = edges.select(col("pa").as("node"))
       .union(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // SHUFFLE_HASH pins on the Θ(V) degree sides: the sorted_pairs
+    // build's fan-out-blind estimates otherwise flip these to static
+    // broadcasts of the degree table (see GraphMore.neighborDegreeFunction)
     val withDeg = edges
-      .join(deg.toDF("pa", "da"), Seq("pa"))
-      .join(deg.toDF("pb", "db"), Seq("pb"))
+      .join(deg.toDF("pa", "da").hint("shuffle_hash"), Seq("pa"))
+      .join(deg.toDF("pb", "db").hint("shuffle_hash"), Seq("pb"))
     // Symmetrize: each undirected edge contributes (da,db) and (db,da).
     val sym = withDeg.select(col("da").as("x"), col("db").as("y"))
       .union(withDeg.select(col("db").as("x"), col("da").as("y")))
