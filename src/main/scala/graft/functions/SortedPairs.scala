@@ -71,10 +71,10 @@ case class SortedPairs(left: Expression, right: Expression)
 }
 
 object SortedPairs {
-  /** Registers `sorted_pairs` on the session's function registry
-    * (idempotent).
+  /** Registers `sorted_pairs` and `sorted_triples` on the session's
+    * function registry (idempotent).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     FunctionRegistration.tempFunctionOnce(spark,
       "sorted_pairs", {
         case Seq(arr) => new SortedPairs(arr)
@@ -82,6 +82,57 @@ object SortedPairs {
         case other => throw new IllegalArgumentException(
           s"sorted_pairs takes (arr[, cap]), got ${other.size} args")
       })
+    FunctionRegistration.tempFunctionOnce(spark,
+      "sorted_triples", {
+        case Seq(arr) => new SortedTriples(arr)
+        case Seq(arr, cap) => SortedTriples(arr, cap)
+        case other => throw new IllegalArgumentException(
+          s"sorted_triples takes (arr[, cap]), got ${other.size} args")
+      })
+  }
+}
+
+/** All ordered TRIPLES (pa < pb < pc) of a long array's distinct
+  * elements — the Apriori step past [[SortedPairs]], replacing the
+  * three-way basket self-join of `frequent_triples` (two sort-merge
+  * joins of the capped item relation) with one compiled loop:
+  * C(min(k,cap),3) triples per basket. Dedup/cap/null clauses exactly
+  * as [[SortedPairs]] (cap keeps the smallest `cap` distinct elements,
+  * the keyed-row_number guard; <3 survivors → empty; null → null).
+  */
+case class SortedTriples(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  def this(child: Expression) = this(child, Literal(Int.MaxValue))
+
+  require(right.foldable, "sorted_triples(arr, cap): cap must be a literal")
+
+  private lazy val cap: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"sorted_triples cap must be an integer literal, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pa", LongType, nullable = false),
+      StructField("pb", LongType, nullable = false),
+      StructField("pc", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(arr: Any, capAny: Any): Any =
+    SortedPairsImpl.computeTriples(arr.asInstanceOf[ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, _) =>
+      s"${ev.value} = graft.functions.SortedPairsImpl.computeTriples($arr, $cap);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Compiled pair loop, called from interpreted eval and generated code. */
@@ -114,4 +165,37 @@ object SortedPairsImpl {
     new GenericArrayData(out)
   }
 
+  /** C(n,3) ascending triples of the (capped) distinct elements — same
+    * dedup/cap walk as [[compute]].
+    */
+  def computeTriples(arr: ArrayData, cap: Int): ArrayData = {
+    val raw = arr.toLongArray()
+    java.util.Arrays.sort(raw)
+    var n = 0
+    var i = 0
+    while (i < raw.length && n < cap) {
+      if (n == 0 || raw(n - 1) != raw(i)) { raw(n) = raw(i); n += 1 }
+      i += 1
+    }
+    val total =
+      if (n < 3) 0 else n * (n - 1) * (n - 2) / 6
+    val out = new Array[Any](total)
+    var k = 0
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        var c = b + 1
+        while (c < n) {
+          out(k) = new GenericInternalRow(
+            Array[Any](raw(a), raw(b), raw(c))): InternalRow
+          k += 1
+          c += 1
+        }
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -162,9 +162,19 @@ object AnalyticsFourth {
       .stableCheckpoint() // reused 4× below (both join sides, counts, total)
     val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
     val partCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
-    val a = items.toDF("ok", "pa")
-    val b = items.toDF("ok", "pb")
-    a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+    // pair generation via the sorted_pairs codegen kernel over the SAME
+    // capped item relation (per-part counts and the order total must
+    // count capped items, so `items` keeps its checkpoint and window):
+    // one numbered ok exchange + collect_set + compiled pair loop
+    // replaces the sort-merge self-join of the two item reads
+    graft.functions.SortedPairs.register(spark)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    items
+      .repartition(nPart, col("ok"))
+      .groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(call_function("sorted_pairs", col("ps"))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= 2)
       .join(broadcast(partCnt.toDF("pa", "ca")), Seq("pa"))

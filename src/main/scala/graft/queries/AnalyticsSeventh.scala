@@ -29,17 +29,26 @@ object AnalyticsSeventh {
     * result is a distributed partial top-20.
     */
   def frequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
-    val perOrder = Window.partitionBy(col("ok")).orderBy(col("pk"))
-    val items = Tables.lineitem(spark, sfDir)
+    // triple generation via the sorted_triples codegen kernel (see
+    // [[graft.functions.SortedTriples]]): one numbered ok exchange +
+    // collect_set replaces the old (ok,pk) dedup exchange, keyed
+    // row_number cap, checkpoint and TWO sort-merge self-joins; the
+    // 16-item hot-basket cap rides the expression's cap argument
+    // (smallest-16 distinct ≡ the old keyed row_number guard). The
+    // numbered repartition pins the 560-triples-per-basket fan-out at
+    // full parallelism (AQE sizes the small basket exchange by input
+    // bytes, blind to output fan-out).
+    graft.functions.SortedPairs.register(spark)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .dropDuplicates("ok", "pk")
-      .withColumn("rn", row_number().over(perOrder))
-      .filter(col("rn") <= 16)
-      .drop("rn")
-      .stableCheckpoint() // three join probes below
-    items.toDF("ok", "pa")
-      .join(items.toDF("ok", "pb"), Seq("ok")).filter(col("pa") < col("pb"))
-      .join(items.toDF("ok", "pc"), Seq("ok")).filter(col("pb") < col("pc"))
+      .repartition(nPart, col("ok"))
+      .groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(call_function("sorted_triples", col("ps"),
+        lit(16))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"),
+        col("e.pc").as("pc"))
       .groupBy(col("pa"), col("pb"), col("pc"))
       .agg(count(lit(1)).as("support_cnt"))
       .filter(col("support_cnt") >= 2)

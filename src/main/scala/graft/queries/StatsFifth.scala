@@ -403,6 +403,14 @@ object StatsFifth {
       .select(col("p"))
     val re = edges.join(rare, "p") // rare-part edge list
     val deg = re.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    // Pair generation KEEPS the self-join shape DELIBERATELY: the
+    // sorted_pairs kernel was tried here (r18 second session) and
+    // measured WORSE — the rare-edge sets reach C(40,2)=780 pairs per
+    // part, where collect_set's object-hash aggregation costs more than
+    // the exchange-reused sort-merge self-join it replaces (isolated
+    // min-of-5 family context: 2.80 s kernel-unhinted / 4.19 s
+    // kernel+SHJ-pinned deg joins vs 2.58 s this shape). The graph
+    // family's small per-order baskets are where the kernel wins.
     val pairs = re.select(col("p"), col("c").as("c1"))
       .join(re.select(col("p"), col("c").as("c2")), "p")
       .filter(col("c1") < col("c2"))

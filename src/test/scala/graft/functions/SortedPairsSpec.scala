@@ -76,6 +76,45 @@ class SortedPairsSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  /** The three-way self-join sorted_triples replaced — the reference. */
+  private def tripleJoinRef(rows: Seq[(Long, Long)],
+      cap: Int): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val items = rows.toDF("grp", "v").dropDuplicates("grp", "v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .filter(col("rn") <= cap).drop("rn")
+    items.toDF("grp", "pa")
+      .join(items.toDF("grp", "pb"), Seq("grp"))
+      .filter(col("pa") < col("pb"))
+      .join(items.toDF("grp", "pc"), Seq("grp"))
+      .filter(col("pb") < col("pc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("sorted_triples identical to the three-way self-join, incl. cap") {
+    import spark.implicits._
+    SortedPairs.register(spark)
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(15).toLong)
+    }
+    for (c <- Seq(2, 3, 4, 16)) {
+      val got = rows.toDF("grp", "v")
+        .groupBy(col("grp")).agg(collect_set(col("v")).as("ps"))
+        .select(col("grp"),
+          explode(call_function("sorted_triples", col("ps"), lit(c))).as("e"))
+        .select(col("grp"), col("e.pa"), col("e.pb"), col("e.pc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == tripleJoinRef(rows, c), s"mismatch at cap=$c")
+    }
+  }
+
   test("null array yields null") {
     SortedPairs.register(spark)
     val r = spark.sql(
