@@ -157,21 +157,29 @@ object Autoscale {
     * call sites, deterministic, and only computed when a decision is
     * actually being recorded (never per-row).
     */
-  def callerOp: String = {
+  def callerOp: String = callerOpExcluding(Set.empty)
+
+  /** [[callerOp]] that additionally skips the given `Class.method` labels
+    * — for shared decision helpers (e.g. `GraphMore.joinsBig`) whose
+    * decisions should be attributed to the QUERY that called them.
+    */
+  def callerOpExcluding(skip: Set[String]): String = {
     val own = Set("graft.Autoscale", "graft.Checkpoints", "graft.Tables",
       "graft.storage.Bucketing")
     Thread.currentThread().getStackTrace.iterator
-      .map(f => (f.getClassName.takeWhile(_ != '$'), f.getMethodName))
-      .find { case (cls, _) =>
-        cls.startsWith("graft.") && !own.contains(cls)
-      }
-      .map { case (cls, m0) =>
+      .map { f =>
+        val cls = f.getClassName.takeWhile(_ != '$')
         // a checkpoint inside a loop body is a lambda frame whose method
         // is `$anonfun$<enclosing>$N` — report the enclosing method
+        val m0 = f.getMethodName
         val m = if (m0.startsWith("$anonfun$"))
           m0.stripPrefix("$anonfun$").takeWhile(_ != '$') else m0
-        s"${cls.substring(cls.lastIndexOf('.') + 1)}.$m"
+        (cls, s"${cls.substring(cls.lastIndexOf('.') + 1)}.$m")
       }
+      .find { case (cls, label) =>
+        cls.startsWith("graft.") && !own.contains(cls) && !skip(label)
+      }
+      .map(_._2)
       .getOrElse("unknown")
   }
 }

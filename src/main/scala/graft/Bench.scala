@@ -122,11 +122,14 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
     val results = best
-    // The harness captures only a bounded tail of stdout, so the one-line
-    // summary must stay small: 3-decimal times, slowest-first, and only
-    // the 40 slowest queries (plus any errors, v < 0) inline — the rest
-    // is summarized by count+sum. The complete per-query map goes to
-    // bench_queries_full.json alongside the repo for offline reads.
+    // r19: the summary line carries the FULL per-query map (slowest
+    // first, 3-decimal, no spaces — ~8 KB for 286 queries). The r17
+    // driver capture truncated a tail and took the whole round-over-
+    // round comparison dark (PERF_r18 `prev_bench_ok: false`); a top-40
+    // line saved ~6 KB but made every omitted query unconmparable by
+    // design. `omitted`/`omitted_sec` stay as keys (now 0) so no field a
+    // reader knows disappears; adding `queries` entries is explicitly
+    // allowed by the driver contract.
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -135,13 +138,11 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val nErrors = results.values.count(_ < 0)
     val bySlow = results.toSeq.sortBy(-_._2)
-    val shown = (bySlow.take(40) ++ bySlow.drop(40).filter(_._2 < 0)).distinct
-    val fast = bySlow.drop(40).filter(_._2 >= 0)
-    val qs = shown.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = bySlow.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""omitted":${fast.size},"omitted_sec":${f(fast.map(_._2).sum)},""" +
+        s""""omitted":0,"omitted_sec":0.000,""" +
         s""""n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir",""" +
         Provenance.stamp(s"interleaved-min-of-$repeat") + "}"
     try {

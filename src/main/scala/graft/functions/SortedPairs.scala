@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** All ordered pairs (pa < pb) of a long array's distinct elements —
   * optionally of only the `cap` SMALLEST distinct elements — as a native
@@ -37,13 +37,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * consumer (all feed a global `.distinct()` on (pa, pb)).
   */
 case class SortedPairs(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   def this(child: Expression) = this(child, Literal(Int.MaxValue))
 
-  require(right.foldable, "sorted_pairs(arr, cap): cap must be a literal")
 
-  private lazy val cap: Int = right.eval(null) match {
+  // registered session-wide as SQL temp functions, so misuse (e.g. an
+  // array<int> whose 4-byte slots toLongArray would read as 8-byte
+  // garbage) must fail at ANALYSIS, not return silent nonsense
+  // (no explicit result type: AbstractDataType is private[sql]; the
+  // inferred Seq[DataType] conforms covariantly)
+  override def inputTypes = Seq(ArrayType(LongType), IntegerType)
+
+  private lazy val cap: Int = {
+    // checked here, not in the constructor: analysis-error rendering
+    // copies the tree with non-foldable PrettyAttribute children, and a
+    // constructor require would mask the real DATATYPE_MISMATCH
+    require(right.foldable, "sorted_pairs(arr, cap): cap must be a literal")
+    right.eval(null)
+  } match {
     case i: Int => i
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(
@@ -101,13 +113,23 @@ object SortedPairs {
   * the keyed-row_number guard; <3 survivors → empty; null → null).
   */
 case class SortedTriples(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   def this(child: Expression) = this(child, Literal(Int.MaxValue))
 
-  require(right.foldable, "sorted_triples(arr, cap): cap must be a literal")
 
-  private lazy val cap: Int = right.eval(null) match {
+  // analysis-time input validation — see [[SortedPairs.inputTypes]]
+  // (no explicit result type: AbstractDataType is private[sql]; the
+  // inferred Seq[DataType] conforms covariantly)
+  override def inputTypes = Seq(ArrayType(LongType), IntegerType)
+
+  private lazy val cap: Int = {
+    // checked here, not in the constructor: analysis-error rendering
+    // copies the tree with non-foldable PrettyAttribute children, and a
+    // constructor require would mask the real DATATYPE_MISMATCH
+    require(right.foldable, "sorted_triples(arr, cap): cap must be a literal")
+    right.eval(null)
+  } match {
     case i: Int => i
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(
@@ -149,7 +171,15 @@ object SortedPairsImpl {
       if (n == 0 || raw(n - 1) != raw(i)) { raw(n) = raw(i); n += 1 }
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long arithmetic + explicit guard: with an uncapped call a
+    // pathological basket >65535 distinct items would overflow
+    // n*(n-1)/2 in int to a NEGATIVE array size (runtime crash with no
+    // hint at the cause). Fail with the basket size instead.
+    val totalPairs = n.toLong * (n - 1) / 2
+    if (totalPairs > Int.MaxValue) throw new UnsupportedOperationException(
+      s"sorted_pairs: a basket of $n distinct items would emit " +
+        s"$totalPairs pairs (> Int.MaxValue); pass a cap")
+    val out = new Array[Any](totalPairs.toInt)
     var k = 0
     var a = 0
     while (a < n) {
@@ -177,9 +207,17 @@ object SortedPairsImpl {
       if (n == 0 || raw(n - 1) != raw(i)) { raw(n) = raw(i); n += 1 }
       i += 1
     }
-    val total =
-      if (n < 3) 0 else n * (n - 1) * (n - 2) / 6
-    val out = new Array[Any](total)
+    // C(2346,3) already exceeds Int.MaxValue, and below that bound the
+    // Long product cannot overflow — so the guard costs no BigInt and
+    // the old int arithmetic's silent wrap is gone
+    val total: Long =
+      if (n < 3) 0L
+      else if (n >= 2346) Long.MaxValue
+      else n.toLong * (n - 1) * (n - 2) / 6
+    if (total > Int.MaxValue) throw new UnsupportedOperationException(
+      s"sorted_triples: a basket of $n distinct items would emit more " +
+        "triples than Int.MaxValue; pass a cap")
+    val out = new Array[Any](total.toInt)
     var k = 0
     var a = 0
     while (a < n) {

@@ -54,9 +54,13 @@ object GraphMore {
       val alive = degrees(edges)
         .crossJoin(broadcast(thr))
         .filter(col("deg") >= col("k_thr")).select(col("u"))
-      // SHUFFLE_HASH on the node-scale alive sides (the kcoreBucketed
-      // idiom): understated sorted_pairs-build estimates otherwise let
-      // the static planner broadcast Θ(V)/Θ(E) relations into the peel
+      // UNCONDITIONAL SHUFFLE_HASH here (not the [[joinsBig]] gate the
+      // flat consumers use): the peel loop's per-round plans root in
+      // lazy-checkpoint LogicalRDDs whose stats are the conf default,
+      // so unhinted the static planner picks SortMergeJoin, not a
+      // broadcast — the r19 gated A/B measured the unhinted loop ×1.20
+      // SLOWER at sf0.1 (3.385 vs 2.823 s isolated min-of-5) while SHJ
+      // wins at both scales (r18: 3.802 → 3.120 s)
       edges = edges
         .join(alive.toDF("pa").hint("shuffle_hash"), "pa")
         .join(alive.toDF("pb").hint("shuffle_hash"), "pb")
@@ -147,6 +151,38 @@ object GraphMore {
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col("deg").as("k_thr"))
 
+  /** Scale-conditional SHUFFLE_HASH decision for the family's Θ(E)/Θ(V)
+    * consumer joins. The sorted_pairs edge build plans with Generate-
+    * propagated (fan-out-blind, UNDERSTATED) size estimates, so unhinted
+    * the static planner broadcasts edge/degree-scale relations — cheap
+    * and correct at bench bytes (a driver-built hash table of a few MB),
+    * but a whole-graph driver collect at depth. r18 pinned SHUFFLE_HASH
+    * unconditionally, paying ~0.85 s across the family at the 32-core
+    * sf0.1 bench for the scale posture; r19 gates the pin on the SAME
+    * leaf-scan-mass seam as the depth levers ([[graft.Autoscale]],
+    * default 2 GiB, `spark.graft.depthAutoThresholdBytes` overrides):
+    * below the threshold the planner keeps its (bounded, measured-faster)
+    * broadcasts, above it the partitioned hash build is pinned exactly as
+    * r18 shipped. Hints never change results ([[JoinStrategyInvarianceSpec]]);
+    * each query records one decision (lever `graphJoinHint`).
+    */
+  private[queries] def joinsBig(spark: SparkSession, sfDir: String): Boolean = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val leaf = graft.Autoscale.leafScanBytes(base)
+    val thr = graft.Autoscale.thresholdBytes(spark)
+    val big = leaf >= BigInt(thr)
+    graft.Autoscale.record(
+      graft.Autoscale.callerOpExcluding(Set("GraphMore.joinsBig")),
+      "graphJoinHint", leaf, thr,
+      if (big) "shuffle_hash" else "planner", "auto")
+    big
+  }
+
+  /** `df.hint("shuffle_hash")` when `big`, else the planner's choice. */
+  private[queries] def shj(df: DataFrame, big: Boolean): DataFrame =
+    if (big) df.hint("shuffle_hash") else df
+
   /** Per-order co-purchase pair rows (pa < pb, one row per order that
     * contains the pair; baskets capped at each order's `cap` smallest
     * distinct parts) — the shared pair-generation kernel of every graph
@@ -234,15 +270,17 @@ object GraphMore {
     val nbrs = adj.join(broadcast(top.select(col("center"))),
         col("u") === col("center"))
       .select(col("center"), col("v"))
-    // SHUFFLE_HASH pins: the hub-neighbor set is Θ(Σ_top deg) and the
-    // close probe's right side is the Θ(E) edge list — understated
-    // sorted_pairs-build estimates would statically broadcast both
-    // (driver collects that grow with the graph); partitioned hash
-    // builds keep the wedge-close shape scale-uniform
+    // scale-conditional SHUFFLE_HASH ([[joinsBig]]): the hub-neighbor
+    // set is Θ(Σ_top deg) and the close probe's right side is the Θ(E)
+    // edge list — above the depth threshold an (understated-estimate)
+    // static broadcast would be a driver collect that grows with the
+    // graph, so the partitioned hash build is pinned there; below it the
+    // planner's broadcast is bounded and measured faster
+    val big = joinsBig(spark, sfDir)
     val closed = nbrs.toDF("center", "x")
-      .join(nbrs.toDF("center", "y").hint("shuffle_hash"), Seq("center"))
+      .join(shj(nbrs.toDF("center", "y"), big), Seq("center"))
       .filter(col("x") < col("y"))
-      .join(edges.toDF("x", "y").hint("shuffle_hash"),
+      .join(shj(edges.toDF("x", "y"), big),
         Seq("x", "y"), "left_semi")
       .groupBy(col("center")).agg(count(lit(1)).as("closed_wedges"))
     top.join(closed, Seq("center"), "left")
@@ -347,13 +385,15 @@ object GraphMore {
     val hubs = deg.crossJoin(broadcast(ks))
       .filter(col("deg") > col("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_hubs"))
-    // SHUFFLE_HASH pins on the Θ(V) degree sides: understated Generate
+    // scale-conditional SHUFFLE_HASH on the Θ(V) degree sides
+    // ([[joinsBig]]): above the depth threshold, understated Generate
     // estimates from the sorted_pairs build otherwise flip these to
     // static broadcasts of the whole degree table (see
     // neighborDegreeFunction)
+    val big = joinsBig(spark, sfDir)
     val within = edges
-      .join(deg.toDF("pa", "da").hint("shuffle_hash"), Seq("pa"))
-      .join(deg.toDF("pb", "db").hint("shuffle_hash"), Seq("pb"))
+      .join(shj(deg.toDF("pa", "da"), big), Seq("pa"))
+      .join(shj(deg.toDF("pb", "db"), big), Seq("pb"))
       .crossJoin(broadcast(ks))
       .filter(col("da") > col("k") && col("db") > col("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("edges_within"))
@@ -516,13 +556,15 @@ object GraphMore {
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .stableCheckpoint() // joined twice: own degree + neighbor degree
-    // SHUFFLE_HASH pins: the sorted_pairs build's Generate-propagated
-    // estimates UNDERSTATE the checkpointed edge/degree relations, so
-    // unhinted these joins statically broadcast Θ(V) builds (a driver
-    // collect that grows with the graph); the pinned partitioned hash
-    // build keeps the shape scale-uniform (kcoreBucketed idiom)
-    adj.join(deg.toDF("v", "nbr_deg").hint("shuffle_hash"), Seq("v"))
-      .join(deg.hint("shuffle_hash"), Seq("u"))
+    // scale-conditional SHUFFLE_HASH ([[joinsBig]]): the sorted_pairs
+    // build's Generate-propagated estimates UNDERSTATE the checkpointed
+    // edge/degree relations, so above the depth threshold unhinted joins
+    // would statically broadcast Θ(V) builds (a driver collect that
+    // grows with the graph); below it the planner's broadcast is bounded
+    // and measured faster (kcoreBucketed idiom, gated)
+    val big = joinsBig(spark, sfDir)
+    adj.join(shj(deg.toDF("v", "nbr_deg"), big), Seq("v"))
+      .join(shj(deg, big), Seq("u"))
       .groupBy(col("deg").as("k"))
       .agg(countDistinct(col("u")).as("n_nodes"),
         count(lit(1)).as("n_edge_ends"),

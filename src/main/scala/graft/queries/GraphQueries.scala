@@ -164,23 +164,25 @@ object GraphQueries {
     val edges = coPurchaseEdges(spark, sfDir)
     // wedge COUNT from degree products (Σ_b in(b)·out(b)) — never by
     // materializing the Σd²-sized wedge set just to count it
-    // SHUFFLE_HASH pins on every Θ(E)/Θ(V)-side join: the sorted_pairs
-    // edge build plans with Generate-propagated (fan-out-blind, UNDER-
-    // stated) size estimates, so unhinted joins here statically
-    // broadcast edge-scale relations — fine at bench bytes, a driver
-    // collect of the whole graph at depth. A pinned partitioned hash
-    // build is scale-uniform (the kcoreBucketed/salted-join idiom).
+    // Scale-conditional SHUFFLE_HASH on every Θ(E)/Θ(V)-side join
+    // (GraphMore.joinsBig gate): the sorted_pairs edge build plans with
+    // Generate-propagated (fan-out-blind, UNDERstated) size estimates,
+    // so above the depth threshold unhinted joins here would statically
+    // broadcast edge-scale relations — a driver collect of the whole
+    // graph; below it the planner's broadcasts are bounded and measured
+    // faster (the kcoreBucketed/salted-join idiom, gated).
+    val big = GraphMore.joinsBig(spark, sfDir)
     val nWedges = edges.groupBy(col("b")).agg(count(lit(1)).as("din"))
-      .join(edges.groupBy(col("a")).agg(count(lit(1)).as("dout"))
-        .hint("shuffle_hash"), col("b") === col("a"))
+      .join(GraphMore.shj(edges.groupBy(col("a"))
+        .agg(count(lit(1)).as("dout")), big), col("b") === col("a"))
       .agg(coalesce(sum(col("din") * col("dout")), lit(0L)).as("n_wedges"))
     val nodes = edges.select(col("a").as("x"))
       .union(edges.select(col("b").as("x")))
       .agg(countDistinct(col("x")).as("n_nodes"))
     val triangles = edges.toDF("a", "b")
-      .join(edges.toDF("b", "c").hint("shuffle_hash"), Seq("b"))
+      .join(GraphMore.shj(edges.toDF("b", "c"), big), Seq("b"))
       .select(col("a"), col("b"), col("c"))
-      .join(edges.toDF("a", "c").hint("shuffle_hash"),
+      .join(GraphMore.shj(edges.toDF("a", "c"), big),
         Seq("a", "c"), "left_semi")
     nodes
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))

@@ -187,12 +187,15 @@ object StatsSixth {
     val deg = edges.select(col("pa").as("node"))
       .union(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // SHUFFLE_HASH pins on the Θ(V) degree sides: the sorted_pairs
-    // build's fan-out-blind estimates otherwise flip these to static
-    // broadcasts of the degree table (see GraphMore.neighborDegreeFunction)
+    // scale-conditional SHUFFLE_HASH on the Θ(V) degree sides (gated on
+    // the depth-threshold leaf mass, see GraphMore.joinsBig): above the
+    // threshold the sorted_pairs build's fan-out-blind estimates would
+    // otherwise flip these to static broadcasts of the degree table;
+    // below it the planner's broadcast is bounded and measured faster
+    val big = graft.queries.GraphMore.joinsBig(spark, sfDir)
     val withDeg = edges
-      .join(deg.toDF("pa", "da").hint("shuffle_hash"), Seq("pa"))
-      .join(deg.toDF("pb", "db").hint("shuffle_hash"), Seq("pb"))
+      .join(graft.queries.GraphMore.shj(deg.toDF("pa", "da"), big), Seq("pa"))
+      .join(graft.queries.GraphMore.shj(deg.toDF("pb", "db"), big), Seq("pb"))
     // Symmetrize: each undirected edge contributes (da,db) and (db,da).
     val sym = withDeg.select(col("da").as("x"), col("db").as("y"))
       .union(withDeg.select(col("db").as("x"), col("da").as("y")))

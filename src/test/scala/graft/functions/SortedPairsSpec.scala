@@ -122,4 +122,35 @@ class SortedPairsSpec extends SparkTestBase {
       .collect().head
     assert(r.isNullAt(0))
   }
+
+  test("non-long element types fail at analysis, not as silent garbage") {
+    // toLongArray over an UnsafeArrayData of 4-byte ints would read
+    // 8-byte slots — ExpectsInputTypes must reject it before execution
+    SortedPairs.register(spark)
+    for (fn <- Seq("sorted_pairs", "sorted_triples")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(array(1, 2, 3))").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"),
+        s"$fn: expected a type-check analysis error, got: ${e.getMessage}")
+    }
+  }
+
+  test("pair/triple counts past Int.MaxValue fail loudly, never wrap") {
+    // n = 65537 distinct items → C(n,2) just over Int.MaxValue: the old
+    // int arithmetic wrapped to a negative allocation size
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val big = new GenericArrayData(
+      Array.tabulate(65537)(i => (i.toLong): Any))
+    val eP = intercept[UnsupportedOperationException] {
+      SortedPairsImpl.compute(big, Int.MaxValue)
+    }
+    assert(eP.getMessage.contains("65537"))
+    val big3 = new GenericArrayData(
+      Array.tabulate(2346)(i => (i.toLong): Any))
+    val eT = intercept[UnsupportedOperationException] {
+      SortedPairsImpl.computeTriples(big3, Int.MaxValue)
+    }
+    assert(eT.getMessage.contains("2346"))
+  }
 }
