@@ -477,12 +477,23 @@ object CorpusFifth {
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
-    val ranked = counts
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("c").desc, col("t"))).cast("long"))
-      .withColumn("cum",
-        sum(col("c")).over(Window.orderBy(col("c").desc, col("t"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Only ranks 3/10/25 are consumed, so the rank+cumsum never needs
+    // the whole vocabulary: r18 ran BOTH through a single-partition
+    // global window over every type — a domain that GROWS with the
+    // corpus (the bench tail's "No Partition Defined" WindowExec class).
+    // r19: distributed top-25 (orderBy+limit = TakeOrderedAndProject,
+    // partial top-k per task) then rank and cumulative sum over the
+    // 25-row relation via its triangle self-join — rnk(a) = #{b ⪯ a},
+    // cum(a) = Σ_{b ⪯ a} c(b) under the SAME strictly-unique ordering
+    // (c desc, t asc; t is distinct), so every emitted value is
+    // identical by construction and no WindowExec remains at all.
+    val top = counts.orderBy(col("c").desc, col("t")).limit(25)
+    val ranked = top.toDF("ta", "ca")
+      .join(top.toDF("tb", "cb"),
+        col("cb") > col("ca") ||
+          (col("cb") === col("ca") && col("tb") <= col("ta")))
+      .groupBy(col("ta"), col("ca"))
+      .agg(count(lit(1)).as("rnk"), sum(col("cb")).as("cum"))
     ranked
       .filter(col("rnk").isin(3L, 10L, 25L))
       .crossJoin(broadcast(total))

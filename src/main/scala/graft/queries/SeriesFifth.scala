@@ -266,10 +266,16 @@ object SeriesFifth {
       .filter(col("e3").isNotNull)
       .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
-    tri
+    // r19: top-10 via orderBy+limit (TakeOrderedAndProject — distributed
+    // partial top-k per task) BEFORE the rank window, so the global
+    // row_number orders 10 rows instead of the whole trigram domain
+    // (which grows with the event-type alphabet). Ordering (n desc,
+    // path asc) is strictly unique (paths distinct post-aggregate), so
+    // the survivors and their ranks are identical by construction — the
+    // clusteringCoeffTop idiom.
+    tri.orderBy(col("n").desc, col("path")).limit(10)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n").desc, col("path"))).cast("long"))
-      .filter(col("rnk") <= 10)
       .select(col("rnk"), col("path"), col("n"))
       .orderBy(col("rnk"))
   }

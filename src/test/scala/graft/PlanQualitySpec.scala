@@ -262,8 +262,6 @@ class PlanQualitySpec extends SparkTestBase {
     val targets = Seq(
       "skyline_parts" ->
         graft.queries.AnalyticsFourth.skylineParts(spark, sf0001),
-      "zipf_coverage" ->
-        graft.queries.CorpusFifth.zipfCoverage(spark, sf0001),
       "ks_drift" -> graft.queries.SeriesFifth.ksDrift(spark, sf0001),
       // r9: both rank windows order the one-row-per-day aggregate
       "spearman_daily" ->
@@ -281,6 +279,20 @@ class PlanQualitySpec extends SparkTestBase {
             s"not raw rows:\n$lp")
       }
     }
+  }
+
+  test("zipf coverage: no window at all — distributed top-25 + triangle rank") {
+    // r19: the vocabulary-wide single-partition rank/cumsum window is
+    // gone; ranks 3/10/25 come off a TakeOrderedAndProject top-25 and a
+    // bounded 25-row self-join. Pin that no global window can sneak the
+    // Θ(vocab) sort back and the top-k stays a distributed partial top-k.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.queries.CorpusFifth.zipfCoverage(spark, sf0001)
+    assert(df.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty,
+      "zipf_coverage must not use any window")
+    assert(plan(df).contains("TakeOrderedAndProject"),
+      "zipf top-25 must be a distributed partial top-k:\n" + plan(df))
   }
 
   test("round-5 queries keep their scale shapes") {
