@@ -115,22 +115,143 @@ object MinHashImpl {
     false
   }
 
+  // ------------------------------------------------- single-block MD5
+  // r19: the signature pass hashes k digests per TOKEN through
+  // MessageDigest — engine dispatch, internal buffering and a fresh
+  // 16-byte digest allocation per (token, seed). But `seed + ":" +
+  // token` is ≤ 55 bytes for every real token, i.e. ONE padded MD5
+  // block, so the full algorithm collapses to a single compression
+  // (RFC 1321) over a thread-reused 64-byte buffer: no allocation, no
+  // engine overhead, and the token+padding bytes are laid out once per
+  // prefix-length group instead of re-copied for each of the k seeds.
+  // Longer inputs fall back to MessageDigest (same digest by
+  // definition); [[MinHashSignatureSpec]] pins byte equality of both
+  // paths against the java.security result.
+
+  private val K = Array(
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391)
+
+  private val S = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+
+  /** Scratch for the single-block path: the 64-byte padded block, its
+    * 16 little-endian words and the 16-byte digest — reused per thread.
+    */
+  private final class Scratch {
+    val block = new Array[Byte](64)
+    val m = new Array[Int](16)
+    val dig = new Array[Byte](16)
+  }
+
+  private val scratchLocal: ThreadLocal[Scratch] =
+    new ThreadLocal[Scratch] { override def initialValue(): Scratch = new Scratch }
+
+  /** One MD5 compression of the (already padded) 64-byte block in
+    * `sc.block`; digest into `sc.dig`. RFC 1321 verbatim.
+    */
+  private def md5SingleBlock(sc: Scratch): Unit = {
+    val block = sc.block
+    val m = sc.m
+    var w = 0
+    while (w < 16) {
+      val o = w * 4
+      m(w) = (block(o) & 0xff) | ((block(o + 1) & 0xff) << 8) |
+        ((block(o + 2) & 0xff) << 16) | ((block(o + 3) & 0xff) << 24)
+      w += 1
+    }
+    var a = 0x67452301; var b = 0xefcdab89
+    var c = 0x98badcfe; var d = 0x10325476
+    var i = 0
+    while (i < 64) {
+      var f = 0; var g = 0
+      if (i < 16) { f = (b & c) | (~b & d); g = i }
+      else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15 }
+      else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * i) & 15 }
+      val tmp = d
+      d = c
+      c = b
+      b = b + Integer.rotateLeft(a + f + K(i) + m(g), S(i))
+      a = tmp
+      i += 1
+    }
+    val h0 = a + 0x67452301; val h1 = b + 0xefcdab89
+    val h2 = c + 0x98badcfe; val h3 = d + 0x10325476
+    val dig = sc.dig
+    dig(0) = h0.toByte; dig(1) = (h0 >>> 8).toByte
+    dig(2) = (h0 >>> 16).toByte; dig(3) = (h0 >>> 24).toByte
+    dig(4) = h1.toByte; dig(5) = (h1 >>> 8).toByte
+    dig(6) = (h1 >>> 16).toByte; dig(7) = (h1 >>> 24).toByte
+    dig(8) = h2.toByte; dig(9) = (h2 >>> 8).toByte
+    dig(10) = (h2 >>> 16).toByte; dig(11) = (h2 >>> 24).toByte
+    dig(12) = h3.toByte; dig(13) = (h3 >>> 8).toByte
+    dig(14) = (h3 >>> 16).toByte; dig(15) = (h3 >>> 24).toByte
+  }
+
   def compute(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
     val mins = new Array[Array[Byte]](k)
     val pre = prefixes(k)
-    val md = mdLocal.get()
+    val sc = scratchLocal.get()
+    val block = sc.block
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
         val tok = toks.getUTF8String(i).getBytes
+        var builtPreLen = -1
         var s = 0
         while (s < k) {
-          md.reset()
-          md.update(pre(s))
-          md.update(tok)
-          val d = md.digest()
-          if (mins(s) == null || less(d, mins(s))) mins(s) = d
+          val p = pre(s)
+          val total = p.length + tok.length
+          if (total <= 55) {
+            if (p.length != builtPreLen) {
+              // token + 0x80 terminator + zero pad + bit length, laid
+              // out once per prefix LENGTH (seed digits then just
+              // overwrite the first bytes per seed)
+              System.arraycopy(tok, 0, block, p.length, tok.length)
+              block(total) = 0x80.toByte
+              var z = total + 1
+              while (z < 56) { block(z) = 0; z += 1 }
+              val bits = total.toLong * 8
+              block(56) = bits.toByte; block(57) = (bits >>> 8).toByte
+              block(58) = (bits >>> 16).toByte; block(59) = (bits >>> 24).toByte
+              block(60) = (bits >>> 32).toByte; block(61) = (bits >>> 40).toByte
+              block(62) = (bits >>> 48).toByte; block(63) = (bits >>> 56).toByte
+              builtPreLen = p.length
+            }
+            System.arraycopy(p, 0, block, 0, p.length)
+            md5SingleBlock(sc)
+            if (mins(s) == null) mins(s) = sc.dig.clone()
+            else if (less(sc.dig, mins(s)))
+              System.arraycopy(sc.dig, 0, mins(s), 0, 16)
+          } else {
+            // oversize token: the generic multi-block path (identical
+            // digest by definition)
+            val md = mdLocal.get()
+            md.reset()
+            md.update(p)
+            md.update(tok)
+            val d = md.digest()
+            if (mins(s) == null || less(d, mins(s))) mins(s) = d
+          }
           s += 1
         }
       }

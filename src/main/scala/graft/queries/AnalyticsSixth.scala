@@ -166,6 +166,17 @@ object AnalyticsSixth {
   private[graft] def copurchaseRecallCounts(train: DataFrame,
       evalUsers: DataFrame, test: DataFrame, model: DataFrame,
       nPart: Int): DataFrame = {
+    // r19 attack, measured WORSE and reverted: moving this anti join
+    // BEFORE the (c,q) aggregation (per-key filter commutes with the
+    // per-key sum, so results are identical) probes all ~13M fan-out
+    // rows instead of the aggregated survivors — isolated ABBA min-of-5:
+    // 4.66 s early-anti vs 4.22 s this shape. The other VERDICT-named
+    // lever, skipping the near-unique (p,q)/(c,q) partial aggregates,
+    // has no OSS Spark 4.1 knob (no skip-partial-agg conf exists; only
+    // vendor forks carry one), and the bucketed two-sided basket layout
+    // would pay two CTAS writes of basket-scale data INSIDE the timed
+    // query — strictly worse than the 13M-row exchange it replaces at
+    // bench scale and a warehouse side effect at depth.
     val scored = train.join(evalUsers, "c")
       .join(model, "p")
       .repartition(nPart, col("c"))
