@@ -50,26 +50,41 @@ object BpeTrainer {
       posexplode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "sym")))
-      .stableCheckpointLazy() // round 1's argmax action materializes
+      .stableCheckpointLazy() // round 1's stats action materializes
+
+    // r19 action fusion: the end-of-round symbol count and the NEXT
+    // round's most-frequent-pair argmax both scan the same rewritten
+    // sequence, so one aggregation answers both — the per-pair counts
+    // keep the nxt-NULL word tails as their own groups purely so
+    // Σcnt = |seq|, and the argmax skips them via min_by's documented
+    // null-ordering skip. min(struct(-pf, a, b)) IS the old
+    // `ORDER BY pf DESC, a, b LIMIT 1` winner (strictly identical
+    // lexicographic tie-break; probed incl. ties and the all-NULL
+    // degenerate corpus). 3 driver actions per round drop to 2.
+    def pairStatsAndCount(s: DataFrame): (Option[(String, String, Long)], Long) = {
+      val row = s
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("pf"), count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_symbols"),
+          min_by(struct(col("a"), col("b"), col("pf")),
+            when(col("b").isNotNull,
+              struct((-col("pf")).as("npf"), col("a"), col("b")))).as("top"))
+        .collect().head
+      val top = Option(row.getStruct(1)).map(t =>
+        (t.getString(0), t.getString(1), t.getLong(2)))
+      // a corpus whose words all reduce to single symbols leaves the
+      // pair argmax NULL — emit the rounds trained so far instead of
+      // failing (can't happen on this corpus, but the trainer shouldn't
+      // be input-brittle)
+      (top, if (row.isNullAt(0)) 0L else row.getLong(0))
+    }
 
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-    var exhausted = false
-    for (round <- 1L to 5L if !exhausted) {
-      // headOption, not collect()(0): a corpus whose words all reduce to
-      // single symbols leaves the pair relation empty — emit the rounds
-      // trained so far instead of ArrayIndexOutOfBounds (can't happen on
-      // this corpus, but the trainer shouldn't be input-brittle).
-      val topOpt = seq
-        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("a"), col("nxt").as("b"))
-        .agg(sum(col("freq")).as("pf"))
-        .orderBy(col("pf").desc, col("a"), col("b"))
-        .limit(1).collect().headOption
-      if (topOpt.isEmpty) { exhausted = true }
-      else {
-      val top = topOpt.get
-      val (pa, pb, pf) = (top.getString(0), top.getString(1), top.getLong(2))
+    var topOpt = pairStatsAndCount(seq)._1
+    for (round <- 1L to 5L if topOpt.nonEmpty) {
+      val (pa, pb, pf) = topOpt.get
       // leftmost-first non-overlapping merge positions: islands of
       // consecutive matches keep offsets 0, 2, 4, … from the island start
       val marked = seq
@@ -98,8 +113,12 @@ object BpeTrainer {
         .select(col("w"), col("freq"), col("pos"), col("sym"))
         .repartition(nPart, col("w"))
         .stableCheckpointLazy()
-      out += ((round, pa, pb, pf, seq.count()))
-      }
+      // ONE action closes the round: materializes the rewritten seq's
+      // lazy checkpoint, reads its symbol count for THIS row, and hands
+      // the argmax to the NEXT round
+      val (nextTop, nSymbols) = pairStatsAndCount(seq)
+      out += ((round, pa, pb, pf, nSymbols))
+      topOpt = if (round < 5L) nextTop else None
     }
     import spark.implicits._
     out.result().toDF("round", "pair_a", "pair_b", "pair_freq",

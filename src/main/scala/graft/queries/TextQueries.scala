@@ -190,7 +190,15 @@ object TextQueries {
     val tok = docs
       .select(col("doc_id"), explode(gramsExpr).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // r19: sz = |distinct grams| comes straight off the gram array —
+    // size(gramsExpr) per doc — instead of exploding 3.5M tok rows into
+    // a per-doc count aggregate (one whole stage + exchange gone). A
+    // checkpointed shared gram-set relation was also tried and measured
+    // 3.02 vs 1.94 s isolated (materializing the big deserialized
+    // arrays loses to recomputing the cheap transform per consumer) —
+    // reverted; the explosion stays recomputed per branch on purpose.
+    val sizes = docs.select(col("doc_id"),
+      size(gramsExpr).cast("long").as("sz"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     val prefix = tok.join(dfreq, "tok").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(w).cast("long"))
