@@ -354,6 +354,14 @@ object Dedup {
     val numericLbl = labels.schema("lbl").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var prevSum = Option.empty[java.math.BigDecimal]
+    // r19 attack, measured WORSE and reverted: pointer-halving
+    // (l(x) := min(l(x), l(l(x))) via a prop⋈prop label self-join per
+    // round) converged in ~17 rounds instead of ~21 on the sf0.1
+    // semantic-pair graph — far from the O(log d) hope, because most
+    // nodes settle early and the residual Σlbl decrements crawl along a
+    // few long chains where the shortcut rarely lands — while the extra
+    // Θ(V) self-join cost every round: family isolated ABBA min-of-5
+    // 5.80 → 6.72 s (×1.16). The diameter-round loop below stays.
     while (iter < maxIter && !converged) {
       // LAZY: the convergence check right below (Σlbl or the isEmpty
       // join — both paths always run one) doubles as the materializer,
